@@ -1,0 +1,199 @@
+"""Flat UPPERCASE-key experiment config — the de-facto public API of the reference.
+
+Reproduces the key surface of the reference config system
+(ref: exp/template_cfgs/example_config.json, src/utils/Utils_io.py:163-213,
+config.get(...) sites catalogued in SURVEY.md §2.4) with the same defaults.
+
+Quirk compatibility (SURVEY.md "known reference quirks"):
+  * ``REDUCE_LR_ON_PLAEAU_PATIENCE`` [sic] and the corrected
+    ``REDUCE_LR_ON_PLATEAU_PATIENCE`` are both accepted.
+  * ``LOSS_FUNCTION`` accepts both 'BcdDiceLoss' [sic] and 'BceDiceLoss'.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Any, Dict
+
+# ---------------------------------------------------------------------------
+# Defaults: every (key, default) pair consumed anywhere in the reference.
+# TPU-native keys added at the end are new but optional (safe defaults).
+# ---------------------------------------------------------------------------
+DEFAULTS: Dict[str, Any] = {
+    # hardware / run (ref: example_config.json:2-7; GPU keys kept for config
+    # compatibility but ignored — device selection is JAX/TPU-native)
+    "GPU_IDS": "0,1",
+    "GPUS": ["/gpu:0", "/gpu:1"],
+    "SEED": 42,
+    "GENERATOR_WORKER": 16,
+    "QUEUE_SIZE": 12,
+    "EPOCHS": 100,
+    "BATCHSIZE": 32,
+    # paths / CV (ref: src/models/train_model.py:31-51)
+    "EXPERIMENT": "UNDEFINED",
+    "EXPERIMENTS_ROOT": "exp/",
+    "DATA_PATH_SAX": None,
+    "DATA_PATH_ORIG": None,
+    "DF_FOLDS": None,
+    "FOLD": 0,
+    "FOLDS": [0, 1, 2, 3],
+    # geometry (ref: example_config.json:16-27; DIM is numpy-ordered (y,x) or (z,y,x))
+    "DIM": [224, 224],
+    "SPACING": [1.2, 1.2],
+    "RESAMPLE": True,
+    "IMG_INTERPOLATION": 2,  # 2 == linear (sitk enum parity)
+    "MSK_INTERPOLATION": 1,  # 1 == nearest neighbour
+    # model (ref: src/models/Unets.py:80-106)
+    "DEPTH": 4,
+    "FILTERS": 32,
+    "M_POOL": [2, 2],
+    "F_SIZE": [3, 3],
+    "BN_FIRST": False,
+    "BATCH_NORMALISATION": True,
+    "PAD": "same",
+    "KERNEL_INIT": "he_normal",
+    "ACTIVATION": "relu",
+    "USE_UPSAMPLE": True,
+    "IMG_CHANNELS": 1,
+    "MASK_VALUES": [1, 2],
+    "MASK_CLASSES": 2,
+    # optimisation (ref: src/models/ModelUtils.py:75-118, KerasCallbacks.py:54-111)
+    "OPTIMIZER": "adam",
+    "LEARNING_RATE": 1e-4,
+    "EPSILON": 1e-8,
+    "DECAY": 0.0,
+    "REDUCE_LR_ON_PLATEAU_PATIENCE": 5,
+    "DECAY_FACTOR": 0.7,
+    "POLY_LR_DECAY": False,
+    "MIN_LR": 1e-12,
+    "EARLY_STOPPING_PATIENCE": 25,
+    "MODEL_PATIENCE": 20,
+    "MONITOR_FUNCTION": "loss",
+    "MONITOR_MODE": "min",
+    "SAVE_MODEL_FUNCTION": "loss",
+    "SAVE_MODEL_MODE": "min",
+    "LOSS_FUNCTION": "BceDiceLoss",
+    # regularisation / augmentation (ref: src/data/Generators.py:77-94,240-260,
+    # src/data/Preprocess.py:382-422)
+    "DROPOUT_MIN": 0.3,
+    "DROPOUT_MAX": 0.5,
+    "AUGMENT": False,
+    "AUGMENT_PROB": 0.8,
+    "RANDOMROTATE": False,
+    "SHIFTSCALEROTATE": False,
+    "GRIDDISTORTION": False,
+    "DOWNSCALE": False,
+    "BORDER_MODE": 4,  # reflect101 (cv2 enum parity)
+    "BORDER_VALUE": 0,
+    "HIST_MATCHING": False,
+    "SHUFFLE": True,
+    "SCALER": "MinMax",
+    "GAUS": False,
+    "SIGMA": 1,
+    "MASKING_IMAGE": False,
+    "MASKING_VALUES": [1, 2, 3],
+    # inference / artifacts (ref: src/models/predict_model.py:159,
+    # src/utils/KerasCallbacks.py:20-110)
+    "CC_FILTER": False,
+    "SAVE_LEARNING_PROGRESS_AS_TF": False,
+    "SAVE_LEARNING_PROGRESS_AS_PNG": False,
+    "SAVE_LEARNING_PROGRESS_FREQUENCY": 2,
+    # --- TPU-native extensions (new; absent keys keep reference behaviour) ---
+    "MIXED_PRECISION": True,     # bfloat16 activations on the MXU, f32 params
+    "MESH_SHAPE": None,          # None -> 1D data mesh over all local devices
+    "PREFETCH_DEPTH": 2,         # device prefetch double-buffering depth
+    "CACHE_IN_MEMORY": True,     # cache deterministic preprocessing in RAM
+}
+
+# accepted alternate spellings -> canonical key (reference quirk compat)
+_ALIASES = {
+    "REDUCE_LR_ON_PLAEAU_PATIENCE": "REDUCE_LR_ON_PLATEAU_PATIENCE",
+}
+
+
+def normalise_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    """Uppercase-filter, alias-map and default-fill a raw config dict."""
+    cfg = dict(DEFAULTS)
+    for key, value in (config or {}).items():
+        if not isinstance(key, str) or not key.isupper():
+            continue
+        cfg[_ALIASES.get(key, key)] = value
+    return cfg
+
+
+def get(config: Dict[str, Any], key: str, default: Any = None):
+    """config.get with alias + defaults fallback (mirrors reference convention)."""
+    for k in (key, _ALIASES.get(key, key)):
+        if k in config:
+            return config[k]
+    return DEFAULTS.get(key, default)
+
+
+def ndims(config: Dict[str, Any]) -> int:
+    """Model dimensionality is selected by len(DIM) (ref: src/models/Unets.py:90)."""
+    return len(get(config, "DIM"))
+
+
+def load_config(path: str) -> Dict[str, Any]:
+    with open(path, encoding="utf-8") as fh:
+        return normalise_config(json.load(fh))
+
+
+def timestamped_exp_path(config: Dict[str, Any], timestamp: str | None = None) -> str:
+    """exp/<EXPERIMENT>/<YYYY-MM-DD_HH_MM> (ref: src/models/train_model.py:166-175)."""
+    ts = timestamp or datetime.datetime.now().strftime("%Y-%m-%d_%H_%M")
+    return os.path.join(get(config, "EXPERIMENTS_ROOT"), get(config, "EXPERIMENT"), ts)
+
+
+def set_experiment_paths(config: Dict[str, Any], exp_path: str | None = None,
+                         fold: int | None = None) -> Dict[str, Any]:
+    """Populate EXP_PATH/MODEL_PATH/TENSORBOARD_PATH/CONFIG_PATH/HISTORY_PATH.
+
+    Fold sub-folders follow the reference convention exp/<EXP>/<ts>/f<k>/
+    (ref: src/models/train_model.py:40-47).
+    """
+    cfg = dict(config)
+    exp_path = exp_path or cfg.get("EXP_PATH") or timestamped_exp_path(cfg)
+    cfg["EXP_PATH"] = exp_path
+    root = exp_path if fold is None else os.path.join(exp_path, f"f{fold}")
+    if fold is not None:
+        cfg["FOLD"] = fold
+        cfg["FOLD_PATH"] = root
+    cfg["MODEL_PATH"] = os.path.join(root, "model")
+    cfg["TENSORBOARD_PATH"] = os.path.join(root, "tensorboard_logs")
+    cfg["CONFIG_PATH"] = os.path.join(root, "config")
+    cfg["HISTORY_PATH"] = os.path.join(root, "history")
+    return cfg
+
+
+_JSON_TYPES = (bool, int, str, float, list, dict, type(None))
+
+
+def init_config(config: Dict[str, Any], save: bool = True) -> Dict[str, Any]:
+    """Keep UPPERCASE keys, create experiment dirs, persist config/config.json.
+
+    Serialises callables by name, exactly like the reference
+    (ref: src/utils/Utils_io.py:163-213), so a saved experiment can be
+    re-instantiated for inference with the identical configuration.
+    """
+    from cmrtpu.utils.io_utils import ensure_dir
+
+    cfg = {k: v for k, v in config.items() if isinstance(k, str) and k.isupper()
+           and k not in ("HTML", "K")}
+    cfg = set_experiment_paths(normalise_config(cfg), exp_path=cfg.get("EXP_PATH"),
+                               fold=cfg.get("FOLD") if "FOLD_PATH" in cfg or save else cfg.get("FOLD"))
+    for key in ("EXP_PATH", "MODEL_PATH", "TENSORBOARD_PATH", "CONFIG_PATH"):
+        ensure_dir(cfg[key])
+
+    if save:
+        writable = {}
+        for key, value in cfg.items():
+            if callable(value):
+                value = getattr(value, "__name__", getattr(value, "name", "unknownfunction"))
+            if isinstance(value, _JSON_TYPES):
+                writable[key] = value
+        with open(os.path.join(cfg["CONFIG_PATH"], "config.json"), "w") as fh:
+            json.dump(writable, fh, indent=2)
+    return cfg

@@ -1,0 +1,33 @@
+"""Test config: force an 8-virtual-device CPU platform before JAX import.
+
+This is the fake-backend capability the reference lacked (SURVEY.md §4):
+multi-chip sharding logic is exercised on a host-platform device mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def synthetic_slice(rng):
+    """A SAX-like 2D slice + RVIP mask pair (values {0,1,2})."""
+    h, w = 96, 104
+    img = rng.normal(400.0, 120.0, size=(h, w)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += 300.0 * np.exp(-(((yy - 48) ** 2 + (xx - 52) ** 2) / (2 * 18.0 ** 2)))
+    msk = np.zeros((h, w), dtype=np.uint8)
+    msk[30:33, 40:43] = 1   # anterior IP blob
+    msk[62:65, 38:41] = 2   # inferior IP blob
+    return img, msk

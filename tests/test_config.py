@@ -1,0 +1,56 @@
+"""Config-surface tests: defaults, aliases, init_config artifact layout."""
+
+import json
+import os
+
+from cmrtpu import config as C
+
+
+def test_defaults_cover_reference_surface():
+    cfg = C.normalise_config({})
+    for key in ("DIM", "SPACING", "DEPTH", "FILTERS", "MASK_VALUES", "MASK_CLASSES",
+                "BATCHSIZE", "SCALER", "LOSS_FUNCTION", "AUGMENT_PROB", "BORDER_MODE"):
+        assert key in cfg
+    assert cfg["DIM"] == [224, 224]
+    assert cfg["MASK_VALUES"] == [1, 2]
+
+
+def test_misspelled_plateau_alias():
+    cfg = C.normalise_config({"REDUCE_LR_ON_PLAEAU_PATIENCE": 9})
+    assert C.get(cfg, "REDUCE_LR_ON_PLATEAU_PATIENCE") == 9
+    assert C.get(cfg, "REDUCE_LR_ON_PLAEAU_PATIENCE") == 9
+
+
+def test_lowercase_keys_dropped():
+    cfg = C.normalise_config({"batchsize": 4, "BATCHSIZE": 8})
+    assert cfg["BATCHSIZE"] == 8
+    assert "batchsize" not in cfg
+
+
+def test_ndims_from_dim():
+    assert C.ndims({"DIM": [224, 224]}) == 2
+    assert C.ndims({"DIM": [10, 224, 224]}) == 3
+
+
+def test_init_config_creates_dirs_and_json(tmp_path):
+    cfg = {"EXPERIMENT": "exp1", "EXP_PATH": str(tmp_path / "exp1" / "ts"),
+           "FOLD": 2, "LOSS_FUNCTION": "BcdDiceLoss", "lower": "dropme"}
+    out = C.init_config(cfg, save=True)
+    assert os.path.isdir(out["MODEL_PATH"])
+    cfg_json = os.path.join(out["CONFIG_PATH"], "config.json")
+    assert os.path.isfile(cfg_json)
+    with open(cfg_json) as fh:
+        saved = json.load(fh)
+    assert saved["FOLD"] == 2
+    assert "lower" not in saved
+    # fold sub-folder convention exp/<EXP>/<ts>/f<k>/
+    assert out["MODEL_PATH"].endswith(os.path.join("f2", "model"))
+
+
+def test_reloadable_roundtrip(tmp_path):
+    cfg = {"EXPERIMENT": "exp2", "EXP_PATH": str(tmp_path / "e"), "FOLD": 0,
+           "DIM": [32, 32], "BATCHSIZE": 2}
+    out = C.init_config(cfg, save=True)
+    loaded = C.load_config(os.path.join(out["CONFIG_PATH"], "config.json"))
+    assert loaded["DIM"] == [32, 32]
+    assert loaded["BATCHSIZE"] == 2
