@@ -1,0 +1,276 @@
+"""Dimension-generic U-Net as flax modules — the TPU-native model layer.
+
+Re-designs the reference's encoder/decoder U-Net
+(ref: src/models/Unets.py:61-133,755-869; src/models/KerasLayers.py:660-777)
+as flax.linen modules:
+
+  * ConvBlock     = Conv -> BN -> act  (BN_FIRST) or Conv+act -> BN
+                    (ref: KerasLayers.py conv_layer_fn :660-693)
+  * DownBlock     = ConvBlock, Dropout, ConvBlock, MaxPool  (:696-723)
+  * UpBlock       = Upsample+Conv | ConvTranspose, Concat(skip),
+                    ConvBlock, Dropout, ConvBlock            (:726-777)
+  * UNet          = depth x DownBlock, bottleneck Conv-Drop-Conv,
+                    depth x UpBlock, optional deep supervision (Unets.py:840-868),
+                    1x1 Conv + sigmoid head (Unets.py:128)
+
+TPU-first choices (not translations):
+  * NHWC / NDHWC layout — XLA:TPU's native conv layout.
+  * bfloat16 activations with float32 params/BN statistics (MIXED_PRECISION);
+    the MXU consumes bf16 natively, variance accumulation stays f32.
+  * dimension genericity via kernel-size rank (2D vs 3D selected by len(DIM),
+    ref: src/models/Unets.py:90), one module tree for both.
+  * dropout rates follow the reference's linspace(DROPOUT_MIN, DROPOUT_MAX,
+    DEPTH) schedule rounded to 1 decimal (ref: src/models/Unets.py:105).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from cmrtpu import config as C
+
+
+def _he_normal():
+    return nn.initializers.he_normal()
+
+
+class ConvBlock(nn.Module):
+    """Conv + BatchNorm + activation with the reference's ordering switch."""
+    filters: int
+    f_size: Tuple[int, ...]
+    activation: str = "relu"
+    batch_norm: bool = True
+    bn_first: bool = False
+    pad: str = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        act = getattr(nn, self.activation)
+        conv = nn.Conv(self.filters, self.f_size, padding=self.pad,
+                       kernel_init=_he_normal(), dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        bn = (lambda y: nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                                     epsilon=1e-3, dtype=jnp.float32)(y)
+              ) if self.batch_norm else (lambda y: y)
+        if self.bn_first:
+            x = conv(x)
+            x = bn(x)
+            x = act(x)
+        else:
+            x = act(conv(x))
+            x = bn(x)
+        return x.astype(self.dtype)
+
+
+class DownBlock(nn.Module):
+    """conv-drop-conv + max-pool; returns (skip, pooled)."""
+    filters: int
+    f_size: Tuple[int, ...]
+    m_pool: Tuple[int, ...]
+    drop: float
+    activation: str = "relu"
+    batch_norm: bool = True
+    bn_first: bool = False
+    pad: str = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        kw = dict(f_size=self.f_size, activation=self.activation,
+                  batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  pad=self.pad, dtype=self.dtype)
+        x = ConvBlock(self.filters, **kw)(x, train)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        skip = ConvBlock(self.filters, **kw)(x, train)
+        pooled = nn.max_pool(skip, self.m_pool, strides=self.m_pool)
+        return skip, pooled
+
+
+def _upsample_nearest(x, factors: Sequence[int]):
+    """Nearest-neighbour upsampling (keras UpSampling default) for any rank."""
+    for axis, f in enumerate(factors, start=1):
+        if f != 1:
+            x = jnp.repeat(x, f, axis=axis)
+    return x
+
+
+class UpBlock(nn.Module):
+    """upsample+conv (or transpose-conv), concat skip, conv-drop-conv."""
+    filters: int
+    f_size: Tuple[int, ...]
+    up_size: Tuple[int, ...]
+    drop: float
+    use_upsample: bool = True
+    activation: str = "relu"
+    batch_norm: bool = True
+    bn_first: bool = False
+    pad: str = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, lower, skip, train: bool = True):
+        act = getattr(nn, self.activation)
+        if self.use_upsample:
+            x = _upsample_nearest(lower, self.up_size)
+            x = act(nn.Conv(self.filters, self.f_size, padding=self.pad,
+                            kernel_init=_he_normal(), dtype=self.dtype,
+                            param_dtype=jnp.float32)(x))
+        else:
+            x = act(nn.ConvTranspose(self.filters, self.f_size,
+                                     strides=self.up_size, padding=self.pad,
+                                     kernel_init=_he_normal(), dtype=self.dtype,
+                                     param_dtype=jnp.float32)(lower))
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        kw = dict(f_size=self.f_size, activation=self.activation,
+                  batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  pad=self.pad, dtype=self.dtype)
+        x = ConvBlock(self.filters, **kw)(x, train)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = ConvBlock(self.filters, **kw)(x, train)
+        return x
+
+
+class UNet(nn.Module):
+    """Encoder/decoder U-Net with sigmoid head and optional deep supervision.
+
+    ``heads`` allows the multi-head variant (BASELINE.json config 4): a dict
+    of name -> (channels, 'sigmoid'|'softmax') sharing the full trunk. The
+    default single 'unet' head with sigmoid matches ref: src/models/Unets.py:128.
+    """
+    depth: int = 4
+    filters: int = 32
+    f_size: Tuple[int, ...] = (3, 3)
+    m_pool: Tuple[int, ...] = (2, 2)
+    mask_classes: int = 2
+    dropouts: Tuple[float, ...] = (0.3, 0.4, 0.4, 0.5)
+    drop_bottleneck: float = 0.5
+    activation: str = "relu"
+    batch_norm: bool = True
+    bn_first: bool = False
+    use_upsample: bool = True
+    pad: str = "SAME"
+    supervision: bool = False
+    heads: Tuple[Tuple[str, int, str], ...] = ()
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        kw = dict(f_size=self.f_size, activation=self.activation,
+                  batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  pad=self.pad, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        filters = self.filters
+        skips = []
+        for level in range(self.depth):
+            skip, x = DownBlock(filters, m_pool=self.m_pool,
+                                drop=self.dropouts[level], **kw)(x, train)
+            skips.append(skip)
+            filters *= 2
+
+        # bottleneck: conv -> drop(max) -> conv (ref: Unets.py:810-816)
+        x = ConvBlock(filters, **kw)(x, train)
+        x = nn.Dropout(self.drop_bottleneck, deterministic=not train)(x)
+        x = ConvBlock(filters, **kw)(x, train)
+
+        pre_last = None
+        dropouts = list(self.dropouts)
+        for _ in range(self.depth):
+            filters //= 2
+            pre_last = x
+            x = UpBlock(filters, up_size=self.m_pool, drop=dropouts.pop(),
+                        use_upsample=self.use_upsample, **kw)(x, skips.pop(), train)
+
+        if self.supervision:
+            # mask branch from the pre-last decoder block (ref: Unets.py:840-868)
+            act = getattr(nn, self.activation)
+            lower = act(nn.Conv(self.filters, tuple([1] * len(self.f_size)),
+                                padding=self.pad, kernel_init=_he_normal(),
+                                dtype=self.dtype, param_dtype=jnp.float32)(pre_last))
+            lower = _upsample_nearest(lower, self.m_pool)
+            x = lower * x
+
+        one = tuple([1] * len(self.f_size))
+        if self.heads:
+            outputs = {}
+            for name, channels, head_act in self.heads:
+                logits = nn.Conv(channels, one, kernel_init=_he_normal(),
+                                 dtype=jnp.float32, param_dtype=jnp.float32,
+                                 name=f"head_{name}")(x.astype(jnp.float32))
+                outputs[name] = (jax.nn.softmax(logits, axis=-1)
+                                 if head_act == "softmax" else nn.sigmoid(logits))
+            return outputs
+        logits = nn.Conv(self.mask_classes, one, kernel_init=_he_normal(),
+                         dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="head")(x.astype(jnp.float32))
+        return nn.sigmoid(logits)
+
+
+def dropout_schedule(config: Dict) -> Tuple[float, ...]:
+    """linspace(DROPOUT_MIN, DROPOUT_MAX, DEPTH) rounded to 1 decimal
+    (ref: src/models/Unets.py:105)."""
+    depth = C.get(config, "DEPTH")
+    lin = np.linspace(C.get(config, "DROPOUT_MIN"), C.get(config, "DROPOUT_MAX"), depth)
+    return tuple(round(float(v), 1) for v in lin)
+
+
+def build_model(config: Dict, supervision: bool = False) -> UNet:
+    """Model factory from the flat config (ref: create_unet, src/models/Unets.py:61).
+
+    len(DIM) selects 2D vs 3D; M_POOL/F_SIZE are right-sliced to the model
+    rank exactly like the reference (ref: Unets.py:92-95).
+    """
+    ndims = C.ndims(config)
+    f_size = tuple(C.get(config, "F_SIZE"))[-ndims:]
+    m_pool = tuple(C.get(config, "M_POOL"))[-ndims:]
+    heads = tuple(tuple(h) for h in C.get(config, "HEADS", ()) or ())
+    act = str(C.get(config, "ACTIVATION")).lower()
+    act = {"elu": "elu", "relu": "relu", "gelu": "gelu", "leaky_relu": "leaky_relu"}.get(act, "relu")
+    dtype = jnp.bfloat16 if C.get(config, "MIXED_PRECISION") else jnp.float32
+    return UNet(
+        depth=C.get(config, "DEPTH"),
+        filters=C.get(config, "FILTERS"),
+        f_size=f_size,
+        m_pool=m_pool,
+        mask_classes=C.get(config, "MASK_CLASSES"),
+        dropouts=dropout_schedule(config),
+        drop_bottleneck=float(C.get(config, "DROPOUT_MAX")),
+        activation=act,
+        batch_norm=C.get(config, "BATCH_NORMALISATION"),
+        bn_first=C.get(config, "BN_FIRST"),
+        use_upsample=bool(C.get(config, "USE_UPSAMPLE", True)),
+        supervision=supervision,
+        heads=heads,
+        dtype=dtype,
+    )
+
+
+def init_variables(model: UNet, config: Dict, rng: jax.Array):
+    """Initialise params/batch_stats for the configured input shape."""
+    dim = tuple(C.get(config, "DIM"))
+    x = jnp.zeros((1, *dim, C.get(config, "IMG_CHANNELS")), jnp.float32)
+    return model.init({"params": rng, "dropout": rng}, x, train=False)
+
+
+def model_summary(model: UNet, variables) -> str:
+    """Text summary with per-collection parameter counts
+    (stand-in for keras model.summary -> model_summary.txt,
+    ref: src/models/train_model.py:87-89)."""
+    lines = [f"UNet depth={model.depth} filters={model.filters} "
+             f"f_size={model.f_size} m_pool={model.m_pool} "
+             f"classes={model.mask_classes} dtype={model.dtype}"]
+    total = 0
+    flat = jax.tree_util.tree_leaves_with_path(variables.get("params", {}))
+    for path, leaf in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        lines.append(f"  {name:60s} {str(leaf.shape):18s} {leaf.size}")
+        total += leaf.size
+    bn = sum(l.size for l in jax.tree_util.tree_leaves(variables.get("batch_stats", {})))
+    lines.append(f"Trainable params: {total}")
+    lines.append(f"BatchNorm statistics: {bn}")
+    return "\n".join(lines)

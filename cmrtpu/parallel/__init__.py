@@ -1,0 +1,7 @@
+"""Device-mesh parallelism (jax.sharding + pjit) — the MirroredStrategy replacement."""
+
+from cmrtpu.parallel.mesh import (create_mesh, batch_sharding, replicated_sharding,
+                                  shard_batch, local_batch_size)
+
+__all__ = ["create_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+           "local_batch_size"]

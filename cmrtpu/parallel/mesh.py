@@ -1,0 +1,62 @@
+"""Mesh construction and batch sharding — data parallelism the XLA way.
+
+The reference distributes via ``tf.distribute.MirroredStrategy`` with NCCL
+all-reduce (ref: src/models/Unets.py:70-75, SURVEY.md §2.2). Here the whole
+train step is pjit-compiled over a ``jax.sharding.Mesh``: the batch axis is
+sharded over the 'data' mesh axis, parameters/optimizer state are fully
+replicated, and XLA inserts the gradient all-reduce as ICI collectives.
+A 'model' mesh axis is reserved for future tensor-parallel configs.
+
+The slice/time axes of 3D and 2D+t volumes can also ride the 'data' axis
+(SURVEY.md §2.2 SP row): the 2D U-Net is embarrassingly parallel across
+slices, so sharding [B*Z, H, W, C] batches is pure data layout — no
+cross-slice communication exists in the model.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(config: Optional[Dict] = None,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """1D data mesh over all (or given) devices; MESH_SHAPE=(d, m) enables a
+    2D data x model mesh."""
+    devices = list(devices) if devices is not None else jax.devices()
+    shape = (config or {}).get("MESH_SHAPE") or None
+    if shape:
+        shape = tuple(int(s) for s in shape)
+        assert int(np.prod(shape)) == len(devices), (
+            f"MESH_SHAPE {shape} != #devices {len(devices)}")
+        dev = np.asarray(devices).reshape(shape)
+        return Mesh(dev, (DATA_AXIS, MODEL_AXIS)[:len(shape)])
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    assert global_batch % n == 0, (
+        f"BATCHSIZE {global_batch} must divide the data-mesh size {n}")
+    return global_batch // n
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, split along the leading axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

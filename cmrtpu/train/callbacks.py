@@ -1,0 +1,287 @@
+"""Training callbacks — equivalents of src/utils/KerasCallbacks.py.
+
+Implemented against the trainer protocol (``trainer.get_lr/set_lr``,
+``trainer.stop_training``, ``trainer.state``, ``trainer.switch_optimizer``):
+
+  * ModelCheckpoint     best-only weights-only model.npz  (ref: :54-61)
+  * ReduceLROnPlateau   factor/patience/cooldown/min_lr   (ref: :63-70)
+  * EarlyStopping       patience on monitor               (ref: :105-111)
+  * TensorBoardLogger   scalars incl. learning rate       (ref LRTensorBoard :167-174)
+  * PolynomialDecaySchedule                               (ref: :80-87, :230-243)
+  * SGDRScheduler       cosine annealing with restarts    (ref: :308-384)
+  * OptimizerChanger    early-stop -> switch to SGD, keep training (ref: :245-306)
+  * HistoryCSV          epoch metrics to history.csv (keras History analogue)
+  * ImageWriter         pred-vs-gt overlay PNGs every n epochs (ref
+                        CustomImageWritertf2 :386-536 / ImageSaver :661)
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from cmrtpu import config as C
+from cmrtpu.train import checkpoint as ckpt
+from cmrtpu.train.optimizers import polynomial_decay, sgdr_schedule
+from cmrtpu.utils.io_utils import ensure_dir
+
+
+class Callback:
+    def on_train_begin(self, trainer):
+        pass
+
+    def on_epoch_begin(self, trainer, epoch: int):
+        pass
+
+    def on_epoch_end(self, trainer, epoch: int, logs: Dict[str, float]):
+        pass
+
+    def on_train_end(self, trainer):
+        pass
+
+
+def _improved(current: float, best: float, mode: str) -> bool:
+    if math.isnan(current):
+        return False
+    return current < best if mode == "min" else current > best
+
+
+class ModelCheckpoint(Callback):
+    """Best-only weights-only checkpoint (ref: KerasCallbacks.py:54-61)."""
+
+    def __init__(self, model_path: str, monitor: str = "loss", mode: str = "min",
+                 save_full_state: bool = True):
+        self.model_path = model_path
+        self.monitor = monitor
+        self.mode = mode
+        self.best = math.inf if mode == "min" else -math.inf
+        self.save_full_state = save_full_state
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        current = logs.get(self.monitor)
+        if current is None:
+            return
+        if _improved(current, self.best, self.mode):
+            logging.info("Epoch %d: %s improved from %.5f to %.5f, saving model",
+                         epoch + 1, self.monitor, self.best, current)
+            self.best = current
+            ckpt.save_weights(self.model_path, trainer.state.params,
+                              trainer.state.batch_stats)
+            if self.save_full_state:
+                try:
+                    ckpt.save_train_state(self.model_path, trainer.state)
+                except Exception as e:  # full-state resume is best-effort
+                    logging.debug("full-state checkpoint skipped: %s", e)
+
+
+class ReduceLROnPlateau(Callback):
+    """keras-parity plateau scheduler: cooldown=2, verbose (ref: :63-70)."""
+
+    def __init__(self, monitor: str = "loss", factor: float = 0.5, patience: int = 5,
+                 cooldown: int = 2, min_lr: float = 1e-12, mode: str = "min",
+                 min_delta: float = 1e-4):
+        self.monitor, self.factor, self.patience = monitor, factor, patience
+        self.cooldown, self.min_lr, self.mode = cooldown, min_lr, mode
+        self.min_delta = min_delta
+        self.best = math.inf if mode == "min" else -math.inf
+        self.wait = 0
+        self.cooldown_counter = 0
+
+    def _improved(self, current):
+        if self.mode == "min":
+            return current < self.best - self.min_delta
+        return current > self.best + self.min_delta
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        current = logs.get(self.monitor)
+        if current is None:
+            return
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.wait = 0
+        if self._improved(current):
+            self.best = current
+            self.wait = 0
+        elif self.cooldown_counter <= 0:
+            self.wait += 1
+            if self.wait >= self.patience:
+                old_lr = trainer.get_lr()
+                if old_lr > self.min_lr:
+                    new_lr = max(old_lr * self.factor, self.min_lr)
+                    trainer.set_lr(new_lr)
+                    logging.info("Epoch %d: ReduceLROnPlateau reducing lr to %.3e",
+                                 epoch + 1, new_lr)
+                self.cooldown_counter = self.cooldown
+                self.wait = 0
+
+
+class EarlyStopping(Callback):
+    def __init__(self, monitor: str = "loss", patience: int = 25, mode: str = "min"):
+        self.monitor, self.patience, self.mode = monitor, patience, mode
+        self.best = math.inf if mode == "min" else -math.inf
+        self.wait = 0
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        current = logs.get(self.monitor)
+        if current is None:
+            return
+        if _improved(current, self.best, self.mode):
+            self.best = current
+            self.wait = 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                logging.info("Epoch %d: early stopping (%s)", epoch + 1, self.monitor)
+                trainer.stop_training = True
+
+
+class OptimizerChanger(EarlyStopping):
+    """When adam stops improving, switch to SGD and continue
+    (ref: KerasCallbacks.py:245-306, idea arXiv:1712.07628)."""
+
+    def __init__(self, monitor: str = "loss", patience: int = 15, mode: str = "min"):
+        super().__init__(monitor=monitor, patience=patience, mode=mode)
+        self.changed = False
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        if self.changed:
+            return
+        super().on_epoch_end(trainer, epoch, logs)
+        if trainer.stop_training:
+            trainer.stop_training = False
+            self.changed = True
+            logging.info("Epoch %d: switching optimizer to SGD for fine-tuning",
+                         epoch + 1)
+            trainer.switch_optimizer("sgd")
+
+
+class PolynomialDecaySchedule(Callback):
+    """lr = init * (1 - epoch/max)^power (ref: :80-87, :230-243)."""
+
+    def __init__(self, max_epochs: int, init_alpha: float, power: float = 2.0):
+        self.max_epochs, self.init_alpha, self.power = max_epochs, init_alpha, power
+
+    def on_epoch_begin(self, trainer, epoch):
+        trainer.set_lr(polynomial_decay(epoch, self.max_epochs, self.init_alpha,
+                                        self.power))
+
+
+class SGDRScheduler(Callback):
+    """Cosine annealing with warm restarts, stepped per epoch (ref: :308-384)."""
+
+    def __init__(self, lr_min: float, lr_max: float, cycle_length: int = 10,
+                 mult_factor: float = 2.0):
+        self.lr_min, self.lr_max = lr_min, lr_max
+        self.cycle_length, self.mult_factor = cycle_length, mult_factor
+
+    def on_epoch_begin(self, trainer, epoch):
+        trainer.set_lr(sgdr_schedule(epoch, self.lr_min, self.lr_max,
+                                     self.cycle_length, self.mult_factor))
+
+
+class TensorBoardLogger(Callback):
+    """Scalars + learning rate into tfevents (ref LRTensorBoard :167-174)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.writer = None
+
+    def on_train_begin(self, trainer):
+        from cmrtpu.utils.tfevents import EventWriter
+        self.writer = EventWriter(self.log_dir)
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        if self.writer is None:
+            return
+        for tag, value in logs.items():
+            self.writer.add_scalar(f"epoch_{tag}", float(value), epoch)
+        self.writer.add_scalar("epoch_lr", trainer.get_lr(), epoch)
+        self.writer.flush()
+
+    def on_train_end(self, trainer):
+        if self.writer is not None:
+            self.writer.close()
+
+
+class HistoryCSV(Callback):
+    def __init__(self, path: str):
+        self.path = path
+        self.keys: Optional[List[str]] = None
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        ensure_dir(os.path.dirname(os.path.abspath(self.path)))
+        row = dict(logs, lr=trainer.get_lr())
+        if self.keys is None:
+            self.keys = ["epoch"] + sorted(row)
+            with open(self.path, "w") as fh:
+                fh.write(",".join(self.keys) + "\n")
+        with open(self.path, "a") as fh:
+            fh.write(",".join([str(epoch)] + [f"{row.get(k, float('nan')):.6g}"
+                                              for k in self.keys[1:]]) + "\n")
+
+
+class ImageWriter(Callback):
+    """Pred-vs-gt overlay PNGs every n epochs (ref CustomImageWritertf2 :386-536)."""
+
+    def __init__(self, image_dir: str, sample_batches: List, frequency: int = 2,
+                 samples: int = 4):
+        self.image_dir = image_dir
+        self.sample_batches = sample_batches  # list of (name, x, y) numpy triples
+        self.frequency = max(1, frequency)
+        self.samples = samples
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        if epoch % self.frequency:
+            return
+        from cmrtpu.visualization.visualize import save_prediction_overlays
+        for name, x, y in self.sample_batches:
+            preds = np.asarray(trainer.predict(x))
+            out = os.path.join(self.image_dir, f"epoch{epoch:04d}_{name}.png")
+            try:
+                save_prediction_overlays(x[: self.samples], y[: self.samples],
+                                         preds[: self.samples], out)
+            except Exception as e:
+                logging.debug("image writer failed: %s", e)
+
+
+def get_callbacks(config: Dict, sample_batches: Optional[List] = None,
+                  use_optimizer_changer: bool = False) -> List[Callback]:
+    """Assemble the reference callback set from config
+    (ref: get_callbacks, src/utils/KerasCallbacks.py:20-115)."""
+    cbs: List[Callback] = []
+    model_path = C.get(config, "MODEL_PATH", "temp/models")
+    tb_path = C.get(config, "TENSORBOARD_PATH", "temp/tf_log")
+    cbs.append(ModelCheckpoint(model_path,
+                               monitor=C.get(config, "SAVE_MODEL_FUNCTION", "loss"),
+                               mode=C.get(config, "SAVE_MODEL_MODE", "min")))
+    cbs.append(ReduceLROnPlateau(
+        monitor=C.get(config, "MONITOR_FUNCTION", "loss"),
+        factor=C.get(config, "DECAY_FACTOR", 0.5),
+        patience=C.get(config, "REDUCE_LR_ON_PLATEAU_PATIENCE", 5),
+        cooldown=2,
+        mode=C.get(config, "MONITOR_MODE", "min"),
+        min_lr=C.get(config, "MIN_LR", 1e-12)))
+    cbs.append(TensorBoardLogger(tb_path))
+    cbs.append(HistoryCSV(os.path.join(C.get(config, "EXP_PATH", "tmp"), "history.csv")))
+    if C.get(config, "POLY_LR_DECAY", False):
+        cbs.append(PolynomialDecaySchedule(C.get(config, "EPOCHS", 100),
+                                           C.get(config, "LEARNING_RATE", 1e-4)))
+    if use_optimizer_changer:
+        cbs.append(OptimizerChanger(monitor=C.get(config, "MONITOR_FUNCTION", "loss"),
+                                    patience=15,
+                                    mode=C.get(config, "MONITOR_MODE", "min")))
+    else:
+        cbs.append(EarlyStopping(monitor=C.get(config, "MONITOR_FUNCTION", "loss"),
+                                 patience=C.get(config, "EARLY_STOPPING_PATIENCE", 25),
+                                 mode=C.get(config, "MONITOR_MODE", "min")))
+    if sample_batches and (C.get(config, "SAVE_LEARNING_PROGRESS_AS_PNG", False)
+                           or C.get(config, "SAVE_LEARNING_PROGRESS_AS_TF", False)):
+        cbs.append(ImageWriter(
+            os.path.join(C.get(config, "EXP_PATH", "tmp"), "figures"),
+            sample_batches,
+            frequency=C.get(config, "SAVE_LEARNING_PROGRESS_FREQUENCY", 2)))
+    return cbs

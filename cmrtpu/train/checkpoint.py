@@ -1,0 +1,71 @@
+"""Checkpointing: full train-state (Orbax) + weights-only export.
+
+The reference checkpoints best-only *weights-only* ``model/model.h5`` and has
+no optimizer-state resume (SURVEY.md §5 checkpoint/resume). Here:
+
+  * ``save_weights`` / ``load_weights`` — weights-only (params + BN stats) as
+    a flat ``model.npz``; the inference-parity artifact, written best-only to
+    ``MODEL_PATH`` like ref: src/utils/KerasCallbacks.py:54-61.
+  * ``save_train_state`` / ``restore_train_state`` — the full
+    params/BN/opt-state/step pytree via Orbax, enabling true mid-training
+    resume (capability the reference lacks; ``initial_epoch=0`` was hard-coded
+    at ref: src/models/train_model.py:101).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from flax import traverse_util
+
+from cmrtpu.utils.io_utils import ensure_dir
+
+WEIGHTS_NAME = "model.npz"
+
+
+def _flatten(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
+    flat = traverse_util.flatten_dict(tree, sep="/")
+    return {f"{prefix}/{k}": np.asarray(v) for k, v in flat.items()}
+
+
+def save_weights(model_path: str, params, batch_stats=None) -> str:
+    ensure_dir(model_path)
+    blobs = _flatten(jax.device_get(params), "params")
+    if batch_stats:
+        blobs.update(_flatten(jax.device_get(batch_stats), "batch_stats"))
+    path = os.path.join(model_path, WEIGHTS_NAME)
+    np.savez(path, **blobs)
+    return path
+
+
+def load_weights(model_path: str):
+    """Returns (params, batch_stats) pytrees from a model.npz file/dir."""
+    path = model_path if model_path.endswith(".npz") else os.path.join(model_path, WEIGHTS_NAME)
+    with np.load(path) as blobs:
+        params_flat, bn_flat = {}, {}
+        for key in blobs.files:
+            prefix, rest = key.split("/", 1)
+            target = params_flat if prefix == "params" else bn_flat
+            target[tuple(rest.split("/"))] = blobs[key]
+    params = traverse_util.unflatten_dict(params_flat)
+    batch_stats = traverse_util.unflatten_dict(bn_flat) if bn_flat else {}
+    return params, batch_stats
+
+
+def save_train_state(ckpt_dir: str, state) -> None:
+    """Full-state checkpoint for mid-training resume (Orbax)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, "state"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(ckpt_dir: str, abstract_state):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, "state"))
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, abstract_state)

@@ -1,0 +1,124 @@
+"""Trainer: the pjit-compiled replacement for keras model.fit.
+
+Orchestrates epochs over host-side batch iterables, compiles one train step
+and one eval step per shape over the device mesh, aggregates scalar logs and
+drives the callback set (ref hot loop: src/models/train_model.py:105-112).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from cmrtpu import config as C
+from cmrtpu.models.unet import build_model, init_variables
+from cmrtpu.parallel.mesh import create_mesh, shard_batch
+from cmrtpu.train import losses as L
+from cmrtpu.train import steps as S
+from cmrtpu.train.callbacks import Callback
+from cmrtpu.train.optimizers import get_optimizer, get_learning_rate, set_learning_rate
+
+
+class Trainer:
+    def __init__(self, config: Dict, model=None, mesh=None,
+                 loss_fn: Optional[Callable] = None,
+                 metrics: Optional[Dict[str, Callable]] = None,
+                 supervision: bool = False):
+        self.config = C.normalise_config(config)
+        self.mesh = mesh if mesh is not None else create_mesh(self.config)
+        self.model = model if model is not None else build_model(self.config,
+                                                                supervision=supervision)
+        self.loss_fn = loss_fn or L.get_loss(self.config)
+        self.metrics = metrics if metrics is not None else L.default_metrics(
+            C.get(self.config, "MASK_CLASSES"))
+        self.rng = jax.random.PRNGKey(C.get(self.config, "SEED", 42))
+
+        self.optimizer = get_optimizer(self.config)
+        variables = init_variables(self.model, self.config, self.rng)
+        self.state = S.create_train_state(self.model, variables, self.optimizer)
+        self._build_steps()
+        self.stop_training = False
+        self.history: List[Dict[str, float]] = []
+
+    # -- step construction -------------------------------------------------
+    def _build_steps(self):
+        self.train_step = S.make_train_step(self.model, self.optimizer,
+                                            self.loss_fn, self.metrics, self.mesh)
+        self.eval_step = S.make_eval_step(self.model, self.loss_fn,
+                                          self.metrics, self.mesh)
+        self.predict_step = S.make_predict_step(self.model, self.mesh)
+
+    # -- lr plumbing (inject_hyperparams leaf) -----------------------------
+    def get_lr(self) -> float:
+        return get_learning_rate(self.state.opt_state)
+
+    def set_lr(self, lr: float) -> None:
+        self.state = self.state.replace(
+            opt_state=set_learning_rate(self.state.opt_state, lr))
+
+    def switch_optimizer(self, name: str) -> None:
+        """Re-initialise the optimizer keeping params (OptimizerChanger path,
+        ref: src/utils/KerasCallbacks.py:245-306)."""
+        cfg = dict(self.config)
+        cfg["OPTIMIZER"] = name
+        self.optimizer = get_optimizer(cfg)
+        self.state = self.state.replace(opt_state=self.optimizer.init(self.state.params))
+        self._build_steps()
+
+    # -- loops -------------------------------------------------------------
+    def _run_epoch(self, data: Iterable, training: bool) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        for x, y in data:
+            batch = shard_batch((np.asarray(x), np.asarray(y)), self.mesh)
+            if training:
+                self.state, logs = self.train_step(self.state, *batch, self.rng)
+            else:
+                logs = self.eval_step(self.state, *batch)
+            logs = jax.device_get(logs)
+            for key, value in logs.items():
+                sums[key] = sums.get(key, 0.0) + float(value)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def fit(self, train_data, val_data=None, epochs: Optional[int] = None,
+            callbacks: Optional[List[Callback]] = None) -> List[Dict[str, float]]:
+        epochs = epochs or C.get(self.config, "EPOCHS", 100)
+        callbacks = callbacks or []
+        self.stop_training = False
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        for epoch in range(epochs):
+            t0 = time.time()
+            for cb in callbacks:
+                cb.on_epoch_begin(self, epoch)
+            logs = self._run_epoch(train_data, training=True)
+            if val_data is not None:
+                val_logs = self._run_epoch(val_data, training=False)
+                logs.update({f"val_{k}": v for k, v in val_logs.items()})
+            logs["epoch_time"] = time.time() - t0
+            self.history.append(logs)
+            for hook in ("on_epoch_end",):
+                for cb in callbacks:
+                    getattr(cb, hook)(self, epoch, logs)
+            if hasattr(train_data, "on_epoch_end"):
+                train_data.on_epoch_end()
+            logging.info("epoch %d/%d %s", epoch + 1, epochs,
+                         " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())))
+            if self.stop_training:
+                break
+        for cb in callbacks:
+            cb.on_train_end(self)
+        return self.history
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        out = self.predict_step(self.state.params, self.state.batch_stats,
+                                np.asarray(x))
+        return np.asarray(jax.device_get(out))
+
+    def evaluate(self, data: Iterable) -> Dict[str, float]:
+        return self._run_epoch(data, training=False)

@@ -1,0 +1,119 @@
+"""Mask-over-image rendering and training-progress figures.
+
+Rebuild of the visualization layer (ref: src/visualization/Visualize.py):
+``show_slice_transparent`` (:328) / ``show_2D_or_3D`` (:114) become
+``overlay_slice`` / ``plot_2d_or_3d``; mosaic plots of 3D/4D volumes
+(:552-705) become ``plot_3d_vol`` / ``plot_4d_vol``. Rendering is matplotlib
+with the Agg backend — figures are written to disk, never shown.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from cmrtpu.utils.io_utils import ensure_dir
+
+_MASK_CMAPS = ("spring", "autumn", "cool", "winter")
+
+
+def _norm01(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img, dtype=np.float32)
+    lo, hi = float(img.min()), float(img.max())
+    return (img - lo) / (hi - lo + 1e-8)
+
+
+def overlay_slice(ax, img2d: np.ndarray, mask2d: Optional[np.ndarray] = None,
+                  alpha: float = 0.4) -> None:
+    """Grayscale slice + transparent per-channel mask overlay
+    (ref: show_slice_transparent, Visualize.py:328)."""
+    ax.imshow(_norm01(np.squeeze(img2d)), cmap="gray")
+    if mask2d is not None:
+        mask2d = np.asarray(mask2d)
+        if mask2d.ndim == 2:  # flat labels -> channels
+            values = [v for v in np.unique(mask2d) if v != 0]
+            mask2d = np.stack([mask2d == v for v in values], axis=-1) if values \
+                else np.zeros((*mask2d.shape, 1))
+        for c in range(mask2d.shape[-1]):
+            channel = np.asarray(mask2d[..., c], dtype=np.float32)
+            masked = np.ma.masked_where(channel < 0.5, channel)
+            ax.imshow(masked, cmap=_MASK_CMAPS[c % len(_MASK_CMAPS)],
+                      alpha=alpha, vmin=0, vmax=1)
+    ax.set_xticks([])
+    ax.set_yticks([])
+
+
+def plot_2d_or_3d(img, mask=None, path: Optional[str] = None):
+    """Dispatch 2D slice vs 3D stack (ref: show_2D_or_3D, Visualize.py:114)."""
+    img = np.squeeze(np.asarray(img))
+    if img.ndim == 2:
+        fig, ax = plt.subplots(figsize=(3, 3))
+        overlay_slice(ax, img, mask)
+    else:
+        n = img.shape[0]
+        fig, axes = plt.subplots(1, n, figsize=(2 * n, 2))
+        axes = np.atleast_1d(axes)
+        for z in range(n):
+            overlay_slice(axes[z], img[z], None if mask is None else mask[z])
+    if path:
+        save_plot(fig, path)
+    return fig
+
+
+def plot_3d_vol(vol3d, mask3d=None, cols: int = 8, path: Optional[str] = None):
+    """z-mosaic of a 3D volume (ref: plot_3d_vol, Visualize.py:612)."""
+    vol3d = np.squeeze(np.asarray(vol3d))
+    n = vol3d.shape[0]
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
+    axes = np.atleast_1d(axes).reshape(-1)
+    for i, ax in enumerate(axes):
+        if i < n:
+            overlay_slice(ax, vol3d[i], None if mask3d is None else mask3d[i])
+        ax.axis("off")
+    if path:
+        save_plot(fig, path)
+    return fig
+
+
+def plot_4d_vol(vol4d, t_step: int = 1, path: Optional[str] = None):
+    """t x z mosaic of a 4D cine volume (ref: plot_4d_vol, Visualize.py:552)."""
+    vol4d = np.squeeze(np.asarray(vol4d))
+    ts = range(0, vol4d.shape[0], t_step)
+    zs = vol4d.shape[1]
+    fig, axes = plt.subplots(len(list(ts)), zs, figsize=(1.5 * zs, 1.5 * len(list(ts))))
+    axes = np.atleast_2d(axes)
+    for r, t in enumerate(range(0, vol4d.shape[0], t_step)):
+        for z in range(zs):
+            overlay_slice(axes[r, z], vol4d[t, z])
+            axes[r, z].axis("off")
+    if path:
+        save_plot(fig, path)
+    return fig
+
+
+def save_prediction_overlays(x, y, preds, path: str, max_samples: int = 4) -> None:
+    """Rows of [input | gt overlay | pred overlay] (ref CustomImageWritertf2,
+    KerasCallbacks.py:386-536)."""
+    n = min(len(x), max_samples)
+    fig, axes = plt.subplots(n, 3, figsize=(9, 3 * n))
+    axes = np.atleast_2d(axes)
+    for i in range(n):
+        overlay_slice(axes[i, 0], x[i])
+        overlay_slice(axes[i, 1], x[i], y[i])
+        overlay_slice(axes[i, 2], x[i], preds[i])
+    for ax, title in zip(axes[0], ("input", "ground truth", "prediction")):
+        ax.set_title(title)
+    save_plot(fig, path)
+
+
+def save_plot(fig, path: str) -> None:
+    ensure_dir(os.path.dirname(os.path.abspath(path)))
+    fig.tight_layout()
+    fig.savefig(path, dpi=96)
+    plt.close(fig)

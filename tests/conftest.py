@@ -6,10 +6,16 @@ multi-chip sharding logic is exercised on a host-platform device mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the container's sitecustomize force-registers the TPU plugin and overrides
+# JAX_PLATFORMS; pin the platform again through the config API
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,100 @@
+"""U-Net model-family tests: shapes, dimension genericity, variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmrtpu.models.unet import UNet, build_model, dropout_schedule, init_variables, model_summary
+
+
+SMALL_CFG = {"DIM": [32, 32], "DEPTH": 2, "FILTERS": 4, "F_SIZE": [3, 3],
+             "M_POOL": [2, 2], "MASK_CLASSES": 2, "IMG_CHANNELS": 1,
+             "MIXED_PRECISION": False, "BATCH_NORMALISATION": True}
+
+
+def _apply(model, cfg, batch=2, train=False):
+    rng = jax.random.PRNGKey(0)
+    variables = init_variables(model, cfg, rng)
+    x = jnp.ones((batch, *cfg["DIM"], 1), jnp.float32)
+    if train:
+        out, _ = model.apply(variables, x, train=True, rngs={"dropout": rng},
+                             mutable=["batch_stats"])
+    else:
+        out = model.apply(variables, x, train=False)
+    return out, variables
+
+
+def test_2d_output_shape_and_range():
+    model = build_model(SMALL_CFG)
+    out, _ = _apply(model, SMALL_CFG)
+    assert out.shape == (2, 32, 32, 2)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0  # sigmoid head
+
+
+def test_3d_model_from_dim():
+    cfg = dict(SMALL_CFG, DIM=[8, 32, 32], F_SIZE=[3, 3, 3], M_POOL=[2, 2, 2])
+    model = build_model(cfg)
+    out, _ = _apply(model, cfg)
+    assert out.shape == (2, 8, 32, 32, 2)
+
+
+def test_dropout_schedule_parity():
+    cfg = {"DEPTH": 4, "DROPOUT_MIN": 0.3, "DROPOUT_MAX": 0.5}
+    # np.linspace(.3,.5,4) = [.3,.367,.433,.5] -> rounded [0.3,0.4,0.4,0.5]
+    assert dropout_schedule(cfg) == (0.3, 0.4, 0.4, 0.5)
+
+
+def test_bn_first_variant():
+    cfg = dict(SMALL_CFG, BN_FIRST=True)
+    out, _ = _apply(build_model(cfg), cfg)
+    assert out.shape == (2, 32, 32, 2)
+
+
+def test_transpose_conv_variant():
+    cfg = dict(SMALL_CFG, USE_UPSAMPLE=False)
+    out, _ = _apply(build_model(cfg), cfg)
+    assert out.shape == (2, 32, 32, 2)
+
+
+def test_supervision_variant():
+    model = build_model(SMALL_CFG, supervision=True)
+    out, _ = _apply(model, SMALL_CFG)
+    assert out.shape == (2, 32, 32, 2)
+
+
+def test_multihead_variant():
+    cfg = dict(SMALL_CFG, HEADS=[["rvip", 2, "sigmoid"], ["sep", 4, "softmax"]])
+    model = build_model(cfg)
+    out, _ = _apply(model, cfg)
+    assert set(out) == {"rvip", "sep"}
+    assert out["rvip"].shape == (2, 32, 32, 2)
+    assert out["sep"].shape == (2, 32, 32, 4)
+    np.testing.assert_allclose(np.asarray(out["sep"]).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_train_mode_updates_batch_stats():
+    model = build_model(SMALL_CFG)
+    rng = jax.random.PRNGKey(0)
+    variables = init_variables(model, SMALL_CFG, rng)
+    x = jax.random.normal(rng, (2, 32, 32, 1))
+    _, mutated = model.apply(variables, x, train=True, rngs={"dropout": rng},
+                             mutable=["batch_stats"])
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_mixed_precision_params_stay_f32():
+    cfg = dict(SMALL_CFG, MIXED_PRECISION=True)
+    model = build_model(cfg)
+    _, variables = _apply(model, cfg)
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+
+
+def test_model_summary_text():
+    model = build_model(SMALL_CFG)
+    _, variables = _apply(model, SMALL_CFG)
+    text = model_summary(model, variables)
+    assert "Trainable params:" in text

@@ -1,0 +1,155 @@
+"""End-to-end training smoke tests on the 8-virtual-device CPU mesh."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cmrtpu.parallel import create_mesh, local_batch_size, shard_batch
+from cmrtpu.train.callbacks import (EarlyStopping, HistoryCSV, ModelCheckpoint,
+                                    OptimizerChanger, ReduceLROnPlateau,
+                                    TensorBoardLogger)
+from cmrtpu.train.trainer import Trainer
+
+CFG = {"DIM": [32, 32], "DEPTH": 2, "FILTERS": 4, "MASK_CLASSES": 2,
+       "BATCHSIZE": 8, "MIXED_PRECISION": False, "LEARNING_RATE": 1e-3,
+       "SEED": 42}
+
+
+class SyntheticBatches:
+    """Deterministic synthetic blob-detection batches (the fake-data harness
+    from notebooks/Dataset/Basic_generator_concept.ipynb as a fixture)."""
+
+    def __init__(self, n_batches=3, batch=8, dim=32):
+        rng = np.random.default_rng(0)
+        self.batches = []
+        for _ in range(n_batches):
+            x = rng.normal(0.3, 0.1, size=(batch, dim, dim, 1)).astype(np.float32)
+            y = np.zeros((batch, dim, dim, 2), np.float32)
+            for b in range(batch):
+                cy, cx = rng.integers(6, dim - 6, size=2)
+                x[b, cy - 2:cy + 2, cx - 2:cx + 2, 0] += 1.0
+                y[b, cy - 1:cy + 1, cx - 1:cx + 1, 0] = 1.0
+                y[b, cy + 1:cy + 3, cx - 3:cx - 1, 1] = 1.0
+            self.batches.append((x, y))
+        self.epochs_seen = 0
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def on_epoch_end(self):
+        self.epochs_seen += 1
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    assert local_batch_size(16, mesh) == 2
+
+
+def test_loss_decreases_over_epochs():
+    trainer = Trainer(CFG)
+    data = SyntheticBatches()
+    history = trainer.fit(data, epochs=8)
+    first, last = history[0]["loss"], history[-1]["loss"]
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+    assert data.epochs_seen == 8
+
+
+def test_validation_and_predict():
+    trainer = Trainer(CFG)
+    data = SyntheticBatches(n_batches=2)
+    history = trainer.fit(data, val_data=data, epochs=2)
+    assert "val_loss" in history[-1]
+    x, _ = data.batches[0]
+    preds = trainer.predict(x)
+    assert preds.shape == (8, 32, 32, 2)
+    assert preds.min() >= 0.0 and preds.max() <= 1.0
+
+
+def test_lr_mutation_without_recompile():
+    trainer = Trainer(CFG)
+    assert trainer.get_lr() == pytest.approx(1e-3)
+    trainer.set_lr(5e-4)
+    assert trainer.get_lr() == pytest.approx(5e-4)
+    # still trainable after mutation
+    trainer.fit(SyntheticBatches(n_batches=1), epochs=1)
+
+
+def test_reduce_lr_on_plateau_fires():
+    trainer = Trainer(CFG)
+    cb = ReduceLROnPlateau(monitor="loss", factor=0.5, patience=1, cooldown=0)
+    # feed constant loss -> should reduce
+    cb.on_epoch_end(trainer, 0, {"loss": 1.0})
+    cb.on_epoch_end(trainer, 1, {"loss": 1.0})
+    cb.on_epoch_end(trainer, 2, {"loss": 1.0})
+    assert trainer.get_lr() < 1e-3
+
+
+def test_early_stopping_stops():
+    trainer = Trainer(CFG)
+    cb = EarlyStopping(monitor="loss", patience=2)
+    for epoch in range(5):
+        cb.on_epoch_end(trainer, epoch, {"loss": 1.0})
+    assert trainer.stop_training
+
+
+def test_optimizer_changer_switches():
+    trainer = Trainer(CFG)
+    cb = OptimizerChanger(monitor="loss", patience=1)
+    cb.on_epoch_end(trainer, 0, {"loss": 1.0})
+    cb.on_epoch_end(trainer, 1, {"loss": 1.0})
+    cb.on_epoch_end(trainer, 2, {"loss": 1.0})
+    assert cb.changed and not trainer.stop_training
+    trainer.fit(SyntheticBatches(n_batches=1), epochs=1)  # still trains with SGD
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cmrtpu.train import checkpoint as ckpt
+
+    trainer = Trainer(CFG)
+    trainer.fit(SyntheticBatches(n_batches=1), epochs=1)
+    path = str(tmp_path / "model")
+    ckpt.save_weights(path, trainer.state.params, trainer.state.batch_stats)
+    params, bn = ckpt.load_weights(path)
+    orig = jax.tree_util.tree_leaves(jax.device_get(trainer.state.params))
+    loaded = jax.tree_util.tree_leaves(params)
+    assert all(np.allclose(a, b) for a, b in zip(orig, loaded))
+    assert bn  # batch stats present
+
+    trainer2 = Trainer(CFG)
+    trainer2.state = trainer2.state.replace(params=params, batch_stats=bn)
+    x, _ = SyntheticBatches(n_batches=1).batches[0]
+    np.testing.assert_allclose(trainer.predict(x), trainer2.predict(x), atol=1e-5)
+
+
+def test_model_checkpoint_best_only(tmp_path):
+    trainer = Trainer(CFG)
+    cb = ModelCheckpoint(str(tmp_path), monitor="loss", save_full_state=False)
+    cb.on_epoch_end(trainer, 0, {"loss": 1.0})
+    mtime = os.path.getmtime(tmp_path / "model.npz")
+    cb.on_epoch_end(trainer, 1, {"loss": 2.0})  # worse -> no save
+    assert os.path.getmtime(tmp_path / "model.npz") == mtime
+
+
+def test_tensorboard_logger_writes_events(tmp_path):
+    trainer = Trainer(CFG)
+    cb = TensorBoardLogger(str(tmp_path))
+    cb.on_train_begin(trainer)
+    cb.on_epoch_end(trainer, 0, {"loss": 0.5})
+    cb.on_train_end(trainer)
+    files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0
+
+
+def test_history_csv(tmp_path):
+    trainer = Trainer(CFG)
+    cb = HistoryCSV(str(tmp_path / "history.csv"))
+    cb.on_epoch_end(trainer, 0, {"loss": 0.5, "dice_coef_labels": 0.2})
+    cb.on_epoch_end(trainer, 1, {"loss": 0.4, "dice_coef_labels": 0.3})
+    lines = (tmp_path / "history.csv").read_text().strip().splitlines()
+    assert lines[0].startswith("epoch,") and len(lines) == 3
