@@ -1,0 +1,295 @@
+"""Dataset utilities & ETL — parity with src/data/Dataset.py.
+
+File-naming, fold-dataframe and patient-id conventions are kept bit-exact
+with the reference so its df_kfold.csv files and evaluation notebooks keep
+working:
+  * 2D slice names  '<patient>__t<frame>_z<z>_img|msk.nrrd'
+    (ref: Dataset.py:552-559)
+  * fold dataframe columns [fold, x_path, y_path, modality, patient(,
+    pathology)] (ref: Dataset.py:680-757, :869-949)
+  * patient-id extraction rules (ref: get_patient, Dataset.py:609-623)
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from cmrtpu.io import MedicalImage, read_image, write_image
+from cmrtpu.io.geometry import copy_meta
+from cmrtpu.utils.io_utils import ensure_dir
+
+
+# ---------------------------------------------------------------------------
+# patient-id and file naming conventions
+# ---------------------------------------------------------------------------
+
+def get_patient(filename: str) -> str:
+    """Patient id from a 2D nrrd filename (ref: Dataset.py:609-623)."""
+    base = os.path.basename(filename)
+    if re.search("__", filename):
+        return base.split("__")[0]
+    if base.startswith("patient"):  # acdc file
+        return base.split("_")[0]
+    return "_".join(base.split("_")[:2])  # gcn filename
+
+
+def slice_file_name(patient: str, frame: str, z: int, kind: str) -> str:
+    return f"{patient}__t{frame}_z{z}_{kind}.nrrd"
+
+
+# ---------------------------------------------------------------------------
+# volume slicing (ETL to 2D training files)
+# ---------------------------------------------------------------------------
+
+def create_2d_slices_from_3d_volume_files(img_f: str, mask_f: Optional[str],
+                                          export_path: str) -> List[str]:
+    """Slice a 3D img/mask pair into per-z 2D nrrd files
+    (ref: Dataset.py:519-562). Returns the written image paths."""
+    logging.info("process file: %s", img_f)
+    if not mask_f:
+        mask_f = img_f
+    img_3d = read_image(img_f)
+    mask_3d = read_image(mask_f)
+
+    patient = os.path.basename(img_f).split("_")[0]
+    frame = os.path.basename(img_f).split("frame")[1][:2]
+    ensure_dir(export_path)
+    written = []
+    for z in range(img_3d.array.shape[0]):
+        img2d = copy_meta(MedicalImage(array=img_3d.array[z]), img_3d)
+        msk2d = copy_meta(MedicalImage(array=mask_3d.array[z]), img_3d)
+        img_path = os.path.join(export_path, slice_file_name(patient, frame, z, "img"))
+        write_image(img2d, img_path)
+        write_image(msk2d, os.path.join(export_path,
+                                        slice_file_name(patient, frame, z, "msk")))
+        written.append(img_path)
+    return written
+
+
+def create_2d_slices_from_4d_volume_file(img_f: str, export_path: str) -> List[str]:
+    """Slice a 4D cine into t x z 2D nrrd files (ref: Dataset.py:379-516).
+
+    Names follow the reference's wildcard-extension scheme so ``get_patient``
+    (double-underscore rule) keeps working.
+    """
+    img_4d = read_image(img_f)
+    nda = img_4d.array
+    if nda.ndim == 3:  # already 3D: treat as single timestep
+        nda = nda[None]
+    base = os.path.basename(img_f)
+    stem = re.sub(r"\.(nii\.gz|nii|nrrd)$", "", base)
+    patient = stem.split("_")[0]
+    ensure_dir(export_path)
+    written = []
+    for t in range(nda.shape[0]):
+        for z in range(nda.shape[1]):
+            img2d = copy_meta(MedicalImage(array=nda[t, z]), img_4d)
+            path = os.path.join(export_path,
+                                slice_file_name(patient, f"{t:02d}", z, "img"))
+            write_image(img2d, path)
+            written.append(path)
+    return written
+
+
+def filter_4d_vol(nda_4d: np.ndarray, slice_threshold: int = 2
+                  ) -> Tuple[np.ndarray, List[int]]:
+    """Keep timesteps with more than ``slice_threshold`` masked slices
+    (ref: Dataset.py:1045-1090)."""
+    timesteps = []
+    for t, nda_3d in enumerate(nda_4d):
+        if nda_3d.max() > 0:
+            masked = sum(1 for s in nda_3d if s.max() > 0)
+            if masked > slice_threshold:
+                timesteps.append(t)
+    return nda_4d[timesteps], timesteps
+
+
+# ---------------------------------------------------------------------------
+# ACDC metadata (Info.cfg: ED/ES frame + pathology group)
+# ---------------------------------------------------------------------------
+
+def read_cfg_file(path: str) -> Dict[str, object]:
+    """Parse an ACDC Info.cfg ('key: value' lines, yaml subset)."""
+    out: Dict[str, object] = {}
+    with open(path) as fh:
+        for line in fh:
+            if ":" not in line:
+                continue
+            key, value = line.split(":", 1)
+            value = value.strip()
+            try:
+                out[key.strip()] = int(value)
+            except ValueError:
+                try:
+                    out[key.strip()] = float(value)
+                except ValueError:
+                    out[key.strip()] = value
+    return out
+
+
+def get_phase_file(folder: str, phase: str = "ED", gt: bool = False) -> str:
+    cfg = read_cfg_file(os.path.join(folder, "Info.cfg"))
+    frame = "{:02}".format(cfg.get(phase, "NOPHASE"))
+    pattern = f"*frame{frame}_gt.nii.gz" if gt else f"*frame{frame}.nii.gz"
+    return glob.glob(os.path.join(folder, pattern))[0]
+
+
+def get_pathology_group(folder: str) -> str:
+    return str(read_cfg_file(os.path.join(folder, "Info.cfg")).get("Group", "NOGROUP"))
+
+
+def get_phase_for_patient_timestep(folder: str, timestep: int) -> str:
+    cfg = read_cfg_file(os.path.join(folder, "Info.cfg"))
+    if timestep == cfg.get("ED", 100):
+        return "ED"
+    if timestep == cfg.get("ES", 100):
+        return "ES"
+    return "NOPHASE"
+
+
+def describe_acdc_patient_folder(folder: str) -> pd.DataFrame:
+    """One row per file (cfg, ed, ed_gt, es, es_gt, 4d) with pathology
+    (ref: Dataset.py:949-985)."""
+    patient = os.path.basename(os.path.abspath(folder))
+    phases = ["cfg", "ed", "ed_gt", "es", "es_gt", "4d"]
+    files = [sorted(glob.glob(os.path.join(folder, "*.cfg")))[0],
+             get_phase_file(folder, "ED", False),
+             get_phase_file(folder, "ED", True),
+             get_phase_file(folder, "ES", False),
+             get_phase_file(folder, "ES", True),
+             sorted(glob.glob(os.path.join(folder, "*4d.nii.gz")))[0]]
+    pathology = get_pathology_group(folder)
+    return pd.DataFrame({"pathology": [pathology] * len(files),
+                         "patient": [patient] * len(files),
+                         "files": files, "phase": phases})
+
+
+def get_acdc_dataset_as_df(path: str) -> pd.DataFrame:
+    """All ACDC patients as one df (ref: Dataset.py:1026-1042)."""
+    folders = sorted(glob.glob(os.path.join(path, "**/")))
+    dfs = [describe_acdc_patient_folder(f) for f in folders]
+    return pd.concat(dfs).reset_index(inplace=False)
+
+
+# ---------------------------------------------------------------------------
+# k-fold split construction + fold-file resolution
+# ---------------------------------------------------------------------------
+
+def filter_x_by_patient_ids(x: Sequence[str], patient_ids: Sequence[str],
+                            modality: str = "test",
+                            columns=("x_path", "y_path", "fold", "modality",
+                                     "patient", "pathology"),
+                            fold: int = 0, pathology: Optional[str] = None,
+                            filter: bool = True) -> pd.DataFrame:
+    """Create a fold df from a file list filtered by patient ids
+    (ref: Dataset.py:758-787)."""
+    df = pd.DataFrame(columns=list(columns))
+    if filter:
+        df["x_path"] = [e for e in x if get_patient(e) in patient_ids]
+    else:
+        df["x_path"] = list(x)
+    df["y_path"] = [e.replace("img", "msk") for e in df["x_path"]]
+    df["fold"] = [fold] * len(df["x_path"])
+    df["modality"] = [modality] * len(df["x_path"])
+    df["patient"] = [get_patient(e) for e in df["x_path"]]
+    df["pathology"] = [pathology] * len(df["x_path"])
+    return df
+
+
+def get_kfolded_data(kfolds: int = 4, path_to_data: str = "data/2D/",
+                     extract_patient_id=get_patient) -> pd.DataFrame:
+    """Patient-level k-fold split of a 2D slice directory
+    (ref: Dataset.py:680-757)."""
+    from sklearn.model_selection import KFold
+
+    seed = 42
+    x = sorted(glob.glob(os.path.join(path_to_data, "**/*img.nrrd")))
+    if not x:
+        x = sorted(glob.glob(os.path.join(path_to_data, "*img.nrrd")))
+    logging.info("found: %d files", len(x))
+    patients = sorted({extract_patient_id(f) for f in x})
+    kfold = KFold(n_splits=kfolds, shuffle=True, random_state=seed)
+
+    df_folds = pd.DataFrame()
+    for f, (train_idx, test_idx) in enumerate(kfold.split(patients)):
+        patients_train = [patients[i] for i in train_idx]
+        patients_test = [patients[i] for i in test_idx]
+        df_train = filter_x_by_patient_ids(x, patients_train, "train", fold=f)
+        df_test = filter_x_by_patient_ids(x, patients_test, "test", fold=f)
+        df_folds = pd.concat([pd.concat([df_train, df_test]), df_folds])
+    return df_folds
+
+
+def create_acdc_dataframe_for_cv(path_to_data: str, kfolds: int = 4,
+                                 original_acdc_dir: str = "original/",
+                                 img_pattern: str = "*img.nrrd") -> pd.DataFrame:
+    """Pathology-stratified patient-level k-fold CV df
+    (ref: Dataset.py:869-948): per pathology, split patients k times, then
+    collect that pathology's 2D files per split."""
+    from sklearn.model_selection import KFold
+
+    seed = 42
+    acdc_x_files = sorted(glob.glob(os.path.join(path_to_data, f"**/{img_pattern}")))
+    if not acdc_x_files:
+        acdc_x_files = sorted(glob.glob(os.path.join(path_to_data, img_pattern)))
+    df = get_acdc_dataset_as_df(original_acdc_dir)
+    pathologies = df["pathology"].unique()
+    kfold = KFold(kfolds, shuffle=True, random_state=seed)
+
+    df_folds = pd.DataFrame()
+    for pathology in pathologies:
+        patients = df[df["pathology"] == pathology]["patient"].unique()
+        for fold, (train_idx, test_idx) in enumerate(kfold.split(patients)):
+            patients_train = [patients[i] for i in train_idx]
+            patients_test = [patients[i] for i in test_idx]
+            df_train = filter_x_by_patient_ids(acdc_x_files, patients_train,
+                                               "train", fold=fold, pathology=pathology)
+            df_test = filter_x_by_patient_ids(acdc_x_files, patients_test,
+                                              "test", fold=fold, pathology=pathology)
+            df_folds = pd.concat([pd.concat([df_train, df_test]), df_folds],
+                                 sort=True)
+    return df_folds
+
+
+def get_trainings_files(data_path: str, fold: int = 0,
+                        path_to_folds_df: str = "df_kfold.csv"
+                        ) -> Tuple[List[str], List[str], List[str], List[str]]:
+    """Resolve train/val file lists from a folds dataframe
+    (ref: Dataset.py:625-678): glob *img.nrrd / *msk.nrrd, filter by the fold's
+    train/test patient lists (case-insensitive)."""
+    x = sorted(glob.glob(os.path.join(data_path, "*img.nrrd")))
+    y = sorted(glob.glob(os.path.join(data_path, "*msk.nrrd")))
+    if not x:
+        logging.info("no files found, try clean.nrrd/mask.nrrd pattern")
+        x = sorted(glob.glob(os.path.join(data_path, "*clean.nrrd")))
+        y = sorted(glob.glob(os.path.join(data_path, "*mask.nrrd")))
+
+    df = pd.read_csv(path_to_folds_df)
+    patients = df[df.fold.isin([fold])]
+    patients_train = patients[patients["modality"] == "train"]["patient"].str.lower().unique()
+    patients_test = patients[patients["modality"] == "test"]["patient"].str.lower().unique()
+    logging.info("Found %d images/masks in %s", len(x), data_path)
+
+    def filter_fold(files, patient_list):
+        return [f for f in files if get_patient(f).lower() in patient_list]
+
+    x_train = sorted(filter_fold(x, patients_train))
+    y_train = sorted(filter_fold(y, patients_train))
+    x_test = sorted(filter_fold(x, patients_test))
+    y_test = sorted(filter_fold(y, patients_test))
+    assert len(x_train) == len(y_train), "len(x_train) != len(y_train)"
+    return x_train, y_train, x_test, y_test
+
+
+def load_acdc_files(data_path: str) -> Tuple[List[str], List[str]]:
+    """Original ACDC nii.gz pairs: frameXX.nii.gz + frameXX_gt.nii.gz."""
+    y = sorted(glob.glob(os.path.join(data_path, "**/*frame*_gt.nii.gz")))
+    x = [f.replace("_gt", "") for f in y]
+    return x, y

@@ -28,7 +28,12 @@ MODEL_AXIS = "model"
 def create_mesh(config: Optional[Dict] = None,
                 devices: Optional[Sequence] = None) -> Mesh:
     """1D data mesh over all (or given) devices; MESH_SHAPE=(d, m) enables a
-    2D data x model mesh."""
+    2D data x model mesh.
+
+    When BATCHSIZE does not divide the device count, the data axis shrinks to
+    the largest divisor of BATCHSIZE (small-batch debugging parity; a sharded
+    batch axis must divide the mesh).
+    """
     devices = list(devices) if devices is not None else jax.devices()
     shape = (config or {}).get("MESH_SHAPE") or None
     if shape:
@@ -37,7 +42,12 @@ def create_mesh(config: Optional[Dict] = None,
             f"MESH_SHAPE {shape} != #devices {len(devices)}")
         dev = np.asarray(devices).reshape(shape)
         return Mesh(dev, (DATA_AXIS, MODEL_AXIS)[:len(shape)])
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    batch = int((config or {}).get("BATCHSIZE") or 0)
+    n = len(devices)
+    if batch:
+        while n > 1 and batch % n:
+            n -= 1
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -1,0 +1,248 @@
+"""Batch generation: host decode + cached deterministic preprocessing + fused
+on-device stochastic stage.
+
+Rebuild of the reference's DataGenerator (ref: src/data/Generators.py:26-424)
+with the same two-stage split:
+
+  1. deterministic "fix" stage (load -> resample -> clip -> normalise), run
+     once per file in a thread pool and cached in RAM
+     (ref: __fix_preprocessing__ :283-344, in_memory :275-281);
+  2. stochastic per-batch stage — hist-matching (10% of cases), augmentation,
+     pad/crop, re-normalise, label->channel masks, optional Gaussian heatmap
+     targets (ref: __preprocess_one_image__ :346-398).
+
+TPU-native differences:
+  * stage 2's augment + normalise + mask/heatmap synthesis is ONE jitted XLA
+    program over the whole batch (static [B, *DIM] shapes) instead of
+    per-element OpenCV in worker threads;
+  * pad/crop to DIM happens *before* augmentation so shapes are static under
+    jit; warps use reflect101 borders so the boundary behaviour matches;
+  * randomness is PRNG-key-threaded and reproducible from SEED (fixes the
+    reference's unseeded worker-thread RNG, SURVEY.md §5);
+  * a failed preprocess raises instead of leaving stale batch memory
+    (fixes the np.empty_like hazard, ref: Generators.py:186-221).
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmrtpu import config as C
+from cmrtpu.io import MedicalImage, read_image
+from cmrtpu.ops import resample as R
+from cmrtpu.ops.gaussian import smooth_heatmap_targets
+from cmrtpu.pipeline import transforms as T
+from cmrtpu.pipeline.augment import make_batch_augmenter
+from cmrtpu.pipeline.histmatch import match_2d_on_nd
+
+
+def load_masked_img(img_path: str, mask: bool = False,
+                    masking_values: Sequence[int] = (1, 2, 3),
+                    replace: Tuple[str, str] = ("img", "msk"),
+                    mask_labels: Sequence[int] = (0, 1, 2, 3)) -> MedicalImage:
+    """Load an image, optionally zeroing everything outside given mask labels
+    (ref: load_masked_img, src/data/Preprocess.py:137-179)."""
+    img = read_image(img_path, dtype=np.float32)
+    if mask:
+        msk = read_image(img_path.replace(replace[0], replace[1]))
+        channels = T.transform_to_binary_mask(msk.array, mask_labels)
+        keep = np.zeros(img.array.shape, dtype=np.float32)
+        for c in masking_values:
+            keep += img.array * channels[..., c]
+        img = img.with_array(keep)
+    return img
+
+
+def _jax_normalise(img, scaler: str):
+    scaler = scaler.lower()
+    x = img.astype(jnp.float32)
+    eps = jnp.finfo(jnp.float32).eps
+    if scaler == "standard":
+        return (x - jnp.mean(x)) / (jnp.std(x) + eps)
+    if scaler == "robust":
+        med = jnp.median(x)
+        q0 = jnp.min(x)
+        q95 = jnp.quantile(x, 0.95)
+        return (x - med) / (q95 - q0 + eps)
+    return (x - jnp.min(x)) / (jnp.max(x) - jnp.min(x) + eps)
+
+
+class DataGenerator:
+    """Yields (X, Y) float32 batches for 2D/3D U-Net training.
+
+    X: [B, *DIM, 1]; Y: [B, *DIM, len(MASK_VALUES)] (or the normalised image
+    again when no masks are given — autoencoder mode, ref: Generators.py:338).
+    """
+
+    def __init__(self, x: Sequence[str], y: Optional[Sequence[str]] = None,
+                 config: Optional[Dict] = None, in_memory: Optional[bool] = None):
+        config = config or {}
+        if y is not None:
+            assert len(x) == len(y), "len(X) != len(Y)"
+        self.images = list(x)
+        self.labels = list(y) if y is not None else None
+        self.masks = y is not None
+        self.config = config
+
+        self.scaler = C.get(config, "SCALER", "MinMax")
+        self.augment = C.get(config, "AUGMENT", False)
+        self.shuffle = C.get(config, "SHUFFLE", True)
+        self.resample = C.get(config, "RESAMPLE", False)
+        self.spacing = list(C.get(config, "SPACING", [1.25, 1.25]))
+        self.seed = C.get(config, "SEED", 42)
+        self.dim = tuple(C.get(config, "DIM", [256, 256]))
+        self.batchsize = C.get(config, "BATCHSIZE", 32)
+        self.mask_values = list(C.get(config, "MASK_VALUES", [0, 1, 2, 3]))
+        self.hist_matching = C.get(config, "HIST_MATCHING", False)
+        self.img_interpolation = C.get(config, "IMG_INTERPOLATION", R.LINEAR)
+        self.msk_interpolation = C.get(config, "MSK_INTERPOLATION", R.NEAREST)
+        self.gaus = C.get(config, "GAUS", False)
+        self.sigma = C.get(config, "SIGMA", 1)
+        self.masking_image = C.get(config, "MASKING_IMAGE", False)
+        self.masking_values = C.get(config, "MASKING_VALUES", [1, 2, 3])
+        self.max_workers = min(32, C.get(config, "GENERATOR_WORKER", self.batchsize))
+        self.in_memory = C.get(config, "CACHE_IN_MEMORY", True) \
+            if in_memory is None else in_memory
+
+        # img->msk path rule (ref: Generators.py:254-263)
+        self.replace_wildcard = ((".nii.gz", "_gt.nii.gz")
+                                 if x and "ACDC" in x[0] else ("img", "msk"))
+
+        self._rng = np.random.default_rng(self.seed)
+        self._aug_key = jax.random.PRNGKey(self.seed)
+        self._batch_counter = 0
+        self.indices = np.arange(len(self.images))
+        self._cache: Optional[List] = None
+        self._augment_batch = make_batch_augmenter(config) if self.augment else None
+        self._finalize = self._build_finalize()
+
+        if self.in_memory and self.images:
+            with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+                self._cache = list(pool.map(self._fix_preprocessing,
+                                            range(len(self.images))))
+        self.on_epoch_end()
+
+    # ------------------------------------------------------------------
+    # stage 1: deterministic (cacheable) preprocessing
+    # ------------------------------------------------------------------
+    def _fix_preprocessing(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        img = load_masked_img(self.images[idx], mask=self.masking_image,
+                              masking_values=self.masking_values,
+                              replace=self.replace_wildcard)
+        if self.masks:
+            msk = read_image(self.labels[idx])
+        else:
+            msk = img
+
+        if self.resample and img.ndim in (2, 3):
+            target_spacing = list(reversed(self.spacing))  # numpy -> sitk order
+            new_size = T.calc_resampled_size(img.size[:len(target_spacing)],
+                                             img.spacing[:len(target_spacing)],
+                                             target_spacing)
+            img = R.resample_image(img, new_size, target_spacing,
+                                   self.img_interpolation)
+            msk = R.resample_image(msk, new_size, target_spacing,
+                                   self.msk_interpolation)
+
+        img_nda = T.clip_quantile(img.array, 0.999)
+        img_nda = T.normalise_image(img_nda, self.scaler)
+        msk_nda = msk.array
+        if not self.masks:  # autoencoder mode: image twice
+            msk_nda = T.normalise_image(T.clip_quantile(msk_nda, 0.999), self.scaler)
+        return img_nda.astype(np.float32), msk_nda.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # stage 2: fused stochastic stage (jit)
+    # ------------------------------------------------------------------
+    def _build_finalize(self):
+        scaler = self.scaler
+        mask_values = tuple(self.mask_values)
+        masks, gaus, sigma = self.masks, self.gaus, float(self.sigma)
+
+        @jax.jit
+        def finalize(imgs, msks):
+            x = jax.vmap(lambda im: _jax_normalise(im, scaler))(imgs)
+            if masks:
+                channels = jnp.stack([msks == v for v in mask_values],
+                                     axis=-1).astype(jnp.float32)
+                if gaus:
+                    channels = jax.vmap(
+                        lambda m: smooth_heatmap_targets(m, sigma))(channels)
+                y = channels
+            else:
+                y = jax.vmap(lambda im: _jax_normalise(im, scaler))(msks)[..., None]
+            return x[..., None], y
+
+        return finalize
+
+    # ------------------------------------------------------------------
+    # keras Sequence-style protocol (ref: BaseGenerator :136-173)
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return max(1, len(self.indices) // self.batchsize) \
+            if len(self.indices) >= self.batchsize else 0
+
+    def on_epoch_end(self) -> None:
+        self.indices = np.arange(len(self.images))
+        if self.shuffle:
+            self._rng.shuffle(self.indices)
+
+    def _get_fixed(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        if self._cache is not None:
+            return self._cache[idx]
+        return self._fix_preprocessing(idx)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        idxs = self.indices[index * self.batchsize:(index + 1) * self.batchsize]
+        imgs, msks = [], []
+        for idx in idxs:
+            img_nda, msk_nda = self._get_fixed(int(idx))
+            # hist-matching in <10% of cases (ref: Generators.py:350-358)
+            if self.augment and self.hist_matching and self._rng.random() < 0.1:
+                ref_idx = int(self._rng.integers(len(self.images)))
+                ref_img, _ = self._get_fixed(ref_idx)
+                ref2d = ref_img
+                if ref2d.ndim == 3 and ref2d.shape[0] > 4:
+                    border = 2
+                    ref2d = ref2d[int(self._rng.integers(border, ref2d.shape[0] - border))]
+                elif ref2d.ndim == 3:
+                    ref2d = ref2d[ref2d.shape[0] // 2]
+                img_nda = match_2d_on_nd(img_nda, ref2d)
+            imgs.append(T.pad_and_crop(img_nda.astype(np.float32), self.dim))
+            msks.append(T.pad_and_crop(msk_nda.astype(np.float32), self.dim))
+        imgs_b = np.stack(imgs)
+        msks_b = np.stack(msks)
+
+        if self.augment:
+            self._batch_counter += 1
+            key = jax.random.fold_in(self._aug_key, self._batch_counter)
+            imgs_b, msks_b = self._augment_batch(key, imgs_b, msks_b)
+
+        x, y = self._finalize(jnp.asarray(imgs_b), jnp.asarray(msks_b))
+        return np.asarray(x), np.asarray(y)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+def sliceable(generator_cls, x: Sequence[str], y=None, config: Optional[Dict] = None,
+              temp_path: str = "data/interim") -> List[DataGenerator]:
+    """Per-4D-file 2D generators for running a 2D model over cine stacks
+    (ref: sliceable, src/data/Generators.py:401-424)."""
+    from cmrtpu.data.dataset import create_2d_slices_from_4d_volume_file
+
+    cfg = dict(config or {})
+    cfg["BATCHSIZE"] = 1
+    generators = []
+    for img_f in x:
+        sliced = create_2d_slices_from_4d_volume_file(img_f, temp_path)
+        logging.info("x_sliced: %d, example: %s", len(sliced), sliced[0])
+        generators.append(generator_cls(x=sliced, y=None, config=cfg))
+    return generators

@@ -1,0 +1,135 @@
+"""Dataset ETL tests: ACDC tree parsing, slicing naming scheme, k-fold dfs."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cmrtpu.data import dataset as D
+from cmrtpu.io import MedicalImage, read_image, write_image
+
+
+@pytest.fixture
+def acdc_tree(tmp_path, rng):
+    """Synthetic mini-ACDC: 8 patients, 2 pathologies, ED/ES + 4d files."""
+    root = tmp_path / "original"
+    pathologies = ["DCM", "NOR"]
+    for i in range(1, 9):
+        p = root / f"patient{i:03d}"
+        p.mkdir(parents=True)
+        ed, es = 1, 12
+        (p / "Info.cfg").write_text(
+            f"ED: {ed}\nES: {es}\nGroup: {pathologies[i % 2]}\nHeight: 170.0\n"
+            f"NbFrame: 20\nWeight: 70.0\n")
+        vol = rng.normal(300, 80, size=(5, 20, 18)).astype(np.float32)
+        gt = rng.integers(0, 3, size=(5, 20, 18)).astype(np.uint8)
+        for frame in (ed, es):
+            img = MedicalImage(array=vol, spacing=(1.4, 1.4, 8.0))
+            write_image(img, str(p / f"patient{i:03d}_frame{frame:02d}.nii.gz"))
+            write_image(MedicalImage(array=gt, spacing=(1.4, 1.4, 8.0)),
+                        str(p / f"patient{i:03d}_frame{frame:02d}_gt.nii.gz"))
+        vol4d = rng.normal(300, 80, size=(3, 5, 20, 18)).astype(np.float32)
+        write_image(MedicalImage(array=vol4d, spacing=(1.4, 1.4, 8.0, 1.0)),
+                    str(p / f"patient{i:03d}_4d.nii.gz"))
+    return str(root)
+
+
+def test_get_patient_rules():
+    assert D.get_patient("/a/patient001__t01_z3_img.nrrd") == "patient001"
+    assert D.get_patient("/a/patient042_frame01.nii.gz") == "patient042"
+    assert D.get_patient("/a/gcn_0007_something_img.nrrd") == "gcn_0007"
+
+
+def test_info_cfg_and_phase_files(acdc_tree):
+    folder = os.path.join(acdc_tree, "patient001")
+    cfg = D.read_cfg_file(os.path.join(folder, "Info.cfg"))
+    assert cfg["ED"] == 1 and cfg["ES"] == 12 and cfg["Group"] in ("DCM", "NOR")
+    assert D.get_phase_file(folder, "ED").endswith("frame01.nii.gz")
+    assert D.get_phase_file(folder, "ES", gt=True).endswith("frame12_gt.nii.gz")
+    assert D.get_phase_for_patient_timestep(folder, 12) == "ES"
+    assert D.get_phase_for_patient_timestep(folder, 5) == "NOPHASE"
+
+
+def test_acdc_dataset_as_df(acdc_tree):
+    df = D.get_acdc_dataset_as_df(acdc_tree)
+    assert len(df) == 8 * 6  # 6 rows per patient
+    assert set(df["phase"]) == {"cfg", "ed", "ed_gt", "es", "es_gt", "4d"}
+    assert set(df["pathology"]) == {"DCM", "NOR"}
+
+
+def test_create_2d_slices_naming(acdc_tree, tmp_path):
+    folder = os.path.join(acdc_tree, "patient001")
+    img_f = os.path.join(folder, "patient001_frame01.nii.gz")
+    msk_f = os.path.join(folder, "patient001_frame01_gt.nii.gz")
+    out = str(tmp_path / "2D")
+    written = D.create_2d_slices_from_3d_volume_files(img_f, msk_f, out)
+    assert len(written) == 5
+    assert os.path.basename(written[0]) == "patient001__t01_z0_img.nrrd"
+    assert os.path.isfile(os.path.join(out, "patient001__t01_z4_msk.nrrd"))
+    # slices carry the 2D geometry of the parent volume
+    img2d = read_image(written[0])
+    assert img2d.array.shape == (20, 18)
+    np.testing.assert_allclose(img2d.spacing, (1.4, 1.4), rtol=1e-5)
+
+
+def test_create_2d_slices_from_4d(acdc_tree, tmp_path):
+    img_f = os.path.join(acdc_tree, "patient001", "patient001_4d.nii.gz")
+    written = D.create_2d_slices_from_4d_volume_file(img_f, str(tmp_path / "i"))
+    assert len(written) == 3 * 5
+    assert D.get_patient(written[0]) == "patient001"
+
+
+@pytest.fixture
+def slice_dir(acdc_tree, tmp_path):
+    out = str(tmp_path / "2D")
+    for i in range(1, 9):
+        folder = os.path.join(acdc_tree, f"patient{i:03d}")
+        for frame in ("01", "12"):
+            D.create_2d_slices_from_3d_volume_files(
+                os.path.join(folder, f"patient{i:03d}_frame{frame}.nii.gz"),
+                os.path.join(folder, f"patient{i:03d}_frame{frame}_gt.nii.gz"), out)
+    return out
+
+
+def test_kfold_split_patient_disjoint(slice_dir):
+    df = D.get_kfolded_data(kfolds=4, path_to_data=slice_dir)
+    assert set(df.columns) >= {"fold", "x_path", "y_path", "modality", "patient"}
+    for f in range(4):
+        fold_df = df[df["fold"] == f]
+        train_p = set(fold_df[fold_df["modality"] == "train"]["patient"])
+        test_p = set(fold_df[fold_df["modality"] == "test"]["patient"])
+        assert train_p and test_p and not (train_p & test_p)
+
+
+def test_pathology_stratified_cv(slice_dir, acdc_tree):
+    df = D.create_acdc_dataframe_for_cv(slice_dir, kfolds=2,
+                                        original_acdc_dir=acdc_tree)
+    fold0 = df[df["fold"] == 0]
+    test_paths = fold0[fold0["modality"] == "test"]
+    # both pathologies represented in every test split (stratification)
+    assert set(test_paths["pathology"]) == {"DCM", "NOR"}
+
+
+def test_get_trainings_files(slice_dir, tmp_path):
+    df = D.get_kfolded_data(kfolds=4, path_to_data=slice_dir)
+    csv = str(tmp_path / "df_kfold.csv")
+    df.to_csv(csv, index=False)
+    x_train, y_train, x_val, y_val = D.get_trainings_files(slice_dir, fold=0,
+                                                           path_to_folds_df=csv)
+    assert len(x_train) == len(y_train) > 0
+    assert len(x_val) == len(y_val) > 0
+    assert all(p.endswith("img.nrrd") for p in x_train)
+    assert all(p.endswith("msk.nrrd") for p in y_train)
+    train_p = {D.get_patient(p) for p in x_train}
+    val_p = {D.get_patient(p) for p in x_val}
+    assert not (train_p & val_p)
+
+
+def test_filter_4d_vol():
+    nda = np.zeros((4, 5, 8, 8))
+    nda[1, :4] = 1.0  # 4 masked slices -> kept (threshold 2)
+    nda[2, :2] = 1.0  # only 2 -> dropped
+    filtered, ts = D.filter_4d_vol(nda, slice_threshold=2)
+    assert ts == [1]
+    assert filtered.shape == (1, 5, 8, 8)
