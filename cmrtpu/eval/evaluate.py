@@ -1,0 +1,210 @@
+"""CV evaluation: assemble the per-patient df_eval.csv.
+
+Column-for-column parity with ``evaluate_cv`` (ref: src/models/evaluate_cv.py:
+662-883): per patient x phase, extract insertion points from prediction / GT /
+inter-observer / original ventricle masks, compute mean-IP and slice-wise
+angles + mm distances (plain, single-also, upper-bound variants) and
+slice/point/threshold-based TPR/PPV, then write ``df_eval.csv`` into the
+experiment root so the reference's analysis notebooks consume it unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from cmrtpu.eval import landmarks as LM
+from cmrtpu.io import read_image
+
+# filename sorting rules (ref: evaluate_cv.py:222-225)
+sorting_lambda = lambda x: int(os.path.basename(x).split("_")[0].split("patient")[1])
+sorting_lambda_frame = lambda x: (
+    int(os.path.basename(x).split("_")[0].split("patient")[1]),
+    int(os.path.basename(x).split("_")[1].split("frame")[1]))
+sorting_lambda_frame_orig = lambda x: (
+    int(os.path.basename(x).split("_")[0].split("patient")[1]),
+    int(os.path.basename(x).split("_")[1].split("frame")[1].split(".")[0]))
+
+
+def evaluate_cv(exp_path: str, data_path: str,
+                out_csv: Optional[str] = None) -> pd.DataFrame:
+    data_root = data_path
+    path_to_exp = exp_path
+    glob_exp = os.path.join(path_to_exp, "*/*/")
+
+    io_files = sorted(glob.glob(os.path.join(data_root, "io", "*rvip.nrrd")),
+                      key=sorting_lambda_frame)
+    pred_files = sorted(glob.glob(os.path.join(glob_exp, "pred", "*msk.nrrd")),
+                        key=sorting_lambda)
+    gt_files = sorted(glob.glob(os.path.join(glob_exp, "gt", "*msk.nrrd")),
+                      key=sorting_lambda)
+    cmr_files = sorted(glob.glob(os.path.join(glob_exp, "pred", "*cmr.nrrd")),
+                       key=sorting_lambda)
+    if not pred_files:  # flat fold layout exp/f<k>/pred as fallback
+        pred_files = sorted(glob.glob(os.path.join(path_to_exp, "*/pred/*msk.nrrd")),
+                            key=sorting_lambda)
+        gt_files = sorted(glob.glob(os.path.join(path_to_exp, "*/gt/*msk.nrrd")),
+                          key=sorting_lambda)
+        cmr_files = sorted(glob.glob(os.path.join(path_to_exp, "*/pred/*cmr.nrrd")),
+                           key=sorting_lambda)
+    print("io files: ", len(io_files))
+    print("pred fies: ", len(pred_files))
+    print("gt files: ", len(gt_files))
+    print("cmr files: ", len(cmr_files))
+
+    orig_msk_files = sorted(glob.glob(os.path.join(data_root, "original",
+                                                   "*/*frame*gt.nii.gz")),
+                            key=sorting_lambda_frame)
+    print("original msk files: ", len(orig_msk_files))
+
+    df_eval = pd.DataFrame()
+    df_eval["files_pred"] = pred_files
+    df_eval["files_gt"] = gt_files
+    have_io = len(io_files) == len(pred_files)
+    have_orig = len(orig_msk_files) == len(pred_files)
+    if have_io:
+        df_eval["files_io"] = io_files
+    if have_orig:
+        df_eval["files_orig_msk"] = orig_msk_files
+
+    df_eval["patient"] = df_eval["files_pred"].map(
+        lambda x: os.path.basename(x).split("_")[0])
+    df_eval["phase"] = df_eval["files_pred"].map(
+        lambda x: os.path.basename(x).split("_")[1])
+    # pathology from the original ACDC metadata (ref: evaluate_cv.py:687-698)
+    try:
+        from cmrtpu.data.dataset import get_acdc_dataset_as_df
+        df_raw = get_acdc_dataset_as_df(os.path.join(data_root, "original"))
+        df_raw = df_raw.loc[df_raw["phase"].isin(["ed", "es"])]
+        df_raw.reset_index(inplace=True, drop=True)
+        df_eval["pathology"] = df_raw["pathology"]
+    except Exception:
+        df_eval["pathology"] = None
+    df_eval = df_eval.loc[:, ~df_eval.columns.duplicated()]
+
+    df_eval["spacing"] = df_eval["files_gt"].map(lambda x: read_image(x).spacing)
+    df_eval["inplane_spacing"] = df_eval["spacing"].map(lambda x: x[0])
+
+    # --- insertion points per source -----------------------------------
+    df_eval["ips_pred"] = df_eval["files_pred"].map(
+        lambda x: LM.get_ip_from_rvip_file(x, keepdim=True))
+    df_eval["ips_gt"] = df_eval["files_gt"].map(
+        lambda x: LM.get_ip_from_rvip_file(x, keepdim=True))
+    if have_io:
+        df_eval["ips_io"] = df_eval["files_io"].map(
+            lambda x: LM.get_ip_from_rvip_file(x, keepdim=True))
+    if have_orig:
+        df_eval["ips_orig_msk"] = df_eval["files_orig_msk"].map(
+            lambda x: LM.get_ip_from_ventriclemsk_file(x, keepdim=True))
+
+    # --- mean ips, mean angles, mean-angle diffs, mean distances -------
+    sources = ["pred"] + (["io"] if have_io else []) \
+        + (["orig_msk"] if have_orig else [])
+    df_eval["mips_gt"] = df_eval["ips_gt"].map(LM.calc_mean_ip)
+    df_eval["mangle_gt"] = df_eval["mips_gt"].map(lambda x: LM.get_angle2x(x[0], x[1]))
+    suffix_map = {"pred": "gtpred", "io": "gtio", "orig_msk": "gtorig"}
+    for src in sources:
+        df_eval[f"mips_{src}"] = df_eval[f"ips_{src}"].map(LM.calc_mean_ip)
+        df_eval[f"mangle_{src}"] = df_eval[f"mips_{src}"].map(
+            lambda x: LM.get_angle2x(x[0], x[1]))
+        suf = suffix_map[src]
+        df_eval[f"mdiffs_{suf}"] = df_eval.apply(
+            lambda r: LM.get_diff(r["mangle_gt"], r[f"mangle_{src}"]), axis=1)
+        df_eval[f"mdists_ant_{suf}"] = df_eval.apply(
+            lambda r: LM.get_dist(r["mips_gt"][0], r[f"mips_{src}"][0]), axis=1)
+        df_eval[f"mdists_inf_{suf}"] = df_eval.apply(
+            lambda r: LM.get_dist(r["mips_gt"][1], r[f"mips_{src}"][1]), axis=1)
+        df_eval[f"mdists_ant_{suf}"] *= df_eval["inplane_spacing"]
+        df_eval[f"mdists_inf_{suf}"] *= df_eval["inplane_spacing"]
+
+    # --- slice-wise angles, distances, angle diffs ---------------------
+    df_eval["angles_gt"] = df_eval["ips_gt"].map(LM.get_angles2x)
+    for src in sources:
+        suf = suffix_map[src]
+        df_eval[f"angles_{src}"] = df_eval[f"ips_{src}"].map(LM.get_angles2x)
+        df_eval[f"dists_ant_{suf}"], df_eval[f"dists_inf_{suf}"] = zip(
+            *df_eval.apply(lambda r: LM.get_distances(
+                r["ips_gt"], r[f"ips_{src}"], r["inplane_spacing"]), axis=1))
+        df_eval[f"diffs_{suf}"] = df_eval.apply(
+            lambda r: LM.get_differences(r["angles_gt"], r[f"angles_{src}"]), axis=1)
+    df_eval["EXP"] = [path_to_exp] * len(df_eval)
+
+    # --- TPR / PPV: slice-based ----------------------------------------
+    tpr_suffix = {"pred": "", "io": "_io", "orig_msk": "_msk"}
+    for src in sources:
+        s = tpr_suffix[src]
+        df_eval[f"tpr_ant{s}"], df_eval[f"tpr_inf{s}"] = zip(
+            *df_eval.apply(lambda r: LM.calc_tpr_thresh(
+                r["ips_gt"], r[f"ips_{src}"]), axis=1))
+        df_eval[f"ppv_ant{s}"], df_eval[f"ppv_inf{s}"] = zip(
+            *df_eval.apply(lambda r: LM.calc_ppv_thresh(
+                r["ips_gt"], r[f"ips_{src}"]), axis=1))
+
+    # --- point-based (single-IP-also) ----------------------------------
+    df_eval["ips_pred_single_also"] = df_eval["files_pred"].map(
+        lambda x: LM.get_ip_from_rvip_file(x, keepdim=True, both_only=False))
+    df_eval["tpr_ant_point"], df_eval["tpr_inf_point"] = zip(
+        *df_eval.apply(lambda r: LM.calc_tpr_thresh(
+            r["ips_gt"], r["ips_pred_single_also"]), axis=1))
+    df_eval["ppv_ant_point"], df_eval["ppv_inf_point"] = zip(
+        *df_eval.apply(lambda r: LM.calc_ppv_thresh(
+            r["ips_gt"], r["ips_pred_single_also"]), axis=1))
+
+    # --- point-based with 15 mm threshold ------------------------------
+    df_eval["tpr_ant_point_th15"], df_eval["tpr_inf_point_th15"] = zip(
+        *df_eval.apply(lambda r: LM.calc_tpr_thresh(
+            r["ips_gt"], r["ips_pred_single_also"], thresh=15,
+            spacing=r["inplane_spacing"]), axis=1))
+    df_eval["ppv_ant_point_th15"], df_eval["ppv_inf_point_th15"] = zip(
+        *df_eval.apply(lambda r: LM.calc_ppv_thresh(
+            r["ips_gt"], r["ips_pred_single_also"], thresh=15,
+            spacing=r["inplane_spacing"]), axis=1))
+
+    # --- single-also mean distances ------------------------------------
+    df_eval["mips_pred_single_also"] = df_eval["ips_pred_single_also"].map(
+        LM.calc_mean_ip)
+    df_eval["mdists_ant_gtpred_single_also"] = df_eval.apply(
+        lambda r: LM.get_dist(r["mips_gt"][0], r["mips_pred_single_also"][0]), axis=1)
+    df_eval["mdists_inf_gtpred_single_also"] = df_eval.apply(
+        lambda r: LM.get_dist(r["mips_gt"][1], r["mips_pred_single_also"][1]), axis=1)
+    df_eval["mdists_ant_gtpred_single_also"] *= df_eval["inplane_spacing"]
+    df_eval["mdists_inf_gtpred_single_also"] *= df_eval["inplane_spacing"]
+
+    # --- slice-wise mean distances (both-only / single-also, plain / UB) -
+    df_eval["mdists_ant_gtpred_slice_wise"] = df_eval["dists_ant_gtpred"].map(
+        LM.get_mean_dist)
+    df_eval["mdists_inf_gtpred_slice_wise"] = df_eval["dists_inf_gtpred"].map(
+        LM.get_mean_dist)
+
+    df_eval["dists_ant_gtpred_single_also"], df_eval["dists_inf_gtpred_single_also"] = zip(
+        *df_eval.apply(lambda r: LM.get_distances(
+            r["ips_gt"], r["ips_pred_single_also"], r["inplane_spacing"]), axis=1))
+    df_eval["mdists_ant_gtpred_slice_wise_single_also"] = \
+        df_eval["dists_ant_gtpred_single_also"].map(LM.get_mean_dist)
+    df_eval["mdists_inf_gtpred_slice_wise_single_also"] = \
+        df_eval["dists_inf_gtpred_single_also"].map(LM.get_mean_dist)
+
+    df_eval["dists_ant_gtpred_up"], df_eval["dists_inf_gtpred_up"] = zip(
+        *df_eval.apply(lambda r: LM.get_distances_upper_bound(
+            r["ips_gt"], r["ips_pred"], r["inplane_spacing"]), axis=1))
+    df_eval["mdists_ant_gtpred_slice_wise_up"] = df_eval["dists_ant_gtpred_up"].map(
+        LM.get_mean_dist)
+    df_eval["mdists_inf_gtpred_slice_wise_up"] = df_eval["dists_inf_gtpred_up"].map(
+        LM.get_mean_dist)
+
+    df_eval["dists_ant_gtpred_single_also_up"], df_eval["dists_inf_gtpred_single_also_up"] = zip(
+        *df_eval.apply(lambda r: LM.get_distances_upper_bound(
+            r["ips_gt"], r["ips_pred_single_also"], r["inplane_spacing"]), axis=1))
+    df_eval["mdists_ant_gtpred_slice_wise_single_also_up"] = \
+        df_eval["dists_ant_gtpred_single_also_up"].map(LM.get_mean_dist)
+    df_eval["mdists_inf_gtpred_slice_wise_single_also_up"] = \
+        df_eval["dists_inf_gtpred_single_also_up"].map(LM.get_mean_dist)
+
+    out_csv = out_csv or os.path.join(path_to_exp, "df_eval.csv")
+    df_eval.to_csv(out_csv, index=False)
+    print("evaluation done for {}".format({glob_exp}))
+    return df_eval

@@ -1,0 +1,220 @@
+"""Per-fold inference driver — parity with src/models/predict_model.py.
+
+Flow (ref: pred_fold :7-201): restore the fold's model, iterate the fold's
+test patients, split each patient's sorted slice files into ED/ES halves,
+predict, threshold 0.5 into flat {1: anterior, 2: inferior} labels, optional
+biggest-CC filter, inverse-preprocess into the original CMR geometry and
+write ``<patient>_<ED|ES>_msk.nrrd`` (pred + gt) and ``_cmr.nrrd`` so the
+reference evaluation consumes the outputs unchanged.
+
+TPU-native difference: all slices of a patient/phase are predicted in ONE
+batched jit call (padded to a bucket size to bound recompiles) instead of
+BATCHSIZE=1 keras predict.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+import pandas as pd
+
+from cmrtpu import config as C
+from cmrtpu.data.dataset import get_trainings_files
+from cmrtpu.io import MedicalImage, read_image, write_image
+from cmrtpu.models.unet import build_model
+from cmrtpu.ops import resample as R
+from cmrtpu.ops.connected_components import clean_prediction_2d_cc
+from cmrtpu.pipeline.generator import DataGenerator
+from cmrtpu.predict.postprocess import undo_generator_steps
+from cmrtpu.train.checkpoint import load_weights
+from cmrtpu.utils.io_utils import ensure_dir
+
+_BUCKET = 8  # pad slice batches to a multiple of this to bound recompiles
+
+
+class Predictor:
+    """Restored model + jitted batched forward."""
+
+    def __init__(self, config: Dict, model_path: Optional[str] = None):
+        self.config = C.normalise_config(config)
+        self.model = build_model(self.config)
+        model_path = model_path or C.get(self.config, "MODEL_PATH")
+        self.params, self.batch_stats = load_weights(model_path)
+        self._forward = jax.jit(lambda x: self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            x, train=False))
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        n = x.shape[0]
+        padded = -(-n // _BUCKET) * _BUCKET
+        if padded != n:
+            x = np.concatenate([x, np.zeros((padded - n, *x.shape[1:]), x.dtype)])
+        out = np.asarray(jax.device_get(self._forward(x)))
+        return out[:n]
+
+
+def filter_by_patient_id(p_id: str, f_names: List[str]) -> List[str]:
+    return [elem for elem in f_names if p_id in elem]
+
+
+def threshold_and_flatten(channels: np.ndarray) -> np.ndarray:
+    """sigmoid channels -> flat labels (ch0>0.5 -> 1, ch1>0.5 -> 2; later
+    channels overwrite; ref: predict_model.py:149-156)."""
+    flat = np.zeros(channels.shape[:-1], dtype=np.float64)
+    for c in range(channels.shape[-1]):
+        flat[channels[..., c] > 0.5] = c + 1
+    return flat
+
+
+def pred_fold(config: Dict) -> bool:
+    """Run inference for one fold (ref: pred_fold, predict_model.py:7-201)."""
+    cfg = C.normalise_config(config)
+    fold = C.get(cfg, "FOLD")
+    data_path_sax = C.get(cfg, "DATA_PATH_SAX")
+    df_folds = C.get(cfg, "DF_FOLDS")
+
+    x_train, y_train, x_val, y_val = get_trainings_files(
+        data_path=data_path_sax, path_to_folds_df=df_folds, fold=fold)
+
+    path_to_orig = C.get(cfg, "DATA_PATH_ORIG") or ""
+    orig_cmr_files = sorted(glob.glob(
+        os.path.join(path_to_orig, "*/*frame[0-9][0-9].nii.gz")))
+    orig_given = len(orig_cmr_files) > 0
+    logging.info("Found %d orig 3D CMR images", len(orig_cmr_files))
+
+    predictor = Predictor(cfg)
+
+    exp_path = C.get(cfg, "EXP_PATH")
+    pred_path = os.path.join(exp_path, "pred")
+    gt_path = os.path.join(exp_path, "gt")
+    ensure_dir(pred_path)
+    ensure_dir(gt_path)
+
+    pred_config = dict(cfg)
+    pred_config.update(SHUFFLE=False, AUGMENT=False, BATCHSIZE=1,
+                       HIST_MATCHING=False)
+
+    df = pd.read_csv(df_folds)
+    df = df[(df["fold"] == fold) & (df["modality"] == "test")]
+
+    for p in sorted(df["patient"].unique()):
+        files_ = filter_by_patient_id(p, x_val)
+        masks_ = filter_by_patient_id(p, y_val)
+        if not files_:
+            continue
+        # ED/ES halves of the sorted slice list (ref: predict_model.py:110-116)
+        half = len(files_) // 2
+        splits = {"ED": (files_[:half], masks_[:half]),
+                  "ES": (files_[half:], masks_[half:])}
+        assert len(splits["ED"][0]) == len(splits["ED"][1]), (
+            "number of images and masks should be the same")
+
+        for phase, (phase_files, phase_masks) in splits.items():
+            gen = DataGenerator(phase_files, phase_masks, config=pred_config)
+            xs, ys = [], []
+            for i in range(len(gen)):
+                x, y = gen[i]
+                xs.append(np.squeeze(x, axis=0))
+                ys.append(np.squeeze(y, axis=0))
+            gts_cmr = np.stack([np.squeeze(x) for x in xs])          # [z, H, W]
+            gts = np.stack(ys)                                       # [z, H, W, C]
+            preds = predictor.predict(np.stack(xs))                  # [z, H, W, C]
+
+            gts_flat = threshold_and_flatten(gts)
+            preds_flat = threshold_and_flatten(preds)
+
+            if C.get(cfg, "CC_FILTER", False):
+                label_values = tuple(range(1, gts.shape[-1] + 1))
+                preds_flat = np.asarray(jax.device_get(
+                    clean_prediction_2d_cc(preds_flat, label_values)))
+
+            if orig_given:
+                orig_f = filter_by_patient_id(p, orig_cmr_files)[0]
+                orig = read_image(orig_f)
+                gt_img = undo_generator_steps(gts_flat.astype(np.uint8), cfg,
+                                              R.NEAREST, orig)
+                pred_img = undo_generator_steps(preds_flat.astype(np.uint8), cfg,
+                                                R.NEAREST, orig)
+                cmr_img = undo_generator_steps(gts_cmr, cfg, R.NEAREST, orig)
+            else:
+                # config-spacing fallback (ref: predict_model.py:174-181)
+                spacing = tuple(reversed(C.get(cfg, "SPACING"))) + (10.0,)
+                gt_img = MedicalImage(array=gts_flat.astype(np.uint8), spacing=spacing)
+                pred_img = MedicalImage(array=preds_flat.astype(np.uint8),
+                                        spacing=spacing)
+                cmr_img = MedicalImage(array=gts_cmr, spacing=spacing)
+
+            write_image(gt_img, os.path.join(gt_path, f"{p}_{phase}_msk.nrrd"))
+            write_image(pred_img, os.path.join(pred_path, f"{p}_{phase}_msk.nrrd"))
+            write_image(cmr_img, os.path.join(pred_path, f"{p}_{phase}_cmr.nrrd"))
+            logging.info("patient %s phase %s: %d slices predicted",
+                         p, phase, len(phase_files))
+
+    logging.info("done! Check %s and %s", gt_path, pred_path)
+    return True
+
+
+def predict_4d_on_2d_cv(exp_root: str, data_root: str,
+                        export_suffix: str = "pred_4d") -> None:
+    """Run a trained 2D CV over full 4D CMR sequences
+    (ref: src/models/predict_4d_on_seg.py:23-113): per fold, filter the 4D
+    files to that fold's test patients, slice t x z, predict, threshold, per-t
+    CC-filter, stack back to 4D and write nrrd."""
+    fold_dirs = sorted(glob.glob(os.path.join(exp_root, "f[0-9]")))
+    files_4d = sorted(glob.glob(os.path.join(data_root, "original",
+                                             "*/*4d.nii.gz")))
+    for fold_dir in fold_dirs:
+        cfg = C.load_config(os.path.join(fold_dir, "config", "config.json"))
+        cfg["MODEL_PATH"] = os.path.join(fold_dir, "model")
+        fold = C.get(cfg, "FOLD")
+        df = pd.read_csv(C.get(cfg, "DF_FOLDS"))
+        test_patients = set(df[(df["fold"] == fold) &
+                               (df["modality"] == "test")]["patient"].unique())
+        fold_files = [f for f in files_4d
+                      if any(p in f for p in test_patients)]
+        predictor = Predictor(cfg)
+        out_dir = os.path.join(fold_dir, export_suffix)
+        ensure_dir(out_dir)
+
+        pred_cfg = dict(cfg)
+        pred_cfg.update(SHUFFLE=False, AUGMENT=False, BATCHSIZE=1,
+                        HIST_MATCHING=False)
+        for f4d in fold_files:
+            vol = read_image(f4d)
+            nda = vol.array  # [t, z, y, x]
+            t_dim, z_dim = nda.shape[0], nda.shape[1]
+            # preprocess the t x z slices directly (equivalent to sliceable(),
+            # ref: Generators.py:401-424, but batched for throughput)
+            from cmrtpu.pipeline import transforms as T
+            dim = tuple(C.get(cfg, "DIM"))
+            spacing = list(reversed(C.get(cfg, "SPACING")))
+            xs = []
+            for t in range(t_dim):
+                for z in range(z_dim):
+                    img2d = MedicalImage(array=nda[t, z],
+                                         spacing=vol.spacing[:2])
+                    if C.get(cfg, "RESAMPLE", False):
+                        new_size = T.calc_resampled_size(img2d.size, img2d.spacing,
+                                                         spacing)
+                        img2d = R.resample_image(img2d, new_size, spacing, R.LINEAR)
+                    arr = T.normalise_image(T.clip_quantile(img2d.array, 0.999),
+                                            C.get(cfg, "SCALER"))
+                    arr = T.pad_and_crop(arr.astype(np.float32), dim)
+                    xs.append(T.normalise_image(arr, C.get(cfg, "SCALER")))
+            batch = np.stack(xs)[..., None]
+            preds = predictor.predict(batch)
+            flat = threshold_and_flatten(preds).reshape(t_dim, z_dim, *dim)
+            cleaned = np.stack([np.asarray(jax.device_get(
+                clean_prediction_2d_cc(flat[t], (1, 2)))) for t in range(t_dim)])
+            out = MedicalImage(array=cleaned.astype(np.uint8),
+                               spacing=(spacing[0], spacing[1],
+                                        vol.spacing[2] if vol.ndim > 2 else 10.0,
+                                        1.0))
+            name = os.path.basename(f4d).replace(".nii.gz", "_pred.nrrd")
+            write_image(out, os.path.join(out_dir, name))
+            logging.info("4D prediction written: %s", name)

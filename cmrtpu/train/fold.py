@@ -1,0 +1,100 @@
+"""Per-fold training orchestration — parity with src/models/train_model.py.
+
+``train_fold``: fold paths, config persistence, train/val generators (val
+with AUGMENT/HIST_MATCHING off), model build + summary artifact, callback
+set, fit, then chained ``pred_fold`` (ref: train_model.py:1-132).
+
+``run_experiment``: the reference ``main``: load JSON config, timestamped
+EXP_PATH, loss-by-name mapping, loop FOLDS (ref: train_model.py:135-206).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from time import time
+from typing import Dict, Optional
+
+from cmrtpu import config as C
+from cmrtpu.data.dataset import get_trainings_files
+from cmrtpu.models.unet import model_summary
+from cmrtpu.pipeline.generator import DataGenerator
+from cmrtpu.train.callbacks import get_callbacks
+from cmrtpu.train.trainer import Trainer
+from cmrtpu.utils.io_utils import console_and_file_logger, ensure_dir
+
+
+def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
+    t0 = time()
+    fold = C.get(config, "FOLD", 0)
+    cfg = C.set_experiment_paths(C.normalise_config(config), fold=fold)
+
+    console_and_file_logger(path=cfg["EXP_PATH"], log_lvl=logging.INFO)
+    cfg = C.init_config(cfg, save=True)
+
+    x_train, y_train, x_val, y_val = get_trainings_files(
+        data_path=C.get(cfg, "DATA_PATH_SAX"),
+        path_to_folds_df=C.get(cfg, "DF_FOLDS"), fold=fold)
+    logging.info("SAX train CMR: %d, SAX train masks: %d", len(x_train), len(y_train))
+    logging.info("SAX val CMR: %d, SAX val masks: %d", len(x_val), len(y_val))
+
+    batch_generator = DataGenerator(x_train, y_train, config=cfg,
+                                    in_memory=in_memory)
+    val_config = dict(cfg)
+    val_config["AUGMENT"] = False          # no augmentation on validation data
+    val_config["AUGMENT_GRID"] = False
+    val_config["HIST_MATCHING"] = False
+    validation_generator = DataGenerator(x_val, y_val, config=val_config,
+                                         in_memory=in_memory)
+
+    logging.info("Create model")
+    trainer = Trainer(cfg)
+    summary = model_summary(trainer.model,
+                            {"params": trainer.state.params,
+                             "batch_stats": trainer.state.batch_stats})
+    fold_root = cfg.get("FOLD_PATH", cfg["EXP_PATH"])
+    with open(os.path.join(fold_root, "model_summary.txt"), "w") as fh:
+        fh.write(summary + "\n")
+
+    # fixed train/val sample batches for the progress-image writer
+    sample_batches = None
+    if len(batch_generator) and len(validation_generator):
+        tx, ty = batch_generator[0]
+        vx, vy = validation_generator[0]
+        sample_batches = [("train", tx, ty), ("val", vx, vy)]
+
+    fold_cfg = dict(cfg)
+    fold_cfg["EXP_PATH"] = fold_root  # per-fold artifacts under f<k>/
+    callbacks = get_callbacks(fold_cfg, sample_batches=sample_batches)
+    logging.info("start training")
+    trainer.fit(batch_generator, val_data=validation_generator,
+                epochs=C.get(cfg, "EPOCHS", 100), callbacks=callbacks)
+
+    try:
+        from cmrtpu.predict.predictor import pred_fold
+        pred_cfg = dict(cfg)
+        pred_cfg["EXP_PATH"] = fold_root
+        pred_fold(pred_cfg)
+    except Exception as e:  # chained inference is best-effort (ref :114-129)
+        logging.error(e)
+
+    logging.info("Fold %s finished after %0.3f sec", fold, time() - t0)
+    return trainer
+
+
+def run_experiment(config: Dict, data_path: Optional[str] = None,
+                   exp_path: Optional[str] = None) -> str:
+    """Loop FOLDS calling train_fold (ref: main, train_model.py:135-206)."""
+    cfg = C.normalise_config(config)
+    cfg["EXP_PATH"] = exp_path or C.timestamped_exp_path(cfg)
+    if data_path:
+        cfg["DATA_PATH_SAX"] = os.path.join(data_path, "2D")
+        cfg["DF_FOLDS"] = os.path.join(data_path, "df_kfold.csv")
+        cfg["DATA_PATH_ORIG"] = os.path.join(data_path, "original")
+    for f in C.get(cfg, "FOLDS", [0]):
+        print(f"starting fold: {f}")
+        fold_cfg = dict(cfg)
+        fold_cfg["FOLD"] = f
+        train_fold(fold_cfg, in_memory=True)
+        print(f"training of fold: {f} finished")
+    return cfg["EXP_PATH"]

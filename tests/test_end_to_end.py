@@ -1,0 +1,141 @@
+"""Full-stack integration: dataset build -> train_fold -> pred_fold ->
+evaluate_cv -> df_eval.csv (the reference's user flow, SURVEY.md §3)."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cmrtpu.data import dataset as D
+from cmrtpu.io import MedicalImage, read_image, write_image
+
+
+@pytest.fixture(scope="module")
+def synthetic_root(tmp_path_factory):
+    """ACDC-like tree + rvip masks + 2D slices + df_kfold.csv."""
+    rng = np.random.default_rng(3)
+    root = tmp_path_factory.mktemp("dataset")
+    orig = root / "original"
+    two_d = root / "2D"
+    pathologies = ["DCM", "NOR"]
+    for i in range(1, 7):
+        p = orig / f"patient{i:03d}"
+        p.mkdir(parents=True)
+        ed, es = 1, 12
+        (p / "Info.cfg").write_text(
+            f"ED: {ed}\nES: {es}\nGroup: {pathologies[i % 2]}\n")
+        for frame in (ed, es):
+            vol = rng.normal(300, 60, size=(4, 36, 34)).astype(np.float32)
+            rvip = np.zeros((4, 36, 34), np.uint8)
+            for z in range(4):
+                cy, cx = 10 + i % 3, 8 + i % 4
+                vol[z, cy - 2:cy + 3, cx - 2:cx + 3] += 400  # ant landmark signal
+                vol[z, cy + 10:cy + 13, cx:cx + 3] += 400    # inf landmark signal
+                rvip[z, cy:cy + 2, cx:cx + 2] = 1
+                rvip[z, cy + 10:cy + 12, cx:cx + 2] = 2
+            write_image(MedicalImage(array=vol, spacing=(1.4, 1.4, 8.0)),
+                        str(p / f"patient{i:03d}_frame{frame:02d}.nii.gz"))
+            # ventricle gt (LV/MYO/RV) for the orig-mask eval branch
+            gt = np.zeros((4, 36, 34), np.uint8)
+            yy, xx = np.mgrid[0:36, 0:34]
+            ring = np.hypot(yy - 18, xx - 22)
+            gt[:, :, :][:, ring < 7] = 2
+            gt[:, :, :][:, ring < 3] = 3
+            gt[:, (np.hypot(yy - 18, xx - 10) < 6) & (ring >= 7)] = 1
+            write_image(MedicalImage(array=gt, spacing=(1.4, 1.4, 8.0)),
+                        str(p / f"patient{i:03d}_frame{frame:02d}_gt.nii.gz"))
+            # slice img + rvip mask into 2D training files
+            img_f = str(p / f"patient{i:03d}_frame{frame:02d}.nii.gz")
+            rvip_f = str(root / f"patient{i:03d}_frame{frame:02d}_rvip.nrrd")
+            write_image(MedicalImage(array=rvip, spacing=(1.4, 1.4, 8.0)), rvip_f)
+            D.create_2d_slices_from_3d_volume_files(img_f, rvip_f, str(two_d))
+
+    df = D.get_kfolded_data(kfolds=2, path_to_data=str(two_d))
+    df.to_csv(str(root / "df_kfold.csv"), index=False)
+    return str(root)
+
+
+CFG = {"EXPERIMENT": "e2e", "DIM": [32, 32], "SPACING": [1.4, 1.4],
+       "DEPTH": 2, "FILTERS": 4, "MASK_VALUES": [1, 2], "MASK_CLASSES": 2,
+       "BATCHSIZE": 4, "EPOCHS": 2, "RESAMPLE": True, "SHUFFLE": True,
+       "MIXED_PRECISION": False, "LEARNING_RATE": 1e-3, "SEED": 42,
+       "AUGMENT": False, "FOLDS": [0], "CC_FILTER": True,
+       "SAVE_LEARNING_PROGRESS_AS_PNG": False}
+
+
+@pytest.fixture(scope="module")
+def trained_exp(synthetic_root, tmp_path_factory):
+    from cmrtpu.train.fold import train_fold
+
+    exp_root = str(tmp_path_factory.mktemp("exp") / "run")
+    cfg = dict(CFG)
+    cfg["EXP_PATH"] = exp_root
+    cfg["DATA_PATH_SAX"] = os.path.join(synthetic_root, "2D")
+    cfg["DF_FOLDS"] = os.path.join(synthetic_root, "df_kfold.csv")
+    cfg["DATA_PATH_ORIG"] = os.path.join(synthetic_root, "original")
+    cfg["FOLD"] = 0
+    train_fold(cfg, in_memory=True)
+    return exp_root
+
+
+def test_artifact_layout(trained_exp):
+    fold_dir = os.path.join(trained_exp, "f0")
+    assert os.path.isfile(os.path.join(fold_dir, "config", "config.json"))
+    assert os.path.isfile(os.path.join(fold_dir, "model", "model.npz"))
+    assert os.path.isfile(os.path.join(fold_dir, "model_summary.txt"))
+    assert glob.glob(os.path.join(fold_dir, "tensorboard_logs",
+                                  "events.out.tfevents.*"))
+    assert os.path.isfile(os.path.join(fold_dir, "history.csv"))
+
+
+def test_predictions_written_in_orig_geometry(trained_exp, synthetic_root):
+    preds = sorted(glob.glob(os.path.join(trained_exp, "f0", "pred", "*_msk.nrrd")))
+    gts = sorted(glob.glob(os.path.join(trained_exp, "f0", "gt", "*_msk.nrrd")))
+    cmrs = sorted(glob.glob(os.path.join(trained_exp, "f0", "pred", "*_cmr.nrrd")))
+    assert preds and len(preds) == len(gts) == len(cmrs)
+    # ED + ES per test patient
+    names = [os.path.basename(p) for p in preds]
+    assert any("_ED_msk" in n for n in names) and any("_ES_msk" in n for n in names)
+    img = read_image(preds[0])
+    # geometry restored to the original volume's
+    assert img.array.shape == (4, 36, 34)
+    np.testing.assert_allclose(img.spacing, (1.4, 1.4, 8.0), rtol=1e-5)
+    # gt roundtrip through the pipeline keeps the label set
+    gt = read_image(gts[0])
+    assert set(np.unique(gt.array)) <= {0, 1, 2}
+    assert (gt.array == 1).sum() > 0 and (gt.array == 2).sum() > 0
+
+
+def test_evaluate_cv_produces_df_eval(trained_exp, synthetic_root):
+    from cmrtpu.eval.evaluate import evaluate_cv
+
+    df = evaluate_cv(trained_exp, synthetic_root)
+    assert os.path.isfile(os.path.join(trained_exp, "df_eval.csv"))
+    # one row per test patient x phase
+    assert len(df) > 0 and len(df) % 2 == 0
+    for col in ("patient", "phase", "inplane_spacing", "ips_pred", "ips_gt",
+                "mips_pred", "mangle_gt", "mdiffs_gtpred", "mdists_ant_gtpred",
+                "mdists_inf_gtpred", "dists_ant_gtpred", "diffs_gtpred",
+                "tpr_ant", "tpr_inf", "ppv_ant", "ppv_inf",
+                "tpr_ant_point", "ppv_inf_point", "tpr_ant_point_th15",
+                "ppv_inf_point_th15", "ips_pred_single_also",
+                "mdists_ant_gtpred_single_also",
+                "mdists_ant_gtpred_slice_wise",
+                "mdists_ant_gtpred_slice_wise_up",
+                "mdists_ant_gtpred_slice_wise_single_also_up", "EXP"):
+        assert col in df.columns, f"missing column {col}"
+    # gt-vs-gt sanity on distances: gt ips exist for every patient
+    assert df["ips_gt"].map(lambda x: len(x[0])).min() > 0
+
+
+def test_cli_evaluate_smoke(trained_exp, synthetic_root, monkeypatch, capsys):
+    import sys
+    from cmrtpu.cli import evaluate_cv as cli_eval
+
+    monkeypatch.setattr(sys, "argv", ["evaluate_cv", "-exp", trained_exp,
+                                      "-data", synthetic_root])
+    cli_eval.main()
+    out = capsys.readouterr().out
+    assert "evaluation done" in out

@@ -1,0 +1,95 @@
+"""Postprocessing tests: CC filters (host vs device), undo_generator_steps."""
+
+import jax
+import numpy as np
+import pytest
+
+from cmrtpu.io import MedicalImage
+from cmrtpu.ops import resample as R
+from cmrtpu.ops.connected_components import (clean_3d_prediction_2d_cc_host,
+                                             clean_3d_prediction_3d_cc_host,
+                                             clean_prediction_2d_cc,
+                                             largest_component_2d)
+from cmrtpu.predict.postprocess import undo_generator_steps
+
+
+def test_largest_component_2d():
+    mask = np.zeros((16, 16), bool)
+    mask[2:5, 2:5] = True       # 9 px
+    mask[10:12, 10:12] = True   # 4 px
+    out = np.asarray(jax.device_get(largest_component_2d(mask)))
+    assert out[3, 3] and not out[10, 10]
+    assert out.sum() == 9
+
+
+def test_largest_component_diagonal_not_connected():
+    # 4-connectivity: diagonal pixels are separate components
+    mask = np.zeros((8, 8), bool)
+    mask[2, 2] = mask[3, 3] = mask[4, 4] = True
+    mask[6, 0:3] = True  # 3-px line is the biggest 4-connected comp
+    out = np.asarray(jax.device_get(largest_component_2d(mask)))
+    assert out[6, 0] and out[6, 2] and not out[2, 2]
+
+
+def test_device_cc_matches_host(rng):
+    pred = np.zeros((3, 24, 24), np.float64)
+    for z in range(3):
+        for val in (1, 2):
+            for _ in range(3):
+                cy, cx = rng.integers(2, 20, size=2)
+                h, w = rng.integers(1, 4, size=2)
+                pred[z, cy:cy + h, cx:cx + w] = val
+    host = clean_3d_prediction_2d_cc_host(pred)
+    dev = np.asarray(jax.device_get(clean_prediction_2d_cc(pred, (1, 2))))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_empty_slice_unchanged():
+    pred = np.zeros((2, 8, 8))
+    out = np.asarray(jax.device_get(clean_prediction_2d_cc(pred, (1, 2))))
+    assert out.sum() == 0
+
+
+def test_3d_cc_host():
+    pred = np.zeros((4, 10, 10))
+    pred[0:3, 2:5, 2:5] = 1     # 27-voxel blob
+    pred[3, 8, 8] = 1           # isolated voxel
+    out = clean_3d_prediction_3d_cc_host(pred)
+    assert out[1, 3, 3] == 1 and out[3, 8, 8] == 0
+
+
+def test_undo_generator_steps_roundtrip(rng):
+    """Forward preprocess (resample -> pad/crop) then undo ≈ original geometry
+    (ref invariant: src/data/Postprocess.py:8-61)."""
+    from cmrtpu.pipeline import transforms as T
+
+    # original: 30x28 in-plane at 1.4mm, 4 slices at 8mm
+    orig_arr = np.zeros((4, 30, 28), np.uint8)
+    orig_arr[:, 10:18, 9:16] = 1
+    orig = MedicalImage(array=orig_arr, spacing=(1.4, 1.4, 8.0))
+    cfg = {"SPACING": [1.2, 1.2], "DIM": [48, 48]}
+
+    # forward: resample in-plane to 1.2mm, pad/crop each slice to DIM
+    target_spacing = (1.2, 1.2, 8.0)
+    new_size = T.calc_resampled_size(orig.size, orig.spacing, target_spacing)
+    res = R.resample_nd(orig.array, orig.spacing, new_size, target_spacing,
+                        R.NEAREST)
+    processed = np.stack([T.pad_and_crop(s, (48, 48)) for s in res])
+
+    undone = undo_generator_steps(processed, cfg, R.NEAREST, orig)
+    assert undone.array.shape == orig.array.shape
+    assert undone.spacing == orig.spacing
+    # geometry round-trip: overwhelming voxel agreement
+    agreement = (undone.array == orig.array).mean()
+    assert agreement > 0.98, f"agreement {agreement}"
+
+
+def test_undo_without_resample_noop_shapes():
+    orig = MedicalImage(array=np.zeros((2, 32, 32), np.uint8),
+                        spacing=(1.2, 1.2, 8.0))
+    cfg = {"SPACING": [1.2, 1.2]}
+    pred = np.zeros((2, 48, 48), np.uint8)
+    pred[:, 20:24, 20:24] = 2
+    out = undo_generator_steps(pred, cfg, R.NEAREST, orig)
+    assert out.array.shape == (2, 32, 32)
+    assert 2 in out.array  # centre blob survives the crop
