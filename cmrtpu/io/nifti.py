@@ -16,6 +16,7 @@ from typing import Tuple
 import numpy as np
 
 from cmrtpu.io.geometry import MedicalImage
+from cmrtpu.native import cmrio
 
 _DTYPES = {
     2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 64: np.float64,
@@ -25,10 +26,9 @@ _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 
 def _read_blob(path: str) -> bytes:
-    with open(path, "rb") as fh:
-        blob = fh.read()
+    blob = cmrio.read_file_bytes(path)
     if blob[:2] == b"\x1f\x8b":
-        blob = gzip.decompress(blob)
+        blob = cmrio.inflate(blob)
     return blob
 
 
@@ -151,6 +151,6 @@ def write_nifti(img: MedicalImage, path: str) -> None:
     ensure_dir(os.path.dirname(os.path.abspath(path)))
     blob = encode_nifti(img)
     if path.lower().endswith(".gz"):
-        blob = gzip.compress(blob, compresslevel=1)
+        blob = cmrio.deflate_gzip(blob, level=1)
     with open(path, "wb") as fh:
         fh.write(blob)

@@ -17,6 +17,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from cmrtpu.io.geometry import MedicalImage
+from cmrtpu.native import cmrio
 
 _TYPE_TO_DTYPE = {
     "signed char": np.int8, "int8": np.int8, "int8_t": np.int8,
@@ -59,9 +60,7 @@ def _parse_vectors(value: str):
 
 
 def read_nrrd(path: str) -> MedicalImage:
-    with open(path, "rb") as fh:
-        blob = fh.read()
-    return decode_nrrd(blob)
+    return decode_nrrd(cmrio.read_file_bytes(path))
 
 
 def decode_nrrd(blob: bytes) -> MedicalImage:
@@ -100,7 +99,7 @@ def decode_nrrd(blob: bytes) -> MedicalImage:
     encoding = fields.get("encoding", "raw").lower()
     n_bytes = int(np.prod(sizes)) * dtype.itemsize
     if encoding in ("gzip", "gz"):
-        raw = zlib.decompress(payload, zlib.MAX_WBITS | 32)
+        raw = cmrio.inflate(payload, size_hint=n_bytes)
     elif encoding == "raw":
         raw = payload
     else:
@@ -170,7 +169,7 @@ def encode_nrrd(img: MedicalImage, compress: bool = True) -> bytes:
     payload = array.tobytes()
     if compress:
         # gzip container (not bare zlib) for maximal reader compatibility
-        payload = gzip.compress(payload, compresslevel=1)
+        payload = cmrio.deflate_gzip(payload, level=1)
     return header + payload
 
 

@@ -1,0 +1,97 @@
+"""Native cmrio library: build, roundtrips, fallback equivalence."""
+
+import gzip
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from cmrtpu.native import cmrio
+from cmrtpu.native.build import native_available
+
+
+def _payloads():
+    rng = np.random.default_rng(0)
+    return [
+        b"",
+        b"hello world" * 100,
+        rng.integers(0, 255, size=100_000, dtype=np.uint8).tobytes(),
+        np.zeros(1 << 20, np.uint8).tobytes(),
+    ]
+
+
+def test_native_library_builds():
+    # The baked toolchain must produce a working library in this image.
+    assert native_available(), "libcmrio failed to build/load"
+
+
+@pytest.mark.parametrize("idx", range(4))
+def test_inflate_roundtrip_gzip_and_zlib(idx):
+    data = _payloads()[idx]
+    assert cmrio.inflate(gzip.compress(data)) == data
+    assert cmrio.inflate(zlib.compress(data)) == data
+
+
+def test_deflate_gzip_is_standard_container():
+    data = b"ACDC SAX slice payload " * 1000
+    blob = cmrio.deflate_gzip(data, level=1)
+    assert gzip.decompress(blob) == data
+
+
+def test_deflate_incompressible_payload():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 255, size=50_000, dtype=np.uint8).tobytes()
+    assert gzip.decompress(cmrio.deflate_gzip(data)) == data
+
+
+def test_multimember_gzip_concatenation():
+    # NRRD writers may emit concatenated gzip members.
+    a, b = b"first-member" * 50, b"second-member" * 50
+    blob = gzip.compress(a) + gzip.compress(b)
+    assert cmrio.inflate(blob) == a + b
+
+
+def test_read_file_bytes(tmp_path):
+    path = tmp_path / "blob.bin"
+    payload = os.urandom(10_000)
+    path.write_bytes(payload)
+    assert cmrio.read_file_bytes(str(path)) == payload
+
+
+def test_inflate_batch_parallel():
+    rng = np.random.default_rng(2)
+    datas = [rng.integers(0, 255, size=rng.integers(10, 200_000),
+                          dtype=np.uint8).tobytes() for _ in range(17)]
+    blobs = [gzip.compress(d) for d in datas]
+    out = cmrio.inflate_batch(blobs, n_threads=4)
+    assert out == datas
+
+
+def test_inflate_into_numpy_buffer():
+    data = np.arange(4096, dtype=np.float32)
+    blob = gzip.compress(data.tobytes())
+    out = np.empty(4096, np.float32)
+    n = cmrio.inflate_into(blob, out)
+    assert n == data.nbytes
+    np.testing.assert_array_equal(out, data)
+
+
+def test_python_fallback_matches_native(monkeypatch):
+    data = b"fallback equivalence " * 500
+    blob = gzip.compress(data)
+    native = cmrio.inflate(blob)
+    monkeypatch.setattr("cmrtpu.native.cmrio.get_library", lambda: None)
+    assert cmrio.inflate(blob) == native == data
+    assert gzip.decompress(cmrio.deflate_gzip(data)) == data
+
+
+def test_nrrd_roundtrip_uses_native(tmp_path):
+    from cmrtpu.io import MedicalImage, read_image, write_image
+    arr = np.random.default_rng(3).normal(size=(12, 48, 48)).astype(np.float32)
+    img = MedicalImage(array=arr, spacing=(1.5, 1.2, 1.2))
+    path = str(tmp_path / "vol_img.nrrd")
+    write_image(img, path)
+    back = read_image(path)
+    np.testing.assert_allclose(back.array, arr)
+    np.testing.assert_allclose(back.spacing, img.spacing)
