@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from cmrtpu import config as C
-from cmrtpu.models.unet import build_model, init_variables
+from cmrtpu.models.unet import init_variables
 from cmrtpu.parallel.mesh import create_mesh, shard_batch
 from cmrtpu.train import losses as L
 from cmrtpu.train import steps as S
@@ -30,8 +30,13 @@ class Trainer:
                  supervision: bool = False):
         self.config = C.normalise_config(config)
         self.mesh = mesh if mesh is not None else create_mesh(self.config)
-        self.model = model if model is not None else build_model(self.config,
-                                                                supervision=supervision)
+        if model is None:
+            # MODEL_VARIANT dispatches between the plain dimension-generic
+            # U-Net and the 2D-in-3D hybrid family (ref: get_model,
+            # src/models/Unets.py:984-998)
+            from cmrtpu.models.hybrids import get_model
+            model = get_model(self.config, supervision=supervision)
+        self.model = model
         self.loss_fn = loss_fn or L.get_loss(self.config)
         self.metrics = metrics if metrics is not None else L.default_metrics(
             C.get(self.config, "MASK_CLASSES"))
@@ -116,9 +121,15 @@ class Trainer:
         return self.history
 
     def predict(self, x: np.ndarray) -> np.ndarray:
-        out = self.predict_step(self.state.params, self.state.batch_stats,
-                                np.asarray(x))
-        return np.asarray(jax.device_get(out))
+        x = np.asarray(x)
+        # pad to a multiple of the data-axis size so the batch shards evenly
+        n = x.shape[0]
+        n_shards = int(np.prod(list(self.mesh.shape.values()))) if self.mesh else 1
+        padded = -(-n // n_shards) * n_shards
+        if padded != n:
+            x = np.concatenate([x, np.zeros((padded - n, *x.shape[1:]), x.dtype)])
+        out = self.predict_step(self.state.params, self.state.batch_stats, x)
+        return np.asarray(jax.device_get(out))[:n]
 
     def evaluate(self, data: Iterable) -> Dict[str, float]:
         return self._run_epoch(data, training=False)
