@@ -56,3 +56,24 @@ if __name__ == "__main__":
         run(64, prng_impl="rbg")
     elif mode == "rbg128":
         run(128, prng_impl="rbg")
+    elif mode == "rbg64":
+        run(64, prng_impl="rbg")
+    elif mode == "nodrop64":
+        run_nodrop(64)
+
+def run_nodrop(batch):
+    import jax
+    from cmrtpu.parallel.mesh import create_mesh, shard_batch
+    from cmrtpu.train.trainer import Trainer
+    config = {"DIM": [224, 224], "DEPTH": 4, "FILTERS": 32, "MASK_CLASSES": 2,
+              "BATCHSIZE": batch, "MIXED_PRECISION": True, "DROPOUT_MIN": 0.0,
+              "DROPOUT_MAX": 0.0, "LEARNING_RATE": 1e-4, "SEED": 0}
+    mesh = create_mesh()
+    trainer = Trainer(config, mesh=mesh)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(batch, 224, 224, 1)).astype(np.float32)
+    y = (rng.random(size=(batch, 224, 224, 2)) > 0.98).astype(np.float32)
+    db = shard_batch((x, y), mesh)
+    bench(f"nodrop{batch}",
+          lambda s, xx, yy: trainer.train_step(s, xx, yy, trainer.rng),
+          trainer.state, db)

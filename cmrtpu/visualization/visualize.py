@@ -19,7 +19,10 @@ import numpy as np
 
 from cmrtpu.utils.io_utils import ensure_dir
 
-_MASK_CMAPS = ("spring", "autumn", "cool", "winter")
+# one solid color per mask channel (binary masks evaluate colormaps only at
+# 1.0, which made spring/autumn indistinguishable — both yellow)
+_MASK_COLORS = ((1.0, 0.2, 0.2), (0.2, 0.5, 1.0), (0.2, 1.0, 0.3),
+                (1.0, 0.8, 0.1))
 
 
 def _norm01(img: np.ndarray) -> np.ndarray:
@@ -41,9 +44,11 @@ def overlay_slice(ax, img2d: np.ndarray, mask2d: Optional[np.ndarray] = None,
                 else np.zeros((*mask2d.shape, 1))
         for c in range(mask2d.shape[-1]):
             channel = np.asarray(mask2d[..., c], dtype=np.float32)
-            masked = np.ma.masked_where(channel < 0.5, channel)
-            ax.imshow(masked, cmap=_MASK_CMAPS[c % len(_MASK_CMAPS)],
-                      alpha=alpha, vmin=0, vmax=1)
+            color = _MASK_COLORS[c % len(_MASK_COLORS)]
+            rgba = np.zeros((*channel.shape, 4), np.float32)
+            rgba[..., :3] = color
+            rgba[..., 3] = np.where(channel >= 0.5, alpha, 0.0)
+            ax.imshow(rgba)
     ax.set_xticks([])
     ax.set_yticks([])
 
