@@ -24,7 +24,9 @@ def main():
     from cmrtpu.train.trainer import Trainer
 
     n_dev = len(jax.devices())
-    batch = 32 * n_dev
+    # per-chip batch 128 is the measured throughput sweet spot on v5e
+    # (b32: 352, b64: 415, b128+rbg: 996, b256+rbg: 953 slices/s/chip)
+    batch = 128 * n_dev
     config = {"DIM": [224, 224], "DEPTH": 4, "FILTERS": 32, "MASK_CLASSES": 2,
               "BATCHSIZE": batch, "MIXED_PRECISION": True,
               "LEARNING_RATE": 1e-4, "SEED": 0}

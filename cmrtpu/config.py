@@ -105,6 +105,8 @@ DEFAULTS: Dict[str, Any] = {
     "MESH_SHAPE": None,          # None -> 1D data mesh over all local devices
     "PREFETCH_DEPTH": 2,         # device prefetch double-buffering depth
     "CACHE_IN_MEMORY": True,     # cache deterministic preprocessing in RAM
+    "PRNG_IMPL": "rbg",          # dropout-mask PRNG; rbg is ~1.4x faster than
+                                 # threefry on TPU for conv-U-Net train steps
 }
 
 # accepted alternate spellings -> canonical key (reference quirk compat)

@@ -55,6 +55,34 @@ def label_components_2d(mask):
     return labels
 
 
+def _converge_batch(masks):
+    """Batched label convergence [N, H, W]: VMEM-resident pallas kernel on
+    TPU (cmrtpu/ops/pallas_kernels.py), vmapped XLA while_loop elsewhere."""
+    if jax.default_backend() == "tpu":
+        from cmrtpu.ops.pallas_kernels import converge_labels_pallas
+        return converge_labels_pallas(masks)
+    return jax.vmap(label_components_2d)(masks)
+
+
+def largest_component_batch(masks):
+    """Keep only the largest 4-connected component per binary [N, H, W] slice."""
+    masks = jnp.asarray(masks)
+    n, h, w = masks.shape
+    labels = _converge_batch(masks)
+
+    def biggest_id(lab_flat, msk_flat):
+        sizes = jnp.zeros(h * w + 1, jnp.int32).at[
+            jnp.clip(lab_flat, 0, h * w)].add(msk_flat.astype(jnp.int32))
+        sizes = sizes.at[h * w].set(0)  # sentinel bucket
+        return jnp.argmax(sizes)
+
+    biggest = jax.vmap(biggest_id)(labels.reshape(n, -1),
+                                   masks.reshape(n, -1))
+    keep = (labels == biggest[:, None, None]) & masks
+    has_fg = jnp.any(masks, axis=(1, 2))
+    return jnp.where(has_fg[:, None, None], keep, masks)
+
+
 def largest_component_2d(mask):
     """Keep only the largest 4-connected component of a binary [H, W] mask."""
     h, w = mask.shape
@@ -70,17 +98,16 @@ def largest_component_2d(mask):
 
 def clean_prediction_2d_cc(pred_flat, label_values=(1, 2)):
     """Per-slice, per-label biggest-CC filter of a [Z, H, W] label volume —
-    jit-compiled parity of clean_3d_prediction_2d_cc (Postprocess.py:108)."""
+    jit-compiled parity of clean_3d_prediction_2d_cc (Postprocess.py:108).
+
+    Batched over slices (and labels via a python loop): the convergence runs
+    in one pallas launch per label on TPU."""
     pred_flat = jnp.asarray(pred_flat)
-
-    def per_slice(slice2d):
-        out = jnp.zeros_like(slice2d)
-        for val in label_values:
-            keep = largest_component_2d(slice2d == val)
-            out = jnp.where(keep, jnp.asarray(val, slice2d.dtype), out)
-        return out
-
-    return jax.vmap(per_slice)(pred_flat)
+    out = jnp.zeros_like(pred_flat)
+    for val in label_values:
+        keep = largest_component_batch(pred_flat == val)
+        out = jnp.where(keep, jnp.asarray(val, pred_flat.dtype), out)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -47,10 +47,18 @@ def smooth_heatmap_targets(mask_channels, sigma: float):
     """Binary channel masks [..., H, W, C] -> normalised Gaussian heatmaps.
 
     Joint minmax over the whole tensor (ref: Generators.py:391 normalises the
-    stacked mask globally, not per channel).
+    stacked mask globally, not per channel). On TPU the blur runs as a
+    VMEM-resident pallas kernel (cmrtpu/ops/pallas_kernels.py); the jnp
+    fallback materialises shifted windows.
     """
-    blurred = jax.vmap(lambda c: gaussian_blur_2d(c, sigma),
-                       in_axes=-1, out_axes=-1)(mask_channels.astype(jnp.float32))
+    x = mask_channels.astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        from cmrtpu.ops.pallas_kernels import gaussian_blur_2d_pallas
+        moved = jnp.moveaxis(x, -1, 0)  # [..., H, W, C] -> [C, ..., H, W]
+        blurred = jnp.moveaxis(gaussian_blur_2d_pallas(moved, sigma), 0, -1)
+    else:
+        blurred = jax.vmap(lambda c: gaussian_blur_2d(c, sigma),
+                           in_axes=-1, out_axes=-1)(x)
     lo = jnp.min(blurred)
     hi = jnp.max(blurred)
     return (blurred - lo) / (hi - lo + jnp.finfo(jnp.float32).eps)

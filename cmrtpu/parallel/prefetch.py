@@ -1,0 +1,69 @@
+"""Async host -> HBM prefetch pipeline.
+
+The reference overlaps host preprocessing with device compute through keras'
+prefetch queue (``max_queue_size=QUEUE_SIZE``, ref: src/models/
+train_model.py:105-112) fed by a per-batch thread pool. The TPU-native
+equivalent: a small background thread drives the (host-side) batch iterable
+and eagerly ``device_put``s each batch with the mesh's batch sharding, so
+the transfer of batch N+1 overlaps the train step on batch N (``device_put``
+is async — it returns as soon as the transfer is enqueued).
+
+``PREFETCH_DEPTH`` (config) bounds the queue: depth 2 = classic double
+buffering.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional
+
+from jax.sharding import Mesh
+
+from cmrtpu.parallel.mesh import shard_batch
+
+_SENTINEL = object()
+
+
+def prefetch_to_device(data: Iterable, mesh: Optional[Mesh],
+                       depth: int = 2) -> Iterator:
+    """Iterate ``data``, yielding device-resident (sharded) batches, with up
+    to ``depth`` batches in flight ahead of the consumer.
+
+    Exceptions in the producer thread are re-raised at the consumer."""
+    if depth <= 0:
+        for batch in data:
+            yield shard_batch(batch, mesh) if mesh is not None else batch
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    err: list = []
+
+    def producer():
+        try:
+            for batch in data:
+                out = shard_batch(batch, mesh) if mesh is not None else batch
+                q.put(out)
+        except BaseException as e:  # noqa: BLE001 - propagate to consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        # drain so the producer can exit if the consumer stops early
+        while thread.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5)

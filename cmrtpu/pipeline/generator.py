@@ -40,6 +40,7 @@ from cmrtpu.ops.gaussian import smooth_heatmap_targets
 from cmrtpu.pipeline import transforms as T
 from cmrtpu.pipeline.augment import make_batch_augmenter
 from cmrtpu.pipeline.histmatch import match_2d_on_nd
+from cmrtpu.utils.profiling import GLOBAL_TIMER
 
 
 def load_masked_img(img_path: str, mask: bool = False,
@@ -132,6 +133,10 @@ class DataGenerator:
     # stage 1: deterministic (cacheable) preprocessing
     # ------------------------------------------------------------------
     def _fix_preprocessing(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        with GLOBAL_TIMER.stage("generator/fix_preprocess"):
+            return self._fix_preprocessing_impl(idx)
+
+    def _fix_preprocessing_impl(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         img = load_masked_img(self.images[idx], mask=self.masking_image,
                               masking_values=self.masking_values,
                               replace=self.replace_wildcard)
@@ -199,6 +204,10 @@ class DataGenerator:
         return self._fix_preprocessing(idx)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        with GLOBAL_TIMER.stage("generator/batch"):
+            return self._getitem_impl(index)
+
+    def _getitem_impl(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         idxs = self.indices[index * self.batchsize:(index + 1) * self.batchsize]
         imgs, msks = [], []
         for idx in idxs:

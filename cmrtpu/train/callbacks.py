@@ -225,14 +225,19 @@ class HistoryCSV(Callback):
 
 
 class ImageWriter(Callback):
-    """Pred-vs-gt overlay PNGs every n epochs (ref CustomImageWritertf2 :386-536)."""
+    """Pred-vs-gt overlay images every n epochs, written as PNGs and/or TB
+    image summaries (ref CustomImageWritertf2 :386-536 / ImageSaver :661)."""
 
     def __init__(self, image_dir: str, sample_batches: List, frequency: int = 2,
-                 samples: int = 4):
+                 samples: int = 4, to_tensorboard: bool = False,
+                 tb_dir: Optional[str] = None):
         self.image_dir = image_dir
         self.sample_batches = sample_batches  # list of (name, x, y) numpy triples
         self.frequency = max(1, frequency)
         self.samples = samples
+        self.to_tensorboard = to_tensorboard
+        self.tb_dir = tb_dir or image_dir
+        self._writer = None
 
     def on_epoch_end(self, trainer, epoch, logs):
         if epoch % self.frequency:
@@ -244,8 +249,42 @@ class ImageWriter(Callback):
             try:
                 save_prediction_overlays(x[: self.samples], y[: self.samples],
                                          preds[: self.samples], out)
+                if self.to_tensorboard:
+                    self._tb_image(name, out, epoch)
             except Exception as e:
                 logging.debug("image writer failed: %s", e)
+
+    def _tb_image(self, name: str, png_path: str, epoch: int) -> None:
+        import matplotlib.image as mpimg
+        if self._writer is None:
+            from cmrtpu.utils.tfevents import EventWriter
+            self._writer = EventWriter(self.tb_dir, filename_suffix=".images")
+        rgb = (mpimg.imread(png_path)[..., :3] * 255).astype(np.uint8)
+        self._writer.add_image(name, rgb, epoch)
+        self._writer.flush()
+
+    def on_train_end(self, trainer):
+        if self._writer is not None:
+            self._writer.close()
+
+
+class WeightsSaver(Callback):
+    """Unconditional weights dump every n epochs
+    (ref: WeightsSaver, src/utils/KerasCallbacks.py:804-840)."""
+
+    def __init__(self, model_path: str, every_n_epochs: int = 5,
+                 keep_per_epoch: bool = False):
+        self.model_path = model_path
+        self.every_n_epochs = max(1, every_n_epochs)
+        self.keep_per_epoch = keep_per_epoch
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        if (epoch + 1) % self.every_n_epochs:
+            return
+        path = (os.path.join(self.model_path, f"epoch_{epoch:04d}")
+                if self.keep_per_epoch else self.model_path)
+        ckpt.save_weights(path, trainer.state.params, trainer.state.batch_stats)
+        logging.info("Epoch %d: weights saved to %s", epoch + 1, path)
 
 
 def get_callbacks(config: Dict, sample_batches: Optional[List] = None,
@@ -283,5 +322,7 @@ def get_callbacks(config: Dict, sample_batches: Optional[List] = None,
         cbs.append(ImageWriter(
             os.path.join(C.get(config, "EXP_PATH", "tmp"), "figures"),
             sample_batches,
-            frequency=C.get(config, "SAVE_LEARNING_PROGRESS_FREQUENCY", 2)))
+            frequency=C.get(config, "SAVE_LEARNING_PROGRESS_FREQUENCY", 2),
+            to_tensorboard=C.get(config, "SAVE_LEARNING_PROGRESS_AS_TF", False),
+            tb_dir=tb_path))
     return cbs

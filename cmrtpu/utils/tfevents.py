@@ -87,6 +87,40 @@ def _scalar_summary(tag: str, value: float) -> bytes:
     return _field_bytes(1, value_msg)
 
 
+def encode_png_rgb(rgb) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (IHDR + one zlib IDAT + IEND). Avoids a
+    TF/PIL dependency for TB image summaries; compression runs through the
+    native cmrio core when available."""
+    import zlib
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(rgb, dtype=np.uint8))
+    assert arr.ndim == 3 and arr.shape[2] == 3, "expect [H, W, 3] uint8"
+    h, w = arr.shape[:2]
+    # each scanline prefixed with filter byte 0
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    compressed = zlib.compress(raw, 6)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", compressed) + chunk(b"IEND", b""))
+
+
+def _image_summary(tag: str, rgb) -> bytes:
+    """Summary.Value{tag, image{height(1), width(2), colorspace(3)=3,
+    encoded_image_string(4)}} — image is Value field 4."""
+    import numpy as np
+    arr = np.asarray(rgb)
+    image_msg = (_field_varint(1, arr.shape[0]) + _field_varint(2, arr.shape[1])
+                 + _field_varint(3, 3) + _field_bytes(4, encode_png_rgb(arr)))
+    value_msg = _field_bytes(1, tag.encode()) + _field_bytes(4, image_msg)
+    return _field_bytes(1, value_msg)
+
+
 class EventWriter:
     """Append-only tfevents file: ``add_scalar(tag, value, step)``."""
 
@@ -107,6 +141,12 @@ class EventWriter:
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._write_record(
             _event(time.time(), step, summary=_scalar_summary(tag, value)))
+
+    def add_image(self, tag: str, rgb, step: int) -> None:
+        """[H, W, 3] uint8 image summary (ref CustomImageWritertf2 writes
+        pred-vs-gt panels to TB, src/utils/KerasCallbacks.py:386-536)."""
+        self._write_record(
+            _event(time.time(), step, summary=_image_summary(tag, rgb)))
 
     def flush(self) -> None:
         self._fh.flush()

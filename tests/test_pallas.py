@@ -1,0 +1,88 @@
+"""Pallas kernels + their dispatching wrappers.
+
+On the CPU test backend the wrappers take the XLA path; the pallas kernels
+themselves are validated on real TPU (skipped here unless backend == tpu —
+the gaussian kernel additionally runs in interpret mode because it is cheap;
+the CC kernel's while_loop is impractically slow under the interpreter).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmrtpu.ops.connected_components import (
+    clean_3d_prediction_2d_cc_host,
+    clean_prediction_2d_cc,
+    largest_component_batch,
+)
+from cmrtpu.ops.gaussian import gaussian_blur_2d, smooth_heatmap_targets
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def test_gaussian_pallas_matches_jnp_interpret():
+    from cmrtpu.ops.pallas_kernels import gaussian_blur_2d_pallas
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 48, 40)).astype(np.float32)
+    out_p = np.asarray(gaussian_blur_2d_pallas(x, 2.0))
+    out_j = np.asarray(gaussian_blur_2d(jnp.asarray(x), 2.0))
+    np.testing.assert_allclose(out_p, out_j, atol=1e-5)
+
+
+def test_gaussian_pallas_leading_axes():
+    from cmrtpu.ops.pallas_kernels import gaussian_blur_2d_pallas
+    x = np.zeros((2, 3, 16, 16), np.float32)
+    x[..., 8, 8] = 1.0
+    out = np.asarray(gaussian_blur_2d_pallas(x, 1.0))
+    assert out.shape == x.shape
+    np.testing.assert_allclose(out.sum(axis=(-2, -1)), 1.0, atol=1e-4)
+
+
+def test_largest_component_batch_matches_host():
+    rng = np.random.default_rng(1)
+    masks = (rng.random((4, 24, 24)) > 0.82)
+    kept = np.asarray(largest_component_batch(masks))
+    for i in range(4):
+        host = clean_3d_prediction_2d_cc_host(
+            masks[i][None].astype(np.uint8))[0] > 0
+        np.testing.assert_array_equal(kept[i], host)
+
+
+def test_clean_prediction_2d_cc_two_labels():
+    pred = np.zeros((2, 20, 20), np.float64)
+    pred[0, 2:5, 2:5] = 1     # big ant blob
+    pred[0, 10, 10] = 1       # speck -> removed
+    pred[0, 14:18, 14:18] = 2
+    pred[1, 0, 0] = 2         # single-pixel component survives (only one)
+    out = np.asarray(clean_prediction_2d_cc(pred, (1, 2)))
+    assert out[0, 10, 10] == 0
+    assert out[0, 3, 3] == 1 and out[0, 15, 15] == 2
+    assert out[1, 0, 0] == 2
+    host = clean_3d_prediction_2d_cc_host(pred.astype(np.uint8))
+    np.testing.assert_array_equal(out.astype(np.uint8), host)
+
+
+def test_smooth_heatmap_targets_dispatch():
+    m = np.zeros((2, 32, 32, 2), np.float32)
+    m[0, 10, 10, 0] = 1
+    m[1, 20, 20, 1] = 1
+    hm = np.asarray(smooth_heatmap_targets(jnp.asarray(m), 2.0))
+    assert hm.shape == m.shape
+    assert hm.max() == pytest.approx(1.0, abs=1e-4)
+    assert hm[0, 10, 10, 0] > hm[0, 14, 10, 0] > 0
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas CC kernel is TPU-only "
+                    "(interpreter too slow for its while_loop)")
+def test_cc_pallas_on_tpu():
+    from cmrtpu.ops.connected_components import label_components_2d
+    from cmrtpu.ops.pallas_kernels import converge_labels_pallas
+    m = np.zeros((2, 64, 64), np.uint8)
+    m[0, 2:6, 2:6] = 1
+    m[0, 20:30, 20:30] = 1
+    m[1, 5, 5] = 1
+    lab_p = np.asarray(converge_labels_pallas(m))
+    lab_j = np.stack([np.asarray(label_components_2d(jnp.asarray(s) > 0))
+                      for s in m])
+    np.testing.assert_array_equal(lab_p, lab_j)

@@ -153,3 +153,40 @@ def test_history_csv(tmp_path):
     cb.on_epoch_end(trainer, 1, {"loss": 0.4, "dice_coef_labels": 0.3})
     lines = (tmp_path / "history.csv").read_text().strip().splitlines()
     assert lines[0].startswith("epoch,") and len(lines) == 3
+
+
+def test_weights_saver_and_tb_images(tmp_path):
+    """WeightsSaver dumps every n epochs; ImageWriter writes PNG + TB image."""
+    import glob as _glob
+    import numpy as np
+    from cmrtpu.train.callbacks import ImageWriter, WeightsSaver
+    from cmrtpu.train.trainer import Trainer
+
+    config = {"DIM": [16, 16], "DEPTH": 1, "FILTERS": 2, "MASK_CLASSES": 2,
+              "BATCHSIZE": 4, "LEARNING_RATE": 1e-3, "MIXED_PRECISION": False,
+              "SEED": 0}
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 16, 16, 1)).astype(np.float32)
+    y = (rng.random(size=(4, 16, 16, 2)) > 0.9).astype(np.float32)
+    trainer = Trainer(config)
+    ws = WeightsSaver(str(tmp_path / "w"), every_n_epochs=2)
+    iw = ImageWriter(str(tmp_path / "figs"), [("val", x, y)], frequency=1,
+                     to_tensorboard=True, tb_dir=str(tmp_path / "tb"))
+    trainer.fit([(x, y)], epochs=2, callbacks=[ws, iw])
+    assert _glob.glob(str(tmp_path / "w" / "*.npz"))
+    assert _glob.glob(str(tmp_path / "figs" / "*.png"))
+    events = _glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert events and os.path.getsize(events[0]) > 1000  # contains a PNG
+
+
+def test_png_encoder_roundtrip(tmp_path):
+    import numpy as np
+    from cmrtpu.utils.tfevents import encode_png_rgb
+    rgb = np.random.default_rng(0).integers(0, 255, (20, 30, 3), dtype=np.uint8)
+    blob = encode_png_rgb(rgb)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    import matplotlib.image as mpimg
+    p = tmp_path / "t.png"
+    p.write_bytes(blob)
+    back = (mpimg.imread(str(p)) * 255).round().astype(np.uint8)
+    np.testing.assert_array_equal(back[..., :3], rgb)
