@@ -116,7 +116,9 @@ class DataGenerator:
                                  if x and "ACDC" in x[0] else ("img", "msk"))
 
         self._rng = np.random.default_rng(self.seed)
-        self._aug_key = jax.random.PRNGKey(self.seed)
+        # typed key: carries its PRNG impl, immune to later global
+        # jax_default_prng_impl flips (e.g. Trainer setting PRNG_IMPL=rbg)
+        self._aug_key = jax.random.key(self.seed)
         self._batch_counter = 0
         self.indices = np.arange(len(self.images))
         self._cache: Optional[List] = None

@@ -46,7 +46,8 @@ class Trainer:
         self.loss_fn = loss_fn or L.get_loss(self.config)
         self.metrics = metrics if metrics is not None else L.default_metrics(
             C.get(self.config, "MASK_CLASSES"))
-        self.rng = jax.random.PRNGKey(C.get(self.config, "SEED", 42))
+        # typed key (carries the impl chosen above; robust to later flips)
+        self.rng = jax.random.key(C.get(self.config, "SEED", 42))
 
         self.optimizer = get_optimizer(self.config)
         variables = init_variables(self.model, self.config, self.rng)
@@ -80,6 +81,22 @@ class Trainer:
         self.state = self.state.replace(opt_state=self.optimizer.init(self.state.params))
         self._build_steps()
 
+    # -- checkpoint / resume -------------------------------------------------
+    def restore_weights(self, model_path: str) -> None:
+        """Load weights-only model.npz (inference parity with the reference's
+        rebuild-then-load_weights flow, ref: predict_model.py:75-76)."""
+        from cmrtpu.train.checkpoint import load_weights
+        params, batch_stats = load_weights(model_path)
+        self.state = self.state.replace(params=params, batch_stats=batch_stats)
+
+    def restore(self, ckpt_dir: str) -> int:
+        """Full-state resume (params + optimizer + step); returns the restored
+        step count. Capability the reference lacks (initial_epoch=0 hard-coded,
+        ref: train_model.py:101)."""
+        from cmrtpu.train.checkpoint import restore_train_state
+        self.state = restore_train_state(ckpt_dir, jax.device_get(self.state))
+        return int(self.state.step)
+
     # -- loops -------------------------------------------------------------
     def _run_epoch(self, data: Iterable, training: bool) -> Dict[str, float]:
         from cmrtpu.parallel.prefetch import prefetch_to_device
@@ -102,13 +119,14 @@ class Trainer:
         return {k: v / max(count, 1) for k, v in sums.items()}
 
     def fit(self, train_data, val_data=None, epochs: Optional[int] = None,
-            callbacks: Optional[List[Callback]] = None) -> List[Dict[str, float]]:
+            callbacks: Optional[List[Callback]] = None,
+            initial_epoch: int = 0) -> List[Dict[str, float]]:
         epochs = epochs or C.get(self.config, "EPOCHS", 100)
         callbacks = callbacks or []
         self.stop_training = False
         for cb in callbacks:
             cb.on_train_begin(self)
-        for epoch in range(epochs):
+        for epoch in range(initial_epoch, epochs):
             t0 = time.time()
             for cb in callbacks:
                 cb.on_epoch_begin(self, epoch)

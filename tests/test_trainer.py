@@ -190,3 +190,49 @@ def test_png_encoder_roundtrip(tmp_path):
     p.write_bytes(blob)
     back = (mpimg.imread(str(p)) * 255).round().astype(np.uint8)
     np.testing.assert_array_equal(back[..., :3], rgb)
+
+
+def test_full_state_resume(tmp_path):
+    """Save full train state mid-run, restore into a fresh Trainer, continue:
+    step counter, params and optimizer state survive."""
+    import numpy as np
+    from cmrtpu.train import checkpoint as ckpt
+    from cmrtpu.train.trainer import Trainer
+
+    config = {"DIM": [16, 16], "DEPTH": 1, "FILTERS": 2, "MASK_CLASSES": 2,
+              "BATCHSIZE": 4, "LEARNING_RATE": 1e-3, "MIXED_PRECISION": False,
+              "SEED": 0}
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 16, 16, 1)).astype(np.float32)
+    y = (rng.random(size=(4, 16, 16, 2)) > 0.9).astype(np.float32)
+
+    t1 = Trainer(config)
+    t1.fit([(x, y)], epochs=3)
+    ckpt.save_train_state(str(tmp_path), t1.state)
+    step1 = int(t1.state.step)
+
+    t2 = Trainer(config)
+    assert int(t2.state.step) == 0
+    restored_step = t2.restore(str(tmp_path))
+    assert restored_step == step1 == 3
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(t1.state.params)[0])
+    leaf2 = np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0])
+    np.testing.assert_array_equal(leaf1, leaf2)
+    t2.fit([(x, y)], epochs=5, initial_epoch=3)  # continues without error
+    assert int(t2.state.step) == 5
+
+
+def test_restore_weights_roundtrip(tmp_path):
+    import numpy as np
+    from cmrtpu.train import checkpoint as ckpt
+    from cmrtpu.train.trainer import Trainer
+
+    config = {"DIM": [16, 16], "DEPTH": 1, "FILTERS": 2, "MASK_CLASSES": 2,
+              "BATCHSIZE": 4, "MIXED_PRECISION": False, "SEED": 0}
+    t1 = Trainer(config)
+    ckpt.save_weights(str(tmp_path), t1.state.params, t1.state.batch_stats)
+    t2 = Trainer(dict(config, SEED=1))
+    t2.restore_weights(str(tmp_path))
+    l1 = np.asarray(jax.tree_util.tree_leaves(t1.state.params)[0])
+    l2 = np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0])
+    np.testing.assert_array_equal(l1, l2)
