@@ -1,0 +1,83 @@
+"""Cross-validation ensemble inference (BASELINE config 5).
+
+The reference runs each fold's model separately and evaluates them fold-wise
+(ref: src/models/predict_model.py per-fold, src/models/evaluate_cv.py over
+the exp glob). The TPU-native ensemble goes further: all K fold models share
+one architecture, so their parameter pytrees stack along a leading axis and
+ONE vmapped forward evaluates every fold member in a single XLA program —
+the MXU sees K-fold-larger batched convolutions instead of K sequential
+model calls. Member probabilities are averaged on-device.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmrtpu import config as C
+from cmrtpu.models.unet import build_model
+from cmrtpu.train.checkpoint import load_weights
+
+
+def _stack_pytrees(trees):
+    return jax.tree_util.tree_map(lambda *leaves: jnp.stack(leaves), *trees)
+
+
+class EnsemblePredictor:
+    """Average-probability ensemble over fold checkpoints.
+
+    >>> ens = EnsemblePredictor.from_exp_root("exp/rvip/2026-01-01_00_00", cfg)
+    >>> probs = ens.predict(x)            # [B, H, W, C] mean over members
+    """
+
+    def __init__(self, config: Dict, weight_dirs: Sequence[str]):
+        assert weight_dirs, "no fold checkpoints given"
+        self.config = C.normalise_config(config)
+        self.model = build_model(self.config)
+        members = [load_weights(d) for d in weight_dirs]
+        self.n_members = len(members)
+        self._params = _stack_pytrees([m[0] for m in members])
+        self._batch_stats = _stack_pytrees([m[1] for m in members])
+
+        def member_forward(params, batch_stats, x):
+            return self.model.apply({"params": params,
+                                     "batch_stats": batch_stats}, x, train=False)
+
+        # one compiled program: vmap over the stacked member axis
+        self._forward = jax.jit(
+            lambda x: jnp.mean(
+                jax.vmap(member_forward, in_axes=(0, 0, None))(
+                    self._params, self._batch_stats, x), axis=0))
+
+    @classmethod
+    def from_exp_root(cls, exp_root: str, config: Optional[Dict] = None
+                      ) -> "EnsemblePredictor":
+        """Collect f<k>/model checkpoints under a timestamped experiment root
+        (layout written by train_fold: exp/<EXP>/<ts>/f<k>/model/model.npz)."""
+        fold_models = sorted(glob.glob(os.path.join(exp_root, "f[0-9]*", "model")))
+        fold_models = [d for d in fold_models
+                       if os.path.exists(os.path.join(d, "model.npz"))]
+        if config is None:
+            cfg_files = sorted(glob.glob(os.path.join(
+                exp_root, "f[0-9]*", "config", "config.json")))
+            assert cfg_files, f"no fold configs under {exp_root}"
+            config = C.load_config(cfg_files[0])
+        return cls(config, fold_models)
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """Mean member probability for a [B, ...] batch."""
+        return np.asarray(jax.device_get(self._forward(jnp.asarray(x))))
+
+    def predict_members(self, x: np.ndarray) -> np.ndarray:
+        """Per-member probabilities [K, B, ...] (for disagreement analysis)."""
+        def member_forward(params, batch_stats, xx):
+            return self.model.apply({"params": params,
+                                     "batch_stats": batch_stats}, xx, train=False)
+        out = jax.vmap(member_forward, in_axes=(0, 0, None))(
+            self._params, self._batch_stats, jnp.asarray(x))
+        return np.asarray(jax.device_get(out))

@@ -147,9 +147,60 @@ def dice_numpy(y_true, y_pred, empty_score: float = 1.0) -> float:
     return 2.0 * np.logical_and(im1, im2).sum() / im_sum
 
 
+def categorical_crossentropy(y_true, y_pred) -> jax.Array:
+    """CCE over softmax probabilities (for exclusive-class softmax heads)."""
+    eps = 1e-7
+    return -jnp.mean(jnp.sum(y_true * jnp.log(jnp.clip(y_pred, eps, 1.0)),
+                             axis=-1))
+
+
+def cce_dice_loss(y_true, y_pred, w_cce: float = 1.0, w_dice: float = 1.0):
+    return w_cce * categorical_crossentropy(y_true, y_pred) \
+        - w_dice * dice_coef(y_true, y_pred)
+
+
+def multi_head_loss(heads):
+    """Loss for multi-head models (BASELINE config 4: joint RVIP heatmaps +
+    LV/RV/MYO segmentation). ``heads`` is the model's HEADS spec
+    [(name, channels, 'sigmoid'|'softmax'), ...]; y carries the heads'
+    target channels concatenated in spec order. Per head: BCE+Dice for
+    sigmoid heads, CCE+Dice for softmax heads; total = sum."""
+    heads = [tuple(h) for h in heads]
+
+    def loss(y_true, preds):
+        total = jnp.float32(0.0)
+        offset = 0
+        for name, channels, act in heads:
+            y_head = y_true[..., offset:offset + channels]
+            p_head = preds[name]
+            if act == "softmax":
+                total = total + cce_dice_loss(y_head, p_head)
+            else:
+                total = total + bce_dice_loss(y_head, p_head)
+            offset += channels
+        return total
+
+    return loss
+
+
+def concat_heads(heads):
+    """preds dict -> channel-concatenated tensor in HEADS spec order (lets
+    tensor metrics run on multi-head outputs)."""
+    names = [h[0] for h in heads]
+
+    def concat(preds):
+        return jnp.concatenate([preds[n] for n in names], axis=-1)
+
+    return concat
+
+
 def get_loss(config: Dict) -> Callable:
     """Loss-by-name from config (accepts 'BcdDiceLoss' [sic] and 'BceDiceLoss',
-    ref: src/models/train_model.py:178-184)."""
+    ref: src/models/train_model.py:178-184). HEADS configs get the summed
+    per-head loss."""
+    heads = config.get("HEADS") or ()
+    if heads:
+        return multi_head_loss(heads)
     name = str(config.get("LOSS_FUNCTION", "BceDiceLoss"))
     if "DiceLoss" in name or name in ("BcdDiceLoss", "BceDiceLoss", "bce_dice_loss"):
         return bce_dice_loss

@@ -46,6 +46,12 @@ class Trainer:
         self.loss_fn = loss_fn or L.get_loss(self.config)
         self.metrics = metrics if metrics is not None else L.default_metrics(
             C.get(self.config, "MASK_CLASSES"))
+        heads = C.get(self.config, "HEADS", ()) or ()
+        if heads and metrics is None:
+            # tensor metrics run on the channel-concatenated head outputs
+            concat = L.concat_heads(heads)
+            self.metrics = {name: (lambda yt, yp, f=fn: f(yt, concat(yp)))
+                            for name, fn in self.metrics.items()}
         # typed key (carries the impl chosen above; robust to later flips)
         self.rng = jax.random.key(C.get(self.config, "SEED", 42))
 
@@ -158,7 +164,9 @@ class Trainer:
         if padded != n:
             x = np.concatenate([x, np.zeros((padded - n, *x.shape[1:]), x.dtype)])
         out = self.predict_step(self.state.params, self.state.batch_stats, x)
-        return np.asarray(jax.device_get(out))[:n]
+        # multi-head models return a dict of head outputs
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:n],
+                                      jax.device_get(out))
 
     def evaluate(self, data: Iterable) -> Dict[str, float]:
         return self._run_epoch(data, training=False)
