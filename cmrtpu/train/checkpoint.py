@@ -69,3 +69,22 @@ def restore_train_state(ckpt_dir: str, abstract_state):
     path = os.path.abspath(os.path.join(ckpt_dir, "state"))
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, abstract_state)
+
+
+def load_pretrained_model(model_path: str, abstract_state=None):
+    """Fallback-chain model loading (ref: load_pretrained_model,
+    src/models/ModelUtils.py:7-73 — SavedModel -> json+h5 -> tf-variables).
+
+    Here: full Orbax train state (if an abstract state is given and a
+    ``state/`` dir exists) -> weights-only model.npz -> error. Returns
+    (params, batch_stats, state_or_None)."""
+    state_dir = os.path.join(model_path, "state")
+    if abstract_state is not None and os.path.isdir(state_dir):
+        try:
+            state = restore_train_state(model_path, abstract_state)
+            return state.params, state.batch_stats, state
+        except Exception as e:  # fall through to weights-only
+            import logging
+            logging.info("full-state restore failed (%s); trying weights", e)
+    params, batch_stats = load_weights(model_path)
+    return params, batch_stats, None

@@ -54,3 +54,40 @@ def test_reloadable_roundtrip(tmp_path):
     loaded = C.load_config(os.path.join(out["CONFIG_PATH"], "config.json"))
     assert loaded["DIM"] == [32, 32]
     assert loaded["BATCHSIZE"] == 2
+
+
+def test_save_plot_versioning(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from cmrtpu.utils.io_utils import save_plot
+
+    fig, ax = plt.subplots()
+    ax.plot([1, 2])
+    p1 = save_plot(fig, str(tmp_path), "f.png")
+    p2 = save_plot(fig, str(tmp_path), "f.png")
+    assert p1.endswith("f.png") and p2.endswith("f_1.png")
+    p3 = save_plot(fig, str(tmp_path), "f.png", override=True)
+    assert p3 == p1
+    plt.close(fig)
+
+
+def test_get_metadata_maybe():
+    from cmrtpu.io import MedicalImage
+    from cmrtpu.utils.io_utils import get_metadata_maybe
+    import numpy as np
+
+    img = MedicalImage(array=np.zeros((2, 2)), metadata={"0008|103e": "cine"})
+    assert get_metadata_maybe(img, "0008|103e") == "cine"
+    assert get_metadata_maybe(img, "missing") == "not_found"
+
+
+def test_load_pretrained_model_chain(tmp_path):
+    import numpy as np
+    from cmrtpu.train import checkpoint as ckpt
+
+    params = {"conv": {"kernel": np.ones((3, 3, 1, 2), np.float32)}}
+    ckpt.save_weights(str(tmp_path), params, {})
+    p, bn, state = ckpt.load_pretrained_model(str(tmp_path))
+    np.testing.assert_array_equal(p["conv"]["kernel"], params["conv"]["kernel"])
+    assert state is None
