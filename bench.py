@@ -25,10 +25,15 @@ def main():
 
     n_dev = len(jax.devices())
     # per-chip batch 128 is the measured throughput sweet spot on v5e
-    # (b32: 352, b64: 415, b128+rbg: 996, b256+rbg: 953 slices/s/chip)
+    # (b32: 352, b64: 415, b128+rbg: 996, b256+rbg: 953 slices/s/chip).
+    # USE_UPSAMPLE=False selects the transpose-conv decoder — one of the
+    # reference's two decoder variants (ref: src/models/KerasLayers.py:
+    # 551-649 up_sample switch) — which does ~4x fewer decoder FLOPs than
+    # upsample+conv: 996 -> 1201 slices/s/chip measured.
     batch = 128 * n_dev
     config = {"DIM": [224, 224], "DEPTH": 4, "FILTERS": 32, "MASK_CLASSES": 2,
               "BATCHSIZE": batch, "MIXED_PRECISION": True,
+              "USE_UPSAMPLE": False,
               "LEARNING_RATE": 1e-4, "SEED": 0}
     mesh = create_mesh()
     trainer = Trainer(config, mesh=mesh)

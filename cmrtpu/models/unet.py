@@ -93,10 +93,16 @@ class DownBlock(nn.Module):
 
 
 def _upsample_nearest(x, factors: Sequence[int]):
-    """Nearest-neighbour upsampling (keras UpSampling default) for any rank."""
+    """Nearest-neighbour upsampling (keras UpSampling default) for any rank.
+
+    broadcast_to + reshape instead of jnp.repeat: XLA lowers the broadcast to
+    a layout change with no gather, measurably faster on TPU."""
     for axis, f in enumerate(factors, start=1):
         if f != 1:
-            x = jnp.repeat(x, f, axis=axis)
+            expanded = jnp.expand_dims(x, axis + 1)
+            target = x.shape[:axis + 1] + (f,) + x.shape[axis + 1:]
+            x = jnp.broadcast_to(expanded, target).reshape(
+                x.shape[:axis] + (x.shape[axis] * f,) + x.shape[axis + 1:])
     return x
 
 
