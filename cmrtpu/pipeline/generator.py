@@ -125,10 +125,18 @@ class DataGenerator:
         self._augment_batch = make_batch_augmenter(config) if self.augment else None
         self._finalize = self._build_finalize()
 
+        self._cache_x = self._cache_y = None  # padded, batch-gatherable cache
         if self.in_memory and self.images:
             with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
                 self._cache = list(pool.map(self._fix_preprocessing,
                                             range(len(self.images))))
+            # pad/crop to DIM is deterministic -> precompute once and keep the
+            # stack in two contiguous arrays; batch assembly then is a single
+            # vectorized gather instead of a per-element python loop
+            self._cache_x = np.stack([T.pad_and_crop(img.astype(np.float32), self.dim)
+                                      for img, _ in self._cache])
+            self._cache_y = np.stack([T.pad_and_crop(msk.astype(np.float32), self.dim)
+                                      for _, msk in self._cache])
         self.on_epoch_end()
 
     # ------------------------------------------------------------------
@@ -209,34 +217,54 @@ class DataGenerator:
         with GLOBAL_TIMER.stage("generator/batch"):
             return self._getitem_impl(index)
 
+    def _hist_match_element(self, idx: int) -> np.ndarray:
+        """hist-matching for one element (ref: Generators.py:350-358),
+        computed on the unpadded cached image against a random reference."""
+        img_nda, _ = self._get_fixed(idx)
+        ref_idx = int(self._rng.integers(len(self.images)))
+        ref2d, _ = self._get_fixed(ref_idx)
+        if ref2d.ndim == 3 and ref2d.shape[0] > 4:
+            border = 2
+            ref2d = ref2d[int(self._rng.integers(border, ref2d.shape[0] - border))]
+        elif ref2d.ndim == 3:
+            ref2d = ref2d[ref2d.shape[0] // 2]
+        matched = match_2d_on_nd(img_nda, ref2d)
+        return T.pad_and_crop(matched.astype(np.float32), self.dim)
+
     def _getitem_impl(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         idxs = self.indices[index * self.batchsize:(index + 1) * self.batchsize]
-        imgs, msks = [], []
-        for idx in idxs:
-            img_nda, msk_nda = self._get_fixed(int(idx))
-            # hist-matching in <10% of cases (ref: Generators.py:350-358)
-            if self.augment and self.hist_matching and self._rng.random() < 0.1:
-                ref_idx = int(self._rng.integers(len(self.images)))
-                ref_img, _ = self._get_fixed(ref_idx)
-                ref2d = ref_img
-                if ref2d.ndim == 3 and ref2d.shape[0] > 4:
-                    border = 2
-                    ref2d = ref2d[int(self._rng.integers(border, ref2d.shape[0] - border))]
-                elif ref2d.ndim == 3:
-                    ref2d = ref2d[ref2d.shape[0] // 2]
-                img_nda = match_2d_on_nd(img_nda, ref2d)
-            imgs.append(T.pad_and_crop(img_nda.astype(np.float32), self.dim))
-            msks.append(T.pad_and_crop(msk_nda.astype(np.float32), self.dim))
-        imgs_b = np.stack(imgs)
-        msks_b = np.stack(msks)
+        hist_on = self.augment and self.hist_matching
+        if self._cache_x is not None:
+            # vectorized gather over the padded cache (hot path)
+            imgs_b = self._cache_x[idxs]
+            msks_b = self._cache_y[idxs]
+            if hist_on:
+                hits = self._rng.random(len(idxs)) < 0.1
+                imgs_b = np.array(imgs_b) if hits.any() else imgs_b
+                for pos in np.nonzero(hits)[0]:
+                    imgs_b[pos] = self._hist_match_element(int(idxs[pos]))
+        else:
+            imgs, msks = [], []
+            for idx in idxs:
+                img_nda, msk_nda = self._get_fixed(int(idx))
+                # hist-matching in <10% of cases (ref: Generators.py:350-358)
+                if hist_on and self._rng.random() < 0.1:
+                    imgs.append(self._hist_match_element(int(idx)))
+                else:
+                    imgs.append(T.pad_and_crop(img_nda.astype(np.float32), self.dim))
+                msks.append(T.pad_and_crop(msk_nda.astype(np.float32), self.dim))
+            imgs_b = np.stack(imgs)
+            msks_b = np.stack(msks)
 
         if self.augment:
             self._batch_counter += 1
             key = jax.random.fold_in(self._aug_key, self._batch_counter)
             imgs_b, msks_b = self._augment_batch(key, imgs_b, msks_b)
 
-        x, y = self._finalize(jnp.asarray(imgs_b), jnp.asarray(msks_b))
-        return np.asarray(x), np.asarray(y)
+        # returned as device arrays: on TPU the stochastic stage's output
+        # already lives in HBM, so the train step consumes it without a
+        # host round-trip (np.asarray(...) still works for numpy consumers)
+        return self._finalize(jnp.asarray(imgs_b), jnp.asarray(msks_b))
 
     def __iter__(self):
         for i in range(len(self)):

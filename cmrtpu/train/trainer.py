@@ -110,9 +110,7 @@ class Trainer:
         sums: Dict[str, float] = {}
         count = 0
         depth = int(C.get(self.config, "PREFETCH_DEPTH", 2))
-        batches = prefetch_to_device(
-            ((np.asarray(x), np.asarray(y)) for x, y in data),
-            self.mesh, depth=depth)
+        batches = prefetch_to_device(iter(data), self.mesh, depth=depth)
         for batch in batches:
             if training:
                 self.state, logs = self.train_step(self.state, *batch, self.rng)
