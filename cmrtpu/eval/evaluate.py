@@ -61,6 +61,12 @@ def evaluate_cv(exp_path: str, data_path: str,
                             key=sorting_lambda_frame)
     print("original msk files: ", len(orig_msk_files))
 
+    if not pred_files:
+        raise FileNotFoundError(
+            f"no prediction masks under {glob_exp}pred/ or "
+            f"{path_to_exp}/*/pred/ — run predict first (pred_fold) or check "
+            "the -exp path (expects the timestamped experiment root)")
+
     df_eval = pd.DataFrame()
     df_eval["files_pred"] = pred_files
     df_eval["files_gt"] = gt_files

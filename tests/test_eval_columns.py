@@ -124,3 +124,8 @@ def test_csv_written(full_exp, tmp_path):
     exp_path, data_path = full_exp
     evaluate_cv(exp_path, data_path)
     assert os.path.exists(os.path.join(exp_path, "df_eval.csv"))
+
+
+def test_empty_prediction_dir_raises_clear_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match="no prediction masks"):
+        evaluate_cv(str(tmp_path), str(tmp_path))
