@@ -107,6 +107,8 @@ DEFAULTS: Dict[str, Any] = {
     "CACHE_IN_MEMORY": True,     # cache deterministic preprocessing in RAM
     "PRNG_IMPL": "rbg",          # dropout-mask PRNG; rbg is ~1.4x faster than
                                  # threefry on TPU for conv-U-Net train steps
+    "REMAT": False,              # rematerialise U-Net blocks in backward
+                                 # (HBM-traffic vs FLOPs trade, see unet.py)
 }
 
 # accepted alternate spellings -> canonical key (reference quirk compat)

@@ -163,6 +163,7 @@ class UNet(nn.Module):
     pad: str = "SAME"
     supervision: bool = False
     heads: Tuple[Tuple[str, int, str], ...] = ()
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -170,12 +171,17 @@ class UNet(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   pad=self.pad, dtype=self.dtype)
+        # REMAT: recompute block activations in the backward pass instead of
+        # storing them — the step is HBM-bandwidth bound (~74% of peak) while
+        # the MXU idles at ~35%, so trading FLOPs for activation traffic wins
+        Down = nn.remat(DownBlock, static_argnums=(2,)) if self.remat else DownBlock
+        Up = nn.remat(UpBlock, static_argnums=(3,)) if self.remat else UpBlock
         x = x.astype(self.dtype)
         filters = self.filters
         skips = []
         for level in range(self.depth):
-            skip, x = DownBlock(filters, m_pool=self.m_pool,
-                                drop=self.dropouts[level], **kw)(x, train)
+            skip, x = Down(filters, m_pool=self.m_pool,
+                           drop=self.dropouts[level], **kw)(x, train)
             skips.append(skip)
             filters *= 2
 
@@ -189,8 +195,8 @@ class UNet(nn.Module):
         for _ in range(self.depth):
             filters //= 2
             pre_last = x
-            x = UpBlock(filters, up_size=self.m_pool, drop=dropouts.pop(),
-                        use_upsample=self.use_upsample, **kw)(x, skips.pop(), train)
+            x = Up(filters, up_size=self.m_pool, drop=dropouts.pop(),
+                   use_upsample=self.use_upsample, **kw)(x, skips.pop(), train)
 
         if self.supervision:
             # mask branch from the pre-last decoder block (ref: Unets.py:840-868)
@@ -252,6 +258,7 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
         use_upsample=bool(C.get(config, "USE_UPSAMPLE", True)),
         supervision=supervision,
         heads=heads,
+        remat=bool(C.get(config, "REMAT", False)),
         dtype=dtype,
     )
 
