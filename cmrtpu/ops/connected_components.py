@@ -110,6 +110,67 @@ def clean_prediction_2d_cc(pred_flat, label_values=(1, 2)):
     return out
 
 
+def _propagate_min_3d(labels):
+    """One 26-neighbourhood min sweep over a [Z, H, W] label volume.
+
+    Decomposes the 26-neighbourhood into three axis sweeps of the running
+    minimum: min over the 3x3x3 cube equals three sequential 1D 3-point mins
+    (separable because min is associative/commutative)."""
+    def axis_min(lab, axis):
+        pad = [(0, 0)] * lab.ndim
+        pad[axis] = (1, 1)
+        padded = jnp.pad(lab, pad, constant_values=_INF)
+        lo = jax.lax.slice_in_dim(padded, 0, lab.shape[axis], axis=axis)
+        hi = jax.lax.slice_in_dim(padded, 2, lab.shape[axis] + 2, axis=axis)
+        return jnp.minimum(jnp.minimum(lo, lab), hi)
+
+    out = labels
+    for axis in range(labels.ndim):
+        out = axis_min(out, axis)
+    return out
+
+
+def label_components_3d(mask):
+    """Label 26-connected components of a binary [Z, H, W] volume (parity
+    with skimage.measure.label's default full connectivity used by the
+    reference's 3D CC filter, ref: src/data/Postprocess.py:64-102)."""
+    z, h, w = mask.shape
+    idx = jnp.arange(z * h * w, dtype=jnp.int32).reshape(z, h, w)
+    labels = jnp.where(mask, idx, _INF)
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        new = jnp.where(mask, _propagate_min_3d(labels), _INF)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
+    return labels
+
+
+def clean_prediction_3d_cc(pred_flat, label_values=(1, 2)):
+    """Biggest 3D 26-connected component per label, on-device
+    (jit parity of clean_3d_prediction_3d_cc, ref: Postprocess.py:64-102)."""
+    pred_flat = jnp.asarray(pred_flat)
+    z, h, w = pred_flat.shape
+    out = jnp.zeros_like(pred_flat)
+    for val in label_values:
+        mask = pred_flat == val
+        labels = label_components_3d(mask)
+        flat = labels.reshape(-1)
+        sizes = jnp.zeros(z * h * w + 1, jnp.int32).at[
+            jnp.clip(flat, 0, z * h * w)].add(mask.reshape(-1).astype(jnp.int32))
+        sizes = sizes.at[z * h * w].set(0)
+        biggest = jnp.argmax(sizes)
+        keep = (labels == biggest) & mask
+        keep = jnp.where(jnp.any(mask), keep, mask)
+        out = jnp.where(keep, jnp.asarray(val, pred_flat.dtype), out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # host (scipy) versions — used for 3D CC and as a cross-check in tests
 # ---------------------------------------------------------------------------

@@ -38,3 +38,32 @@ def match_2d_on_nd(nda: np.ndarray, avg: np.ndarray) -> np.ndarray:
     if nda.ndim == 4:
         return np.stack([[match_histograms(s, avg) for s in vol] for vol in nda])
     return nda
+
+
+def match_histograms_jax(source, reference):
+    """On-device histogram matching by sorted-quantile mapping
+    (SURVEY.md §2.3: skimage match_histograms -> sorted-quantile map on XLA).
+
+    Rank-based formulation with static shapes: each source pixel maps to the
+    reference intensity at the same relative rank. For images without heavy
+    value ties this equals the host quantile mapping to within one intensity
+    step; it is fully jit/vmap-compatible (sort + gather, no unique())."""
+    import jax.numpy as jnp
+
+    src = jnp.asarray(source, jnp.float32)
+    ref = jnp.asarray(reference, jnp.float32)
+    flat = src.reshape(-1)
+    n_src = flat.shape[0]
+    ref_sorted = jnp.sort(ref.reshape(-1))
+    n_ref = ref_sorted.shape[0]
+    # rank of every source pixel (average rank over equal values via argsort
+    # of argsort), then read the reference value at the same quantile
+    order = jnp.argsort(flat)
+    ranks = jnp.zeros(n_src, jnp.float32).at[order].set(
+        jnp.arange(n_src, dtype=jnp.float32))
+    positions = ranks / jnp.float32(max(n_src - 1, 1)) * jnp.float32(n_ref - 1)
+    lo = jnp.floor(positions).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_ref - 1)
+    w = positions - lo
+    matched = ref_sorted[lo] * (1.0 - w) + ref_sorted[hi] * w
+    return matched.reshape(src.shape)

@@ -13,6 +13,7 @@ import pytest
 
 from cmrtpu.ops.connected_components import (
     clean_3d_prediction_2d_cc_host,
+    clean_3d_prediction_3d_cc_host,
     clean_prediction_2d_cc,
     largest_component_batch,
 )
@@ -86,3 +87,46 @@ def test_cc_pallas_on_tpu():
     lab_j = np.stack([np.asarray(label_components_2d(jnp.asarray(s) > 0))
                       for s in m])
     np.testing.assert_array_equal(lab_p, lab_j)
+
+
+def test_3d_cc_matches_host():
+    from cmrtpu.ops.connected_components import clean_prediction_3d_cc
+    rng = np.random.default_rng(3)
+    pred = np.zeros((6, 20, 20), np.float64)
+    pred[0:3, 2:6, 2:6] = 1          # big 3D blob label 1
+    pred[5, 15, 15] = 1              # disconnected speck -> removed
+    pred[2:5, 10:14, 10:14] = 2
+    pred[0, 0, 0] = 2                # corner speck -> removed
+    out = np.asarray(clean_prediction_3d_cc(pred, (1, 2)))
+    host = clean_3d_prediction_3d_cc_host(pred.astype(np.uint8))
+    np.testing.assert_array_equal(out.astype(np.uint8), host)
+
+
+def test_3d_cc_diagonal_connectivity():
+    """26-connectivity: diagonal-only touching voxels are ONE component."""
+    from cmrtpu.ops.connected_components import clean_prediction_3d_cc
+    pred = np.zeros((4, 8, 8), np.float64)
+    pred[0, 0, 0] = 1
+    pred[1, 1, 1] = 1                # touches only diagonally in 3D
+    pred[3, 6, 6] = 1                # separate single voxel
+    out = np.asarray(clean_prediction_3d_cc(pred, (1,)))
+    assert out[0, 0, 0] == 1 and out[1, 1, 1] == 1
+    assert out[3, 6, 6] == 0
+
+
+def test_histmatch_jax_close_to_host():
+    from cmrtpu.pipeline.histmatch import match_histograms, match_histograms_jax
+    rng = np.random.default_rng(4)
+    src = rng.normal(0, 1, (48, 48)).astype(np.float32)
+    ref = rng.gamma(2.0, 2.0, (48, 48)).astype(np.float32)
+    host = match_histograms(src, ref)
+    dev = np.asarray(match_histograms_jax(src, ref))
+    # rank formulation == quantile mapping up to ties/interp: close overall
+    assert np.abs(host - dev).mean() < 0.05
+    # monotone: ordering of pixels preserved
+    flat_src = src.reshape(-1)
+    flat_dev = dev.reshape(-1)
+    order = np.argsort(flat_src)
+    assert (np.diff(flat_dev[order]) >= -1e-5).all()
+    # matched distribution ~ reference distribution
+    assert abs(np.median(dev) - np.median(ref)) < 0.2
