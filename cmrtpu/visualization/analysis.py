@@ -53,12 +53,13 @@ def plot_dice_per_slice_bar(gt: np.ndarray, pred: np.ndarray,
 
 
 def create_eval_plot(df_dice, df_hd=None, df_vol=None, eval_name: str = "",
-                     path: Optional[str] = None):
+                     path: Optional[str] = None,
+                     names: Sequence[str] = ("dice", "hausdorff", "volume")):
     """Violin panel over per-label metric dataframes
     (ref: create_eval_plot, Visualize.py:164-207). Accepts pandas dataframes
-    or dicts of column -> values."""
+    or dicts of column -> values; ``names`` override the panel titles."""
     import pandas as pd
-    frames = [("dice", df_dice), ("hausdorff", df_hd), ("volume", df_vol)]
+    frames = list(zip(names, (df_dice, df_hd, df_vol)))
     frames = [(name, pd.DataFrame(df)) for name, df in frames if df is not None]
     fig, axes = plt.subplots(1, len(frames), figsize=(5 * len(frames), 4))
     axes = np.atleast_1d(axes)
