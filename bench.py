@@ -1,14 +1,23 @@
 """End-to-end training throughput benchmark (flagship RVIP config).
 
-Measures SAX slices/sec through the full pjit train step — device-side
-preprocessing included once the fused pipeline lands — on whatever devices
-are available, and prints ONE JSON line:
+Measures SAX slices/sec through the device-cached training loop — the
+framework's real hot path: per step ONE fused XLA program does batch gather
+from the HBM-resident dataset, the full augmentation chain (rot90 /
+shift-scale-rotate / grid-distortion warps), normalisation + target
+synthesis, forward, BCE+Dice loss, backward and the optimizer update
+(cmrtpu/train/device_cache.py). Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "slices/sec", "vs_baseline": N}
 
 Baseline: the driver north star is >5000 slices/sec end-to-end on a v5e-8
 (BASELINE.md), i.e. 625 slices/sec/chip; vs_baseline scales that target to
 the number of chips actually present.
+
+Measured context (one v5e chip, 224x224, depth-4/32-filter U-Net, batch 128
+per chip, transpose-conv decoder): bare train step 1202 slices/s; device-
+cached loop incl. augmentation ~1090; host-streaming pipeline only ~160
+(per-step uploads collapse to 25-50 MB/s on this interconnect — hence the
+cache-resident design).
 """
 
 import json
@@ -20,48 +29,62 @@ import numpy as np
 def main():
     import jax
 
-    from cmrtpu.parallel.mesh import create_mesh, shard_batch
+    from cmrtpu.parallel.mesh import create_mesh
+    from cmrtpu.train.device_cache import (make_cached_train_step,
+                                           upload_cache)
     from cmrtpu.train.trainer import Trainer
 
     n_dev = len(jax.devices())
-    # per-chip batch 128 is the measured throughput sweet spot on v5e
-    # (b32: 352, b64: 415, b128+rbg: 996, b256+rbg: 953 slices/s/chip).
-    # USE_UPSAMPLE=False selects the transpose-conv decoder — one of the
-    # reference's two decoder variants (ref: src/models/KerasLayers.py:
-    # 551-649 up_sample switch) — which does ~4x fewer decoder FLOPs than
-    # upsample+conv: 996 -> 1201 slices/s/chip measured.
-    batch = 128 * n_dev
+    batch = 128 * n_dev  # measured per-chip sweet spot (b32:352 .. b128:1202)
     config = {"DIM": [224, 224], "DEPTH": 4, "FILTERS": 32, "MASK_CLASSES": 2,
               "BATCHSIZE": batch, "MIXED_PRECISION": True,
-              "USE_UPSAMPLE": False,
+              "USE_UPSAMPLE": False,  # transpose-conv decoder variant
+              "MASK_VALUES": [1, 2], "SCALER": "MinMax",
+              "AUGMENT": True, "AUGMENT_PROB": 0.8, "RANDOMROTATE": True,
+              "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True,
               "LEARNING_RATE": 1e-4, "SEED": 0}
     mesh = create_mesh()
     trainer = Trainer(config, mesh=mesh)
 
+    # synthetic deterministic-preprocessed cache, resident in HBM
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(batch, 224, 224, 1)).astype(np.float32)
-    y = (rng.random(size=(batch, 224, 224, 2)) > 0.98).astype(np.float32)
-    device_batch = shard_batch((x, y), mesh)
+    n_cache = max(4 * batch, 512)
+    x_cache = rng.normal(size=(n_cache, 224, 224)).astype(np.float32)
+    y_cache = np.zeros((n_cache, 224, 224), np.float32)
+    y_cache[:, 60:64, 60:64] = 1.0
+    y_cache[:, 160:164, 160:164] = 2.0
+    data_x, data_y = upload_cache(x_cache, y_cache, mesh)
+
+    step = make_cached_train_step(trainer.model, trainer.optimizer,
+                                  trainer.loss_fn, trainer.metrics,
+                                  trainer.config, mesh, augment=True)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    idx_sharding = NamedSharding(mesh, P("data"))
+
+    def one_step(state, i):
+        idxs = jax.device_put(
+            rng.integers(0, n_cache, batch).astype(np.int32), idx_sharding)
+        return step(state, data_x, data_y, idxs, trainer.rng)
 
     # warmup / compile. NOTE: sync via device->host transfer of the loss —
     # block_until_ready does not reliably block on tunneled platforms.
-    for _ in range(3):
-        trainer.state, logs = trainer.train_step(trainer.state, *device_batch,
-                                                 trainer.rng)
+    state = trainer.state
+    for i in range(3):
+        state, logs = one_step(state, i)
     float(np.asarray(jax.device_get(logs["loss"])))
 
     steps = 20
     t0 = time.perf_counter()
-    for _ in range(steps):
-        trainer.state, logs = trainer.train_step(trainer.state, *device_batch,
-                                                 trainer.rng)
+    for i in range(steps):
+        state, logs = one_step(state, i)
     float(np.asarray(jax.device_get(logs["loss"])))
     elapsed = time.perf_counter() - t0
 
     slices_per_sec = steps * batch / elapsed
     baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count
     print(json.dumps({
-        "metric": "SAX slices/sec (end-to-end train step, 224x224 2D U-Net)",
+        "metric": "SAX slices/sec (end-to-end device-cached train: gather+"
+                  "augment+heatmaps+fwd+bwd+adam, 224x224 2D U-Net)",
         "value": round(slices_per_sec, 1),
         "unit": "slices/sec",
         "vs_baseline": round(slices_per_sec / baseline, 3),

@@ -159,15 +159,23 @@ def augment_example(key, img, msk, config: Dict):
     return img_out, msk_out
 
 
-def make_batch_augmenter(config: Dict):
-    """jit-compiled (key, imgs[B,...,H,W], msks[B,...,H,W]) -> augmented pair."""
+def augment_batch_fn(key, imgs, msks, config: Dict):
+    """Un-jitted batched augmentation (key, imgs[B,...,H,W], msks) — for
+    composition into larger fused programs (e.g. the device-cached train
+    step)."""
     cfg = {k: C.get(config, k) for k in
            ("AUGMENT_PROB", "RANDOMROTATE", "SHIFTSCALEROTATE",
             "GRIDDISTORTION", "DOWNSCALE")}
+    keys = jax.random.split(key, imgs.shape[0])
+    return jax.vmap(lambda k, i, m: augment_example(k, i, m, cfg))(keys, imgs, msks)
+
+
+def make_batch_augmenter(config: Dict):
+    """jit-compiled (key, imgs[B,...,H,W], msks[B,...,H,W]) -> augmented pair."""
+    cfg = dict(config)
 
     @jax.jit
     def augment_batch(key, imgs, msks):
-        keys = jax.random.split(key, imgs.shape[0])
-        return jax.vmap(lambda k, i, m: augment_example(k, i, m, cfg))(keys, imgs, msks)
+        return augment_batch_fn(key, imgs, msks, cfg)
 
     return augment_batch

@@ -74,6 +74,29 @@ def _jax_normalise(img, scaler: str):
     return (x - jnp.min(x)) / (jnp.max(x) - jnp.min(x) + eps)
 
 
+def finalize_batch(imgs, msks, config: Dict, masks: bool = True):
+    """The fused tail of the stochastic stage: per-example re-normalise,
+    label->binary channels, optional Gaussian heatmap targets
+    (ref: __preprocess_one_image__, src/data/Generators.py:371-395).
+    Un-jitted for composition into larger programs."""
+    scaler = C.get(config, "SCALER", "MinMax")
+    mask_values = tuple(C.get(config, "MASK_VALUES", [0, 1, 2, 3]))
+    gaus = C.get(config, "GAUS", False)
+    sigma = float(C.get(config, "SIGMA", 1))
+
+    x = jax.vmap(lambda im: _jax_normalise(im, scaler))(imgs)
+    if masks:
+        channels = jnp.stack([msks == v for v in mask_values],
+                             axis=-1).astype(jnp.float32)
+        if gaus:
+            channels = jax.vmap(
+                lambda m: smooth_heatmap_targets(m, sigma))(channels)
+        y = channels
+    else:
+        y = jax.vmap(lambda im: _jax_normalise(im, scaler))(msks)[..., None]
+    return x[..., None], y
+
+
 class DataGenerator:
     """Yields (X, Y) float32 batches for 2D/3D U-Net training.
 
@@ -176,23 +199,12 @@ class DataGenerator:
     # stage 2: fused stochastic stage (jit)
     # ------------------------------------------------------------------
     def _build_finalize(self):
-        scaler = self.scaler
-        mask_values = tuple(self.mask_values)
-        masks, gaus, sigma = self.masks, self.gaus, float(self.sigma)
+        cfg = dict(self.config)
+        masks = self.masks
 
         @jax.jit
         def finalize(imgs, msks):
-            x = jax.vmap(lambda im: _jax_normalise(im, scaler))(imgs)
-            if masks:
-                channels = jnp.stack([msks == v for v in mask_values],
-                                     axis=-1).astype(jnp.float32)
-                if gaus:
-                    channels = jax.vmap(
-                        lambda m: smooth_heatmap_targets(m, sigma))(channels)
-                y = channels
-            else:
-                y = jax.vmap(lambda im: _jax_normalise(im, scaler))(msks)[..., None]
-            return x[..., None], y
+            return finalize_batch(imgs, msks, cfg, masks=masks)
 
         return finalize
 

@@ -1,0 +1,185 @@
+"""Device-cached training: the whole dataset lives in HBM, the train step
+fuses batch gather + augmentation + target synthesis + optimisation.
+
+Motivation (measured on the target hardware): per-step host->device uploads
+of full-resolution batches collapse to 25-50 MB/s when interleaved with
+compute (1.2-2.2 s per 51 MB batch), while steps on device-resident data run
+at ~107 ms. The deterministic-preprocessed ACDC 2D dataset is only ~2-4 GB —
+it fits HBM outright. So instead of streaming batches (the reference's keras
+queue model, ref: src/models/train_model.py:105-112), the TPU-native hot loop
+is:
+
+    upload once  ->  per step: idxs [B] (bytes)  ->  ONE XLA program:
+        gather -> augment (affine/grid/rot90 warps) -> normalise ->
+        mask channels / Gaussian heatmaps -> fwd -> loss -> bwd -> adam
+
+Only scalar metrics leave the device. Epoch shuffling stays host-side
+(a per-epoch permutation, parity with BaseGenerator.on_epoch_end,
+ref: src/data/Generators.py:164).
+
+Multi-chip: the cache is replicated; the per-step index vector is sharded
+over the 'data' mesh axis, so the gather output — and everything after it —
+is batch-sharded and XLA inserts the usual gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cmrtpu import config as C
+from cmrtpu.parallel.mesh import DATA_AXIS
+from cmrtpu.pipeline.augment import augment_batch_fn
+from cmrtpu.pipeline.generator import finalize_batch
+from cmrtpu.train import steps as S
+
+
+def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh):
+    """Upload the padded deterministic cache once, replicated over the mesh."""
+    repl = NamedSharding(mesh, P())
+    return (jax.device_put(np.ascontiguousarray(x_padded), repl),
+            jax.device_put(np.ascontiguousarray(y_padded), repl))
+
+
+def make_cached_train_step(model, optimizer, loss_fn: Callable,
+                           metrics: Optional[Dict[str, Callable]],
+                           config: Dict, mesh: Mesh, augment: bool):
+    """(state, data_x, data_y, idxs, rng) -> (state, logs), fully fused."""
+    metrics = metrics or {}
+    cfg = dict(config)
+
+    def step_fn(state: S.TrainState, data_x, data_y, idxs, rng):
+        imgs = jnp.take(data_x, idxs, axis=0)
+        msks = jnp.take(data_y, idxs, axis=0)
+        if augment:
+            aug_key = jax.random.fold_in(rng, state.step * 2 + 1)
+            imgs, msks = augment_batch_fn(aug_key, imgs, msks, cfg)
+        x, y = finalize_batch(imgs, msks, cfg)
+
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def compute_loss(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            preds, mutated = model.apply(
+                variables, x, train=True, rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"])
+            return loss_fn(y, preds), (preds, mutated)
+
+        (loss, (preds, mutated)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        import optax
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=mutated["batch_stats"],
+                                  opt_state=new_opt_state)
+        logs = {"loss": loss}
+        for name, fn in metrics.items():
+            logs[name] = fn(y, preds)
+        return new_state, logs
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step_fn,
+                   in_shardings=(repl, repl, repl, data, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,))
+
+
+def make_cached_eval_step(model, loss_fn: Callable,
+                          metrics: Optional[Dict[str, Callable]],
+                          config: Dict, mesh: Mesh):
+    """(state, data_x, data_y, idxs) -> logs; no augmentation, no updates."""
+    metrics = metrics or {}
+    cfg = dict(config)
+
+    def step_fn(state: S.TrainState, data_x, data_y, idxs):
+        imgs = jnp.take(data_x, idxs, axis=0)
+        msks = jnp.take(data_y, idxs, axis=0)
+        x, y = finalize_batch(imgs, msks, cfg)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        preds = model.apply(variables, x, train=False)
+        logs = {"loss": loss_fn(y, preds)}
+        for name, fn in metrics.items():
+            logs[name] = fn(y, preds)
+        return logs
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step_fn, in_shardings=(repl, repl, repl, data),
+                   out_shardings=repl)
+
+
+class DeviceCachedLoop:
+    """Drives epochs over an HBM-resident dataset for a Trainer.
+
+    Built from DataGenerators (whose in-memory padded caches provide the
+    arrays) or from raw padded numpy arrays."""
+
+    def __init__(self, trainer, train_gen, val_gen=None):
+        assert getattr(train_gen, "_cache_x", None) is not None, (
+            "DeviceCachedLoop needs an in-memory DataGenerator "
+            "(CACHE_IN_MEMORY=True)")
+        self.trainer = trainer
+        cfg = trainer.config
+        mesh = trainer.mesh
+        self.batch = C.get(cfg, "BATCHSIZE", 32)
+        self.rng = np.random.default_rng(C.get(cfg, "SEED", 42))
+
+        self.x_train, self.y_train = upload_cache(train_gen._cache_x,
+                                                  train_gen._cache_y, mesh)
+        self.n_train = train_gen._cache_x.shape[0]
+        augment = bool(C.get(cfg, "AUGMENT", False))
+        self._train_step = make_cached_train_step(
+            trainer.model, trainer.optimizer, trainer.loss_fn,
+            trainer.metrics, cfg, mesh, augment)
+
+        self.val = None
+        if val_gen is not None and getattr(val_gen, "_cache_x", None) is not None:
+            self.x_val, self.y_val = upload_cache(val_gen._cache_x,
+                                                  val_gen._cache_y, mesh)
+            self.n_val = val_gen._cache_x.shape[0]
+            self._eval_step = make_cached_eval_step(
+                trainer.model, trainer.loss_fn, trainer.metrics, cfg, mesh)
+            self.val = True
+        self._idx_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        logging.info("device cache: %d train / %s val examples resident in HBM",
+                     self.n_train, self.n_val if self.val else "no")
+
+    def _epoch_indices(self, n: int, shuffle: bool) -> np.ndarray:
+        idxs = self.rng.permutation(n) if shuffle else np.arange(n)
+        n_batches = n // self.batch
+        return idxs[:n_batches * self.batch].reshape(n_batches, self.batch)
+
+    def run_train_epoch(self) -> Dict[str, float]:
+        t = self.trainer
+        sums: Dict[str, float] = {}
+        batches = self._epoch_indices(self.n_train, shuffle=True)
+        for idxs in batches:
+            idxs_dev = jax.device_put(idxs.astype(np.int32), self._idx_sharding)
+            t.state, logs = self._train_step(t.state, self.x_train,
+                                             self.y_train, idxs_dev, t.rng)
+        # sync once per epoch: only the last step's scalars round-trip
+        logs = jax.device_get(logs)
+        for k, v in logs.items():
+            sums[k] = float(v)
+        return sums
+
+    def run_eval_epoch(self) -> Dict[str, float]:
+        t = self.trainer
+        sums: Dict[str, float] = {}
+        count = 0
+        for idxs in self._epoch_indices(self.n_val, shuffle=False):
+            idxs_dev = jax.device_put(idxs.astype(np.int32), self._idx_sharding)
+            logs = jax.device_get(self._eval_step(t.state, self.x_val,
+                                                  self.y_val, idxs_dev))
+            for k, v in logs.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}

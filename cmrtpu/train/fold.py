@@ -67,8 +67,16 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
     fold_cfg["EXP_PATH"] = fold_root  # per-fold artifacts under f<k>/
     callbacks = get_callbacks(fold_cfg, sample_batches=sample_batches)
     logging.info("start training")
-    trainer.fit(batch_generator, val_data=validation_generator,
-                epochs=C.get(cfg, "EPOCHS", 100), callbacks=callbacks)
+    if getattr(batch_generator, "_cache_x", None) is not None and \
+            not C.get(cfg, "HIST_MATCHING", False):
+        # device-cached hot loop: dataset resident in HBM, fused per-step
+        # gather+augment+train (host streaming only when the in-memory cache
+        # is off or hist-matching needs per-element host work)
+        trainer.fit_cached(batch_generator, val_gen=validation_generator,
+                           epochs=C.get(cfg, "EPOCHS", 100), callbacks=callbacks)
+    else:
+        trainer.fit(batch_generator, val_data=validation_generator,
+                    epochs=C.get(cfg, "EPOCHS", 100), callbacks=callbacks)
 
     try:
         from cmrtpu.predict.predictor import pred_fold

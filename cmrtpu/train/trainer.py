@@ -153,6 +153,46 @@ class Trainer:
             cb.on_train_end(self)
         return self.history
 
+    def fit_cached(self, train_gen, val_gen=None, epochs: Optional[int] = None,
+                   callbacks: Optional[List[Callback]] = None,
+                   initial_epoch: int = 0) -> List[Dict[str, float]]:
+        """Train from HBM-resident data (see cmrtpu/train/device_cache.py):
+        the whole deterministic cache is uploaded once and each step fuses
+        gather + augment + target synthesis + optimisation — no per-step
+        host->device batch uploads. Same callback protocol as ``fit``."""
+        from cmrtpu.train.device_cache import DeviceCachedLoop
+
+        # reuse the loop (uploaded cache + compiled fused steps) across calls
+        cache_key = (id(train_gen), id(val_gen))
+        if getattr(self, "_cached_loop_key", None) != cache_key:
+            self._cached_loop = DeviceCachedLoop(self, train_gen, val_gen)
+            self._cached_loop_key = cache_key
+        loop = self._cached_loop
+        epochs = epochs or C.get(self.config, "EPOCHS", 100)
+        callbacks = callbacks or []
+        self.stop_training = False
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        for epoch in range(initial_epoch, epochs):
+            t0 = time.time()
+            for cb in callbacks:
+                cb.on_epoch_begin(self, epoch)
+            logs = loop.run_train_epoch()
+            if loop.val:
+                logs.update({f"val_{k}": v
+                             for k, v in loop.run_eval_epoch().items()})
+            logs["epoch_time"] = time.time() - t0
+            self.history.append(logs)
+            for cb in callbacks:
+                cb.on_epoch_end(self, epoch, logs)
+            logging.info("epoch %d/%d %s", epoch + 1, epochs,
+                         " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())))
+            if self.stop_training:
+                break
+        for cb in callbacks:
+            cb.on_train_end(self)
+        return self.history
+
     def predict(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x)
         # pad to a multiple of the data-axis size so the batch shards evenly

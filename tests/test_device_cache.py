@@ -1,0 +1,118 @@
+"""Device-cached training loop: HBM-resident dataset, fused train step."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cmrtpu.io import MedicalImage, write_image
+from cmrtpu.pipeline.generator import DataGenerator
+from cmrtpu.train.trainer import Trainer
+
+
+@pytest.fixture
+def gens(tmp_path):
+    rng = np.random.default_rng(0)
+    xs, ys = [], []
+    for i in range(12):
+        img = rng.normal(size=(24, 24)).astype(np.float32)
+        msk = np.zeros((24, 24), np.uint8)
+        msk[8:11, 6:9] = 1
+        msk[16:19, 12:15] = 2
+        xp = str(tmp_path / f"patient{i:03d}__t01_z0_img.nrrd")
+        yp = str(tmp_path / f"patient{i:03d}__t01_z0_msk.nrrd")
+        write_image(MedicalImage(array=img, spacing=(1.4, 1.4)), xp)
+        write_image(MedicalImage(array=msk, spacing=(1.4, 1.4)), yp)
+        xs.append(xp)
+        ys.append(yp)
+    cfg = {"DIM": [24, 24], "BATCHSIZE": 4, "MASK_VALUES": [1, 2],
+           "MASK_CLASSES": 2, "DEPTH": 1, "FILTERS": 2, "SEED": 0,
+           "LEARNING_RATE": 1e-3, "MIXED_PRECISION": False,
+           "AUGMENT": True, "AUGMENT_PROB": 0.8, "SHIFTSCALEROTATE": True,
+           "GRIDDISTORTION": True, "RANDOMROTATE": True, "RESAMPLE": False}
+    train = DataGenerator(xs[:8], ys[:8], config=cfg)
+    val = DataGenerator(xs[8:], ys[8:], config=dict(cfg, AUGMENT=False))
+    return train, val, cfg
+
+
+def test_fit_cached_trains_and_logs(gens):
+    train, val, cfg = gens
+    trainer = Trainer(cfg)
+    hist = trainer.fit_cached(train, val_gen=val, epochs=4)
+    assert len(hist) == 4
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    assert "val_loss" in hist[-1]
+    assert int(trainer.state.step) == 4 * (8 // 4)
+
+
+def test_fit_cached_loss_decreases(gens):
+    train, val, cfg = gens
+    cfg = dict(cfg, AUGMENT=False)
+    train2 = DataGenerator(train.images, train.labels, config=cfg)
+    trainer = Trainer(cfg)
+    hist = trainer.fit_cached(train2, epochs=15)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_fit_cached_matches_streaming_semantics(gens):
+    """Cached and streaming paths see the same preprocessed tensors when
+    augmentation is off: one eval-mode forward must agree."""
+    import jax
+    train, val, cfg = gens
+    cfg = dict(cfg, AUGMENT=False, SHUFFLE=False)
+    gen = DataGenerator(train.images, train.labels, config=cfg)
+    x_stream, y_stream = gen[0]
+    from cmrtpu.pipeline.generator import finalize_batch
+    import jax.numpy as jnp
+    idxs = gen.indices[:4]
+    x_cached, y_cached = finalize_batch(
+        jnp.asarray(gen._cache_x[idxs]), jnp.asarray(gen._cache_y[idxs]), cfg)
+    np.testing.assert_allclose(np.asarray(x_stream), np.asarray(x_cached),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(y_stream), np.asarray(y_cached))
+
+
+def test_fit_cached_with_callbacks(gens, tmp_path):
+    from cmrtpu.train.callbacks import EarlyStopping, HistoryCSV
+    train, val, cfg = gens
+    trainer = Trainer(cfg)
+    csv = str(tmp_path / "h.csv")
+    trainer.fit_cached(train, val_gen=val, epochs=3,
+                       callbacks=[HistoryCSV(csv),
+                                  EarlyStopping(monitor="loss", patience=100)])
+    assert os.path.exists(csv)
+    assert len(open(csv).readlines()) == 4  # header + 3 epochs
+
+
+def test_train_fold_uses_cached_loop(gens, tmp_path, monkeypatch):
+    """train_fold prefers the device-cached loop when the cache exists."""
+    import pandas as pd
+    from cmrtpu.train import fold as F
+    train, val, cfg = gens
+
+    rows = []
+    for f in train.images:
+        rows.append({"fold": 0, "x_path": f, "y_path": f.replace("img", "msk"),
+                     "modality": "train",
+                     "patient": os.path.basename(f).split("__")[0]})
+    for f in val.images:
+        rows.append({"fold": 0, "x_path": f, "y_path": f.replace("img", "msk"),
+                     "modality": "test",
+                     "patient": os.path.basename(f).split("__")[0]})
+    df_path = str(tmp_path / "df.csv")
+    pd.DataFrame(rows).to_csv(df_path, index=False)
+
+    called = {}
+    orig = Trainer.fit_cached
+
+    def spy(self, *a, **k):
+        called["cached"] = True
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Trainer, "fit_cached", spy)
+    data_dir = os.path.dirname(train.images[0])
+    run_cfg = dict(cfg, EPOCHS=1, DATA_PATH_SAX=data_dir, DF_FOLDS=df_path,
+                   EXPERIMENT="cachedfold",
+                   EXPERIMENTS_ROOT=str(tmp_path / "exp") + "/", FOLD=0)
+    F.train_fold(run_cfg)
+    assert called.get("cached")
