@@ -25,6 +25,31 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Multi-host bootstrap (jax.distributed) for pod-slice training.
+
+    The reference never scales past one host (SURVEY.md §2.2 elastic row);
+    this is the TPU-native extension point: on multi-host deployments call
+    once before creating the mesh — explicit args or the standard
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
+    Single-host (no coordinator configured) is a no-op returning False, so
+    every entry point can call this unconditionally."""
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if not coordinator_address:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=int(num_processes
+                          or os.environ.get("JAX_NUM_PROCESSES", 1)),
+        process_id=int(process_id or os.environ.get("JAX_PROCESS_ID", 0)))
+    return True
+
+
 def create_mesh(config: Optional[Dict] = None,
                 devices: Optional[Sequence] = None) -> Mesh:
     """1D data mesh over all (or given) devices; MESH_SHAPE=(d, m) enables a

@@ -109,7 +109,13 @@ class Trainer:
 
         sums: Dict[str, float] = {}
         count = 0
+        # PREFETCH_DEPTH is the native knob; QUEUE_SIZE (the reference's keras
+        # max_queue_size, ref: train_model.py:111) is honoured as an upper
+        # bound for config compatibility
         depth = int(C.get(self.config, "PREFETCH_DEPTH", 2))
+        queue_size = C.get(self.config, "QUEUE_SIZE")
+        if queue_size:
+            depth = min(depth, int(queue_size)) if depth else depth
         batches = prefetch_to_device(iter(data), self.mesh, depth=depth)
         for batch in batches:
             if training:

@@ -236,3 +236,9 @@ def test_restore_weights_roundtrip(tmp_path):
     l1 = np.asarray(jax.tree_util.tree_leaves(t1.state.params)[0])
     l2 = np.asarray(jax.tree_util.tree_leaves(t2.state.params)[0])
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_initialize_distributed_noop_single_host(monkeypatch):
+    from cmrtpu.parallel.mesh import initialize_distributed
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_distributed() is False
