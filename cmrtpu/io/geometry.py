@@ -102,9 +102,9 @@ def copy_meta(new_image: MedicalImage, reference: MedicalImage | None) -> Medica
                        spacing=reference.spacing[:new_dim],
                        origin=reference.origin[:new_dim],
                        direction=tuple(direction), metadata=meta)
-    # smaller reference -> bigger image: pad with 1.0, identity direction
-    ones = (1.0,) * (new_dim - ref_dim)
+    # smaller reference -> bigger image: spacing pads with 1.0, origin with 0.0
+    pad = new_dim - ref_dim
     return replace(new_image,
-                   spacing=(*reference.spacing, *ones),
-                   origin=(*reference.origin, *ones),
+                   spacing=(*reference.spacing, *((1.0,) * pad)),
+                   origin=(*reference.origin, *((0.0,) * pad)),
                    direction=_identity_direction(new_dim), metadata=meta)
