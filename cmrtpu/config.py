@@ -109,6 +109,8 @@ DEFAULTS: Dict[str, Any] = {
                                  # threefry on TPU for conv-U-Net train steps
     "REMAT": False,              # rematerialise U-Net blocks in backward
                                  # (HBM-traffic vs FLOPs trade, see unet.py)
+    "DEVICE_CACHE_LIMIT_GB": 8.0,  # max HBM for the device-resident dataset
+                                   # cache; larger datasets stream from host
 }
 
 # accepted alternate spellings -> canonical key (reference quirk compat)

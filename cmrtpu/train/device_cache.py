@@ -39,6 +39,17 @@ from cmrtpu.pipeline.generator import finalize_batch
 from cmrtpu.train import steps as S
 
 
+def cache_nbytes(*arrays: np.ndarray) -> int:
+    return sum(int(a.nbytes) for a in arrays)
+
+
+def fits_device_cache(config: Dict, *arrays: np.ndarray) -> bool:
+    """HBM-budget guard: the replicated cache must fit comfortably next to
+    params/activations. Bound configurable via DEVICE_CACHE_LIMIT_GB."""
+    limit_gb = float(C.get(config, "DEVICE_CACHE_LIMIT_GB", 8.0) or 8.0)
+    return cache_nbytes(*arrays) <= limit_gb * (1 << 30)
+
+
 def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh):
     """Upload the padded deterministic cache once, replicated over the mesh."""
     repl = NamedSharding(mesh, P())

@@ -67,8 +67,11 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
     fold_cfg["EXP_PATH"] = fold_root  # per-fold artifacts under f<k>/
     callbacks = get_callbacks(fold_cfg, sample_batches=sample_batches)
     logging.info("start training")
-    if getattr(batch_generator, "_cache_x", None) is not None and \
-            not C.get(cfg, "HIST_MATCHING", False):
+    from cmrtpu.train.device_cache import fits_device_cache
+    cache_ok = (getattr(batch_generator, "_cache_x", None) is not None
+                and fits_device_cache(cfg, batch_generator._cache_x,
+                                      batch_generator._cache_y))
+    if cache_ok and not C.get(cfg, "HIST_MATCHING", False):
         # device-cached hot loop: dataset resident in HBM, fused per-step
         # gather+augment+train (host streaming only when the in-memory cache
         # is off or hist-matching needs per-element host work)

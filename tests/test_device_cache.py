@@ -116,3 +116,43 @@ def test_train_fold_uses_cached_loop(gens, tmp_path, monkeypatch):
                    EXPERIMENTS_ROOT=str(tmp_path / "exp") + "/", FOLD=0)
     F.train_fold(run_cfg)
     assert called.get("cached")
+
+
+def test_fits_device_cache_guard():
+    import numpy as np
+    from cmrtpu.train.device_cache import cache_nbytes, fits_device_cache
+    x = np.zeros((4, 8, 8), np.float32)
+    assert cache_nbytes(x, x) == 2 * x.nbytes
+    assert fits_device_cache({}, x, x)
+    assert not fits_device_cache({"DEVICE_CACHE_LIMIT_GB": 1e-9}, x, x)
+
+
+def test_train_fold_falls_back_when_cache_too_big(tmp_path, monkeypatch, gens):
+    """Oversized cache -> streaming fit, not the cached loop."""
+    import os
+    import pandas as pd
+    from cmrtpu.train import fold as F
+    from cmrtpu.train.trainer import Trainer
+    train, val, cfg = gens
+
+    rows = []
+    for f in train.images + val.images:
+        mod = "train" if f in train.images else "test"
+        rows.append({"fold": 0, "x_path": f, "y_path": f.replace("img", "msk"),
+                     "modality": mod,
+                     "patient": os.path.basename(f).split("__")[0]})
+    df_path = str(tmp_path / "df.csv")
+    pd.DataFrame(rows).to_csv(df_path, index=False)
+
+    called = {}
+    monkeypatch.setattr(Trainer, "fit_cached",
+                        lambda self, *a, **k: called.setdefault("cached", True))
+    orig_fit = Trainer.fit
+    monkeypatch.setattr(Trainer, "fit",
+                        lambda self, *a, **k: called.setdefault("stream", True) and orig_fit(self, *a, **k))
+    data_dir = os.path.dirname(train.images[0])
+    run_cfg = dict(cfg, EPOCHS=1, DATA_PATH_SAX=data_dir, DF_FOLDS=df_path,
+                   EXPERIMENT="bigcache", DEVICE_CACHE_LIMIT_GB=1e-9,
+                   EXPERIMENTS_ROOT=str(tmp_path / "exp") + "/", FOLD=0)
+    F.train_fold(run_cfg)
+    assert called.get("stream") and not called.get("cached")
