@@ -168,3 +168,30 @@ def test_generator_feeds_trainer(slice_files):
                        "LEARNING_RATE": 1e-3, "BATCHSIZE": 4})
     history = trainer.fit(gen, epochs=2)
     assert len(history) == 2 and np.isfinite(history[-1]["loss"])
+
+
+def test_generator_non_square_dim(tmp_path, rng):
+    """Non-square DIM: rot90 is skipped (shape-changing), warps still apply."""
+    import jax
+    from cmrtpu.io import MedicalImage, write_image
+
+    xs, ys = [], []
+    for i in range(4):
+        img = rng.normal(size=(40, 28)).astype(np.float32)
+        msk = np.zeros((40, 28), np.uint8)
+        msk[10:13, 6:9] = 1
+        xp = str(tmp_path / f"patient{i:03d}__t01_z0_img.nrrd")
+        write_image(MedicalImage(array=img, spacing=(1.4, 1.4)), xp)
+        write_image(MedicalImage(array=msk, spacing=(1.4, 1.4)),
+                    xp.replace("img", "msk"))
+        xs.append(xp)
+        ys.append(xp.replace("img", "msk"))
+    cfg = {"DIM": [32, 24], "BATCHSIZE": 4, "MASK_VALUES": [1],
+           "AUGMENT": True, "AUGMENT_PROB": 1.0, "RANDOMROTATE": True,
+           "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True, "SEED": 3,
+           "RESAMPLE": False}
+    gen = DataGenerator(xs, ys, config=cfg)
+    x, y = gen[0]
+    assert np.asarray(x).shape == (4, 32, 24, 1)
+    assert np.asarray(y).shape == (4, 32, 24, 1)
+    assert np.isfinite(np.asarray(x)).all()
