@@ -68,7 +68,10 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
         imgs = jnp.take(data_x, idxs, axis=0)
         msks = jnp.take(data_y, idxs, axis=0)
         if augment:
-            aug_key = jax.random.fold_in(rng, state.step * 2 + 1)
+            # two-level fold with a constant tag: decorrelated from the
+            # dropout stream (which is fold_in(rng, step)) for every step
+            aug_key = jax.random.fold_in(
+                jax.random.fold_in(rng, 0xA06), state.step)
             imgs, msks = augment_batch_fn(aug_key, imgs, msks, cfg)
         x, y = finalize_batch(imgs, msks, cfg)
 
@@ -172,6 +175,11 @@ class DeviceCachedLoop:
         t = self.trainer
         sums: Dict[str, float] = {}
         batches = self._epoch_indices(self.n_train, shuffle=True)
+        if len(batches) == 0:
+            raise ValueError(
+                f"device-cached epoch is empty: {self.n_train} examples < "
+                f"BATCHSIZE {self.batch}")
+        logs = None
         for idxs in batches:
             idxs_dev = jax.device_put(idxs.astype(np.int32), self._idx_sharding)
             t.state, logs = self._train_step(t.state, self.x_train,

@@ -156,3 +156,10 @@ def test_train_fold_falls_back_when_cache_too_big(tmp_path, monkeypatch, gens):
                    EXPERIMENTS_ROOT=str(tmp_path / "exp") + "/", FOLD=0)
     F.train_fold(run_cfg)
     assert called.get("stream") and not called.get("cached")
+
+
+def test_fit_cached_empty_epoch_raises(gens):
+    train, val, cfg = gens
+    trainer = Trainer(dict(cfg, BATCHSIZE=64))  # 8 examples < 64
+    with pytest.raises(ValueError, match="device-cached epoch is empty"):
+        trainer.fit_cached(train, epochs=1)
