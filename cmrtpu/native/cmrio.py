@@ -28,11 +28,30 @@ def _ro_u8p(data: bytes) -> "ctypes._Pointer":
     return ctypes.cast(ctypes.c_char_p(data), _u8p)
 
 
+def _inflate_py(data: bytes) -> bytes:
+    """Pure-Python fallback, multi-member-gzip aware (zlib.decompress with
+    MAX_WBITS|32 would silently stop at the first member)."""
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)  # handles concatenated members
+    return zlib.decompress(data, zlib.MAX_WBITS | 32)
+
+
+def gzip_isize_hint(data: bytes) -> Optional[int]:
+    """Uncompressed-size hint from the gzip ISIZE trailer (mod 2^32); None
+    for non-gzip streams. Exact for single-member files < 4 GiB — avoids the
+    grow-and-retry loop on high-compression-ratio payloads (masks)."""
+    if len(data) >= 18 and data[:2] == b"\x1f\x8b":
+        return int.from_bytes(data[-4:], "little") or None
+    return None
+
+
 def inflate(data: bytes, size_hint: Optional[int] = None) -> bytes:
     """Decompress a zlib/gzip stream (multi-member gzip supported)."""
     lib = get_library()
     if lib is None:
-        return zlib.decompress(data, zlib.MAX_WBITS | 32)
+        return _inflate_py(data)
+    if size_hint is None:
+        size_hint = gzip_isize_hint(data)
     cap = max(size_hint or 0, 4 * len(data), 1 << 16)
     for _ in range(8):
         out = bytearray(cap)
@@ -93,28 +112,39 @@ def inflate_batch(blobs: Sequence[bytes],
     """
     lib = get_library()
     if lib is None:
-        return [zlib.decompress(b, zlib.MAX_WBITS | 32) for b in blobs]
-    n = len(blobs)
-    if n == 0:
+        return [_inflate_py(b) for b in blobs]
+    if len(blobs) == 0:
         return []
     if n_threads <= 0:
-        n_threads = min(n, os.cpu_count() or 4)
-    caps = [max((size_hints[i] if size_hints else 0), 4 * len(blobs[i]), 1 << 16)
-            for i in range(n)]
+        n_threads = min(len(blobs), os.cpu_count() or 4)
+    results: List[Optional[bytes]] = [None] * len(blobs)
+    pending = list(range(len(blobs)))
+    caps = {i: max((size_hints[i] if size_hints else 0)
+                   or gzip_isize_hint(blobs[i]) or 0,
+                   4 * len(blobs[i]), 1 << 16)
+            for i in pending}
     for _ in range(8):
-        dsts = [bytearray(c) for c in caps]
-        src_arr = (_u8p * n)(*[_ro_u8p(b) for b in blobs])
-        srclen_arr = (ctypes.c_int64 * n)(*[len(b) for b in blobs])
-        dst_arr = (_u8p * n)(*[_as_u8p(d) for d in dsts])
-        cap_arr = (ctypes.c_int64 * n)(*caps)
+        n = len(pending)
+        dsts = {i: bytearray(caps[i]) for i in pending}
+        src_arr = (_u8p * n)(*[_ro_u8p(blobs[i]) for i in pending])
+        srclen_arr = (ctypes.c_int64 * n)(*[len(blobs[i]) for i in pending])
+        dst_arr = (_u8p * n)(*[_as_u8p(dsts[i]) for i in pending])
+        cap_arr = (ctypes.c_int64 * n)(*[caps[i] for i in pending])
         out_arr = (ctypes.c_int64 * n)()
         lib.cmr_inflate_batch(src_arr, srclen_arr, dst_arr, cap_arr, out_arr,
                               n, n_threads)
-        if any(out_arr[i] == -1 for i in range(n)):
-            raise zlib.error("cmr_inflate_batch failed")
-        if all(out_arr[i] >= 0 for i in range(n)):
-            return [bytes(dsts[i][:out_arr[i]]) for i in range(n)]
-        caps = [c * 4 if out_arr[i] == -2 else c for i, c in enumerate(caps)]
+        retry = []
+        for pos, i in enumerate(pending):
+            if out_arr[pos] >= 0:
+                results[i] = bytes(dsts[i][:out_arr[pos]])
+            elif out_arr[pos] == -2:  # grow and retry ONLY this entry
+                caps[i] *= 4
+                retry.append(i)
+            else:
+                raise zlib.error("cmr_inflate_batch failed")
+        if not retry:
+            return results  # type: ignore[return-value]
+        pending = retry
     raise zlib.error("cmr_inflate_batch: output larger than expected")
 
 
@@ -123,7 +153,7 @@ def inflate_into(data: bytes, out: np.ndarray) -> int:
     Returns bytes written."""
     lib = get_library()
     if lib is None:
-        raw = zlib.decompress(data, zlib.MAX_WBITS | 32)
+        raw = _inflate_py(data)
         flat = out.reshape(-1).view(np.uint8)
         flat[:len(raw)] = np.frombuffer(raw, np.uint8)
         return len(raw)

@@ -111,10 +111,11 @@ def _axis_coords(params, key_axis: int, size: int):
     """Compose downscale -> grid-distortion -> shift pullbacks for one axis."""
     coords = jnp.arange(size, dtype=jnp.float32)
     coords = _downscale_map(coords, size, params["down_on"])
-    table = _grid_distortion_table(
-        jax.random.fold_in(params["gd_key"], key_axis), size)
-    distorted = _eval_table(table, coords, size)
-    coords = jnp.where(params["gd_on"], distorted, coords)
+    if size >= GRID_STEPS:  # distortion undefined below one cell per step
+        table = _grid_distortion_table(
+            jax.random.fold_in(params["gd_key"], key_axis), size)
+        distorted = _eval_table(table, coords, size)
+        coords = jnp.where(params["gd_on"], distorted, coords)
     coords = jnp.where(params["ssr_on"],
                        coords - params["shift"][key_axis] * size, coords)
     return _reflect101(coords, size)

@@ -95,3 +95,34 @@ def test_nrrd_roundtrip_uses_native(tmp_path):
     back = read_image(path)
     np.testing.assert_allclose(back.array, arr)
     np.testing.assert_allclose(back.spacing, img.spacing)
+
+
+def test_python_fallback_multimember(monkeypatch):
+    """Fallback must decode ALL gzip members, like the native path."""
+    a, b = b"A" * 100, b"B" * 100
+    blob = gzip.compress(a) + gzip.compress(b)
+    monkeypatch.setattr("cmrtpu.native.cmrio.get_library", lambda: None)
+    assert cmrio.inflate(blob) == a + b
+    assert cmrio.inflate_batch([blob]) == [a + b]
+
+
+def test_isize_hint_sizes_high_ratio_payloads():
+    from cmrtpu.native.cmrio import gzip_isize_hint
+    data = bytes(5 << 20)  # 5 MiB of zeros compresses ~1000x
+    blob = gzip.compress(data)
+    assert gzip_isize_hint(blob) == len(data)
+    assert cmrio.inflate(blob) == data
+    assert gzip_isize_hint(b"not-gzip") is None
+
+
+def test_inflate_batch_partial_retry():
+    """Mixed batch: a high-ratio member forces growth for ONE entry only;
+    results stay correct and ordered."""
+    rng = np.random.default_rng(5)
+    small = rng.integers(0, 255, 1000, dtype=np.uint8).tobytes()
+    big = bytes(2 << 20)  # very high compression ratio
+    datas = [small, big, small]
+    # strip the gzip trailer hint by wrapping in zlib (no ISIZE available)
+    import zlib as _z
+    blobs = [_z.compress(d) for d in datas]
+    assert cmrio.inflate_batch(blobs) == datas

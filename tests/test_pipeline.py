@@ -195,3 +195,16 @@ def test_generator_non_square_dim(tmp_path, rng):
     assert np.asarray(x).shape == (4, 32, 24, 1)
     assert np.asarray(y).shape == (4, 32, 24, 1)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_grid_distortion_tiny_axis_no_nan(rng):
+    """Axes smaller than GRID_STEPS skip distortion instead of emitting NaN."""
+    import jax
+    aug = make_batch_augmenter({"AUGMENT_PROB": 1.0, "GRIDDISTORTION": True,
+                                "SHIFTSCALEROTATE": False, "RANDOMROTATE": False,
+                                "DOWNSCALE": False})
+    imgs = rng.normal(size=(2, 4, 4)).astype(np.float32)
+    msks = np.zeros((2, 4, 4), np.float32)
+    out_i, out_m = aug(jax.random.PRNGKey(0), imgs, msks)
+    assert np.isfinite(np.asarray(out_i)).all()
+    assert np.isfinite(np.asarray(out_m)).all()
