@@ -175,7 +175,7 @@ def get_acdc_dataset_as_df(path: str) -> pd.DataFrame:
     """All ACDC patients as one df (ref: Dataset.py:1026-1042)."""
     folders = sorted(glob.glob(os.path.join(path, "**/")))
     dfs = [describe_acdc_patient_folder(f) for f in folders]
-    return pd.concat(dfs).reset_index(inplace=False)
+    return pd.concat(dfs).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

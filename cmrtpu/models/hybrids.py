@@ -36,11 +36,21 @@ from cmrtpu.models.unet import UNet, build_model, _he_normal
 
 
 def _as_2d_config(config: Dict) -> Dict:
-    """Strip the z entry from the geometry keys (ref: Unets.py:312-316)."""
+    """Strip the z entry from the geometry keys (ref: Unets.py:312-316).
+
+    F_SIZE/M_POOL are only stripped when they actually carry a z entry
+    (rank == len(DIM)); 2D-shaped values (the config defaults) pass through,
+    otherwise the 2D sub-net would end up with rank-1 kernels."""
     cfg = dict(config)
-    cfg["DIM"] = list(C.get(config, "DIM"))[1:]
-    cfg["F_SIZE"] = list(C.get(config, "F_SIZE", [3, 3, 3]))[1:]
-    cfg["M_POOL"] = list(C.get(config, "M_POOL", [1, 2, 2]))[1:]
+    dim = list(C.get(config, "DIM"))
+    cfg["DIM"] = dim[1:]
+
+    def strip(key, default3):
+        value = list(C.get(config, key) or default3)
+        return value[1:] if len(value) >= len(dim) else value
+
+    cfg["F_SIZE"] = strip("F_SIZE", [3, 3, 3])
+    cfg["M_POOL"] = strip("M_POOL", [1, 2, 2])
     return cfg
 
 
@@ -158,7 +168,7 @@ def build_hybrid_model(config: Dict, variant: str = "avg",
     raise ValueError(f"unknown hybrid variant: {variant}")
 
 
-def get_model(config: Dict, metrics=None, supervision: bool = False):
+def get_model(config: Dict, supervision: bool = False):
     """Top-level dispatcher matching the reference's get_model switch
     (ref: src/models/Unets.py:984-998): MODEL_VARIANT selects the plain
     dimension-generic U-Net (default) or a hybrid."""

@@ -270,13 +270,16 @@ def init_variables(model: UNet, config: Dict, rng: jax.Array):
     return model.init({"params": rng, "dropout": rng}, x, train=False)
 
 
-def model_summary(model: UNet, variables) -> str:
+def model_summary(model, variables) -> str:
     """Text summary with per-collection parameter counts
     (stand-in for keras model.summary -> model_summary.txt,
-    ref: src/models/train_model.py:87-89)."""
-    lines = [f"UNet depth={model.depth} filters={model.filters} "
-             f"f_size={model.f_size} m_pool={model.m_pool} "
-             f"classes={model.mask_classes} dtype={model.dtype}"]
+    ref: src/models/train_model.py:87-89). Works for any flax module —
+    hybrid wrappers included — by only reading attributes that exist."""
+    attrs = " ".join(f"{name}={getattr(model, name)}"
+                     for name in ("depth", "filters", "f_size", "m_pool",
+                                  "mask_classes", "dtype")
+                     if hasattr(model, name))
+    lines = [f"{type(model).__name__} {attrs}".rstrip()]
     total = 0
     flat = jax.tree_util.tree_leaves_with_path(variables.get("params", {}))
     for path, leaf in flat:

@@ -146,9 +146,8 @@ class Trainer:
                 logs.update({f"val_{k}": v for k, v in val_logs.items()})
             logs["epoch_time"] = time.time() - t0
             self.history.append(logs)
-            for hook in ("on_epoch_end",):
-                for cb in callbacks:
-                    getattr(cb, hook)(self, epoch, logs)
+            for cb in callbacks:
+                cb.on_epoch_end(self, epoch, logs)
             if hasattr(train_data, "on_epoch_end"):
                 train_data.on_epoch_end()
             logging.info("epoch %d/%d %s", epoch + 1, epochs,
@@ -168,9 +167,11 @@ class Trainer:
         host->device batch uploads. Same callback protocol as ``fit``."""
         from cmrtpu.train.device_cache import DeviceCachedLoop
 
-        # reuse the loop (uploaded cache + compiled fused steps) across calls
-        cache_key = (id(train_gen), id(val_gen))
-        if getattr(self, "_cached_loop_key", None) != cache_key:
+        # reuse the loop (uploaded cache + compiled fused steps) across calls;
+        # key holds strong references so a recycled id() can't alias stale data
+        cache_key = (train_gen, val_gen)
+        if getattr(self, "_cached_loop_key", None) is not cache_key and \
+                getattr(self, "_cached_loop_key", None) != cache_key:
             self._cached_loop = DeviceCachedLoop(self, train_gen, val_gen)
             self._cached_loop_key = cache_key
         loop = self._cached_loop

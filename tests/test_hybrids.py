@@ -166,3 +166,26 @@ def test_unet_wrapper_resizes_inplane():
     variables = wrapper.init({"params": rng, "dropout": rng}, x, train=False)
     out = wrapper.apply(variables, x, train=False)
     assert out.shape == (1, 3, 48, 40, 2)
+
+
+def test_as_2d_config_with_default_fsize():
+    """3D DIM with defaulted (2D) F_SIZE/M_POOL must not produce rank-1
+    kernels for the 2D sub-net."""
+    from cmrtpu.models.hybrids import _as_2d_config
+    cfg = _as_2d_config({"DIM": [16, 64, 64]})
+    assert cfg["F_SIZE"] == [3, 3]
+    assert cfg["M_POOL"] in ([2, 2], [1, 2][-2:])  # 2D-shaped either way
+    cfg3 = _as_2d_config({"DIM": [16, 64, 64], "F_SIZE": [3, 3, 3],
+                          "M_POOL": [1, 2, 2]})
+    assert cfg3["F_SIZE"] == [3, 3] and cfg3["M_POOL"] == [2, 2]
+
+
+def test_model_summary_works_for_hybrids():
+    import jax
+    from cmrtpu.models.unet import model_summary
+    model = build_hybrid_model(CFG_3D, variant="avg")
+    x = jnp.zeros((1, 4, 32, 32, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    summary = model_summary(model, variables)
+    assert "Avg2D3D" in summary
+    assert "Trainable params" in summary
