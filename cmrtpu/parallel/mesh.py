@@ -42,11 +42,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         "JAX_COORDINATOR_ADDRESS")
     if not coordinator_address:
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=int(num_processes
-                          or os.environ.get("JAX_NUM_PROCESSES", 1)),
-        process_id=int(process_id or os.environ.get("JAX_PROCESS_ID", 0)))
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", 1))
+    if process_id is None:  # explicit 0 must not fall through to the env var
+        process_id = int(os.environ.get("JAX_PROCESS_ID", 0))
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=int(num_processes),
+                               process_id=int(process_id))
     return True
 
 

@@ -16,9 +16,12 @@ import numpy as np
 try:
     import matplotlib
     import matplotlib.pyplot as plt
-    import pandas as pd
 except ImportError:  # headless minimal env
-    plt = pd = None
+    plt = None
+try:
+    import pandas as pd
+except ImportError:
+    pd = None
 
 SEED = 42
 random.seed(SEED)

@@ -25,7 +25,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
-from cmrtpu.visualization.visualize import save_plot
+from cmrtpu.visualization.visualize import write_figure
 
 
 def _dice(a: np.ndarray, b: np.ndarray) -> float:
@@ -48,7 +48,7 @@ def plot_dice_per_slice_bar(gt: np.ndarray, pred: np.ndarray,
     ax.set_ylabel("dice")
     ax.set_ylim(0, 1)
     if save_path:
-        save_plot(fig, save_path)
+        write_figure(fig, save_path)
     return fig, scores
 
 
@@ -71,7 +71,7 @@ def create_eval_plot(df_dice, df_hd=None, df_vol=None, eval_name: str = "",
         ax.set_xticklabels(df.columns, rotation=30)
         ax.set_title(f"{eval_name} {name}".strip())
     if path:
-        save_plot(fig, path)
+        write_figure(fig, path)
     return fig
 
 
@@ -126,7 +126,7 @@ def plot_confusion_matrix(y_true, y_pred, classes: Sequence[str],
     if title:
         ax.set_title(title)
     if path:
-        save_plot(fig, path)
+        write_figure(fig, path)
     return fig, cm
 
 
@@ -143,7 +143,7 @@ def plot_value_histogram(nda: np.ndarray, f_name: Optional[str] = None,
     ax.legend()
     ax.set_xlabel("intensity"); ax.set_ylabel("count")
     if f_name:
-        save_plot(fig, f_name)
+        write_figure(fig, f_name)
     return fig
 
 
@@ -212,7 +212,7 @@ def show_phases(gt: np.ndarray, pred: Optional[np.ndarray] = None,
     ax.set_xlabel("timestep")
     ax.legend(loc="upper right")
     if path:
-        save_plot(fig, path)
+        write_figure(fig, path)
     return fig
 
 

@@ -66,7 +66,7 @@ def plot_2d_or_3d(img, mask=None, path: Optional[str] = None):
         for z in range(n):
             overlay_slice(axes[z], img[z], None if mask is None else mask[z])
     if path:
-        save_plot(fig, path)
+        write_figure(fig, path)
     return fig
 
 
@@ -82,7 +82,7 @@ def plot_3d_vol(vol3d, mask3d=None, cols: int = 8, path: Optional[str] = None):
             overlay_slice(ax, vol3d[i], None if mask3d is None else mask3d[i])
         ax.axis("off")
     if path:
-        save_plot(fig, path)
+        write_figure(fig, path)
     return fig
 
 
@@ -98,7 +98,7 @@ def plot_4d_vol(vol4d, t_step: int = 1, path: Optional[str] = None):
             overlay_slice(axes[r, z], vol4d[t, z])
             axes[r, z].axis("off")
     if path:
-        save_plot(fig, path)
+        write_figure(fig, path)
     return fig
 
 
@@ -114,10 +114,12 @@ def save_prediction_overlays(x, y, preds, path: str, max_samples: int = 4) -> No
         overlay_slice(axes[i, 2], x[i], preds[i])
     for ax, title in zip(axes[0], ("input", "ground truth", "prediction")):
         ax.set_title(title)
-    save_plot(fig, path)
+    write_figure(fig, path)
 
 
-def save_plot(fig, path: str) -> None:
+def write_figure(fig, path: str) -> None:
+    """Write a figure to a full path (distinct from the reference-parity
+    auto-versioning save_plot in cmrtpu.utils.io_utils)."""
     ensure_dir(os.path.dirname(os.path.abspath(path)))
     fig.tight_layout()
     fig.savefig(path, dpi=96)
