@@ -59,21 +59,43 @@ def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh):
 
 def make_cached_train_step(model, optimizer, loss_fn: Callable,
                            metrics: Optional[Dict[str, Callable]],
-                           config: Dict, mesh: Mesh, augment: bool):
+                           config: Dict, mesh: Mesh, augment: bool,
+                           masks: bool = True):
     """(state, data_x, data_y, idxs, rng) -> (state, logs), fully fused."""
     metrics = metrics or {}
     cfg = dict(config)
+    # hist-matching rides the fused step too (Var.1 of the published
+    # experiments, ref: src/data/Generators.py:350-358): ~10% of examples are
+    # quantile-matched against a random slice drawn from the resident cache,
+    # so the flagship throughput path covers all four experiment variants
+    hist_matching = bool(C.get(cfg, "HIST_MATCHING", False)) and augment
+    # the reference hardcodes the 10% rate (Generators.py:350); exposed as a
+    # knob for tests / ablations
+    hist_prob = float(C.get(cfg, "HIST_MATCHING_PROB", 0.1))
 
     def step_fn(state: S.TrainState, data_x, data_y, idxs, rng):
         imgs = jnp.take(data_x, idxs, axis=0)
         msks = jnp.take(data_y, idxs, axis=0)
+        if hist_matching:
+            from cmrtpu.pipeline.histmatch import match_histograms_jax
+            hm_key = jax.random.fold_in(
+                jax.random.fold_in(rng, 0x415), state.step)
+            k_gate, k_ref = jax.random.split(hm_key)
+            batch = idxs.shape[0]
+            hits = jax.random.uniform(k_gate, (batch,)) < hist_prob
+            ref_idx = jax.random.randint(k_ref, (batch,), 0,
+                                         data_x.shape[0])
+            refs = jnp.take(data_x, ref_idx, axis=0)
+            matched = jax.vmap(match_histograms_jax)(imgs, refs)
+            imgs = jnp.where(hits.reshape((-1,) + (1,) * (imgs.ndim - 1)),
+                             matched, imgs)
         if augment:
             # two-level fold with a constant tag: decorrelated from the
             # dropout stream (which is fold_in(rng, step)) for every step
             aug_key = jax.random.fold_in(
                 jax.random.fold_in(rng, 0xA06), state.step)
             imgs, msks = augment_batch_fn(aug_key, imgs, msks, cfg)
-        x, y = finalize_batch(imgs, msks, cfg)
+        x, y = finalize_batch(imgs, msks, cfg, masks=masks)
 
         dropout_rng = jax.random.fold_in(rng, state.step)
 
@@ -108,7 +130,7 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
 
 def make_cached_eval_step(model, loss_fn: Callable,
                           metrics: Optional[Dict[str, Callable]],
-                          config: Dict, mesh: Mesh):
+                          config: Dict, mesh: Mesh, masks: bool = True):
     """(state, data_x, data_y, idxs) -> logs; no augmentation, no updates."""
     metrics = metrics or {}
     cfg = dict(config)
@@ -116,7 +138,7 @@ def make_cached_eval_step(model, loss_fn: Callable,
     def step_fn(state: S.TrainState, data_x, data_y, idxs):
         imgs = jnp.take(data_x, idxs, axis=0)
         msks = jnp.take(data_y, idxs, axis=0)
-        x, y = finalize_batch(imgs, msks, cfg)
+        x, y = finalize_batch(imgs, msks, cfg, masks=masks)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         preds = model.apply(variables, x, train=False)
         logs = {"loss": loss_fn(y, preds)}
@@ -149,10 +171,9 @@ class DeviceCachedLoop:
         self.x_train, self.y_train = upload_cache(train_gen._cache_x,
                                                   train_gen._cache_y, mesh)
         self.n_train = train_gen._cache_x.shape[0]
-        augment = bool(C.get(cfg, "AUGMENT", False))
-        self._train_step = make_cached_train_step(
-            trainer.model, trainer.optimizer, trainer.loss_fn,
-            trainer.metrics, cfg, mesh, augment)
+        self._augment = bool(C.get(cfg, "AUGMENT", False))
+        self._masks = bool(getattr(train_gen, "masks", True))
+        self._build_train_step()
 
         self.val = None
         if val_gen is not None and getattr(val_gen, "_cache_x", None) is not None:
@@ -160,11 +181,19 @@ class DeviceCachedLoop:
                                                   val_gen._cache_y, mesh)
             self.n_val = val_gen._cache_x.shape[0]
             self._eval_step = make_cached_eval_step(
-                trainer.model, trainer.loss_fn, trainer.metrics, cfg, mesh)
+                trainer.model, trainer.loss_fn, trainer.metrics, cfg, mesh,
+                masks=bool(getattr(val_gen, "masks", True)))
             self.val = True
         self._idx_sharding = NamedSharding(mesh, P(DATA_AXIS))
         logging.info("device cache: %d train / %s val examples resident in HBM",
                      self.n_train, self.n_val if self.val else "no")
+
+    def _build_train_step(self) -> None:
+        t = self.trainer
+        self._step_optimizer = t.optimizer
+        self._train_step = make_cached_train_step(
+            t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
+            self._augment, masks=self._masks)
 
     def _epoch_indices(self, n: int, shuffle: bool) -> np.ndarray:
         idxs = self.rng.permutation(n) if shuffle else np.arange(n)
@@ -173,22 +202,30 @@ class DeviceCachedLoop:
 
     def run_train_epoch(self) -> Dict[str, float]:
         t = self.trainer
-        sums: Dict[str, float] = {}
+        if self._step_optimizer is not t.optimizer:
+            # optimizer swapped mid-training (OptimizerChanger callback path,
+            # ref: src/utils/KerasCallbacks.py:245-306) — the compiled step
+            # closes over the old optax transform, so rebuild it before the
+            # stale update hits the fresh opt_state
+            self._build_train_step()
         batches = self._epoch_indices(self.n_train, shuffle=True)
         if len(batches) == 0:
             raise ValueError(
                 f"device-cached epoch is empty: {self.n_train} examples < "
                 f"BATCHSIZE {self.batch}")
-        logs = None
+        step_logs = []
         for idxs in batches:
             idxs_dev = jax.device_put(idxs.astype(np.int32), self._idx_sharding)
             t.state, logs = self._train_step(t.state, self.x_train,
                                              self.y_train, idxs_dev, t.rng)
-        # sync once per epoch: only the last step's scalars round-trip
-        logs = jax.device_get(logs)
-        for k, v in logs.items():
-            sums[k] = float(v)
-        return sums
+            step_logs.append(logs)  # device scalars — no transfer yet
+        # epoch logs are the mean over all steps (parity with fit()/keras
+        # epoch averaging, ref: src/models/train_model.py:105-112 semantics)
+        # but still only ONE host sync per epoch: stack+mean on device, then
+        # a single device_get of the scalar dict
+        mean_logs = jax.tree_util.tree_map(
+            lambda *xs: jnp.mean(jnp.stack(xs)), *step_logs)
+        return {k: float(v) for k, v in jax.device_get(mean_logs).items()}
 
     def run_eval_epoch(self) -> Dict[str, float]:
         t = self.trainer

@@ -71,10 +71,10 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
     cache_ok = (getattr(batch_generator, "_cache_x", None) is not None
                 and fits_device_cache(cfg, batch_generator._cache_x,
                                       batch_generator._cache_y))
-    if cache_ok and not C.get(cfg, "HIST_MATCHING", False):
+    if cache_ok:
         # device-cached hot loop: dataset resident in HBM, fused per-step
-        # gather+augment+train (host streaming only when the in-memory cache
-        # is off or hist-matching needs per-element host work)
+        # gather+[hist-match]+augment+train (host streaming only when the
+        # in-memory cache is off or doesn't fit HBM)
         trainer.fit_cached(batch_generator, val_gen=validation_generator,
                            epochs=C.get(cfg, "EPOCHS", 100), callbacks=callbacks)
     else:

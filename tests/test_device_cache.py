@@ -163,3 +163,96 @@ def test_fit_cached_empty_epoch_raises(gens):
     trainer = Trainer(dict(cfg, BATCHSIZE=64))  # 8 examples < 64
     with pytest.raises(ValueError, match="device-cached epoch is empty"):
         trainer.fit_cached(train, epochs=1)
+
+
+def test_fit_cached_epoch_logs_are_step_means(gens):
+    """Epoch train logs must be the mean over the epoch's steps (keras
+    semantics, like Trainer.fit), not the last step's scalars."""
+    import jax
+    from cmrtpu.train.device_cache import DeviceCachedLoop
+    train, val, cfg = gens
+    cfg = dict(cfg, AUGMENT=False)
+    gen = DataGenerator(train.images, train.labels, config=cfg)
+    t1 = Trainer(cfg)
+    hist = t1.fit_cached(gen, epochs=1)
+
+    # replicate the epoch step-by-step from an identical deterministic start
+    t2 = Trainer(cfg)
+    loop = DeviceCachedLoop(t2, gen)
+    per_step = []
+    for idxs in loop._epoch_indices(loop.n_train, shuffle=True):
+        idxs_dev = jax.device_put(idxs.astype(np.int32), loop._idx_sharding)
+        t2.state, logs = loop._train_step(t2.state, loop.x_train,
+                                          loop.y_train, idxs_dev, t2.rng)
+        per_step.append(float(jax.device_get(logs["loss"])))
+    assert len(per_step) == 2  # 8 examples / batch 4
+    assert hist[0]["loss"] == pytest.approx(np.mean(per_step), rel=1e-5)
+    # regression guard: per-step losses differ, so last-step-only would fail
+    assert abs(per_step[0] - per_step[1]) > 1e-7
+    assert hist[0]["loss"] != pytest.approx(per_step[-1], rel=1e-7)
+
+
+def test_fit_cached_survives_optimizer_switch(gens):
+    """switch_optimizer mid-training must rebuild the cached step: the old
+    compiled step closes over the previous optax transform and would apply
+    adam updates to a fresh SGD opt_state (pytree mismatch)."""
+    train, val, cfg = gens
+    trainer = Trainer(cfg)
+    trainer.fit_cached(train, epochs=1)
+    trainer.switch_optimizer("sgd")
+    hist = trainer.fit_cached(train, epochs=1)
+    assert np.isfinite(hist[-1]["loss"])
+    assert trainer._cached_loop._step_optimizer is trainer.optimizer
+
+
+def test_cached_step_hist_matching(gens):
+    """HIST_MATCHING rides the fused cached step (Var.1 on the fast path):
+    with prob=1 every image is quantile-matched against a cache slice, which
+    must change the training trajectory but stay finite; with HIST_MATCHING
+    off the step is bit-identical to the baseline."""
+    train, val, cfg = gens
+    base = dict(cfg, SHIFTSCALEROTATE=False, GRIDDISTORTION=False,
+                RANDOMROTATE=False, AUGMENT_PROB=0.0)
+    hm = dict(base, HIST_MATCHING=True, HIST_MATCHING_PROB=1.0)
+
+    t0, t1 = Trainer(base), Trainer(hm)
+    h0 = t0.fit_cached(train, epochs=1)
+    h1 = t1.fit_cached(train, epochs=1)
+    assert np.isfinite(h1[-1]["loss"])
+    assert h0[-1]["loss"] != pytest.approx(h1[-1]["loss"], rel=1e-6)
+
+    # prob=0 gate: identical to no hist-matching at all
+    t2 = Trainer(dict(base, HIST_MATCHING=True, HIST_MATCHING_PROB=0.0))
+    h2 = t2.fit_cached(train, epochs=1)
+    assert h2[-1]["loss"] == pytest.approx(h0[-1]["loss"], rel=1e-6)
+
+
+def test_train_fold_hist_matching_uses_cached_loop(gens, tmp_path, monkeypatch):
+    """HIST_MATCHING=True no longer falls off the device-cached fast path."""
+    import pandas as pd
+    from cmrtpu.train import fold as F
+    train, val, cfg = gens
+
+    rows = []
+    for f in train.images + val.images:
+        mod = "train" if f in train.images else "test"
+        rows.append({"fold": 0, "x_path": f, "y_path": f.replace("img", "msk"),
+                     "modality": mod,
+                     "patient": os.path.basename(f).split("__")[0]})
+    df_path = str(tmp_path / "df.csv")
+    pd.DataFrame(rows).to_csv(df_path, index=False)
+
+    called = {}
+    orig = Trainer.fit_cached
+
+    def spy(self, *a, **k):
+        called["cached"] = True
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Trainer, "fit_cached", spy)
+    data_dir = os.path.dirname(train.images[0])
+    run_cfg = dict(cfg, EPOCHS=1, DATA_PATH_SAX=data_dir, DF_FOLDS=df_path,
+                   EXPERIMENT="histfold", HIST_MATCHING=True,
+                   EXPERIMENTS_ROOT=str(tmp_path / "exp") + "/", FOLD=0)
+    F.train_fold(run_cfg)
+    assert called.get("cached")
