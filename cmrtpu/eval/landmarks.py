@@ -69,44 +69,52 @@ def get_ip_from_rvip_file(f_name: str, keepdim: bool = False,
 
 def get_ip_from_2dmask(nda: np.ndarray, rev: bool = False
                        ) -> Tuple[Optional[tuple], Optional[tuple]]:
-    """Walk the external MYO contour; the last border point before entering
-    the septum is the anterior IP, the first one after leaving it the
-    inferior IP (ref: src/data/Preprocess.py:15-89). Labels: RV=1, MYO=2,
-    LV=3 (combined mask uses 1|2|3)."""
-    import cv2
+    """Insertion points from an LV/MYO/RV mask (labels: RV=1, MYO=2, LV=3).
 
-    first, second = None, None
-    myo_msk = (nda == 2).astype(np.uint8)
-    comb_msk = ((nda == 1) | (nda == 2) | (nda == 3)).astype(np.uint8)
+    The MYO outer contour splits into two arcs: points that also lie on the
+    outer contour of the combined heart mask (the free wall), and points that
+    don't (the septal arc facing the RV). Walking the MYO contour in OpenCV's
+    traversal order, the free-wall point right before the walk enters the
+    septal arc is the anterior IP; the first free-wall point after leaving it
+    is the inferior IP. Numerically identical to the reference's cv2-based
+    walk (ref: src/data/Preprocess.py:15-89) but OpenCV-free: contours come
+    from the first-party Suzuki-Abe tracer (cmrtpu/eval/contours.py)."""
+    from cmrtpu.eval.contours import find_external_contours
+
+    anterior, inferior = None, None
     if np.isin(1, nda) and np.isin(2, nda):
-        myo_contours, _ = cv2.findContours(myo_msk, cv2.RETR_EXTERNAL,
-                                           cv2.CHAIN_APPROX_NONE)
-        comb_contours, _ = cv2.findContours(comb_msk, cv2.RETR_EXTERNAL,
-                                            cv2.CHAIN_APPROX_NONE)
-        if len(myo_contours) > 0 and len(comb_contours) > 0:
-            clean = lambda cont: [(p[0][0], p[0][1]) for p in cont[0]]
-            myo_clean = clean(myo_contours)
-            comb_clean = set(clean(comb_contours))
+        myo_contours = find_external_contours(nda == 2)
+        heart_contours = find_external_contours(
+            (nda == 1) | (nda == 2) | (nda == 3))
+        if myo_contours and heart_contours:
+            walk = myo_contours[0]
+            free_wall = set(heart_contours[0])
+            on_wall = [p in free_wall for p in walk]
 
-            septum_visited = False
-            border_visited = False
-            memory_first = None
-            for p in myo_clean:
-                if p in comb_clean:
-                    border_visited = True
-                    if septum_visited and not second:
-                        second = p
-                    if not first:
-                        memory_first = p
-                else:
-                    septum_visited = True
-                    if border_visited and not first:
-                        first = memory_first
-            if second and not first:  # contour started at the first IP
-                first = memory_first
-        if rev and (first is not None) and (second is not None):
-            first, second = (first[1], first[0]), (second[1], second[0])
-    return first, second
+            # inferior: first free-wall point after the first septal point
+            septal = [i for i, w in enumerate(on_wall) if not w]
+            if septal:
+                inferior = next((walk[i] for i in range(septal[0] + 1,
+                                                        len(walk))
+                                 if on_wall[i]), None)
+            # anterior: free-wall point immediately preceding the first
+            # septal point that has free-wall points before it
+            last_wall = None
+            for i, w in enumerate(on_wall):
+                if w:
+                    last_wall = walk[i]
+                elif last_wall is not None:
+                    anterior = last_wall
+                    break
+            if anterior is None and inferior is not None:
+                # the walk opened inside the septal arc and never re-entered
+                # it: cyclically, the anterior IP is the walk's last
+                # free-wall point
+                anterior = last_wall
+        if rev and (anterior is not None) and (inferior is not None):
+            anterior = (anterior[1], anterior[0])
+            inferior = (inferior[1], inferior[0])
+    return anterior, inferior
 
 
 def get_ip_from_mask_3d(msk_3d: np.ndarray, keepdim: bool = False,

@@ -117,3 +117,108 @@ def test_contour_walk_missing_labels():
     m[5:10, 5:10] = 2  # myo only, no RV
     ant, inf = LM.get_ip_from_2dmask(m)
     assert ant is None and inf is None
+
+
+def test_find_external_contours_matches_opencv():
+    """Property test: the first-party Suzuki-Abe tracer reproduces
+    cv2.findContours(RETR_EXTERNAL, CHAIN_APPROX_NONE) exactly — point
+    sequences AND contour order — on random multi-blob masks. Skipped where
+    OpenCV isn't installed (the framework itself no longer needs it)."""
+    cv2 = pytest.importorskip("cv2")
+    from cmrtpu.eval.contours import find_external_contours
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:32, 0:32]
+    for _ in range(120):
+        m = np.zeros((32, 32), np.uint8)
+        for _b in range(rng.integers(1, 5)):
+            cy, cx = rng.integers(2, 30, 2)
+            r = rng.integers(1, 5)
+            m[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 1
+        if rng.random() < 0.5:  # sprinkle isolated pixels / ragged edges
+            m[tuple(rng.integers(0, 32, (2, 4)))] = 1
+        cv_contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL,
+                                          cv2.CHAIN_APPROX_NONE)
+        cv_lists = [[(int(p[0][0]), int(p[0][1])) for p in c]
+                    for c in cv_contours]
+        assert find_external_contours(m) == cv_lists
+
+
+def test_get_ip_from_2dmask_matches_cv2_reference_walk():
+    """The rewritten IP walk returns exactly what the reference's cv2-based
+    formulation (ref: src/data/Preprocess.py:15-89) returns, on randomized
+    SAX-like LV/MYO/RV masks."""
+    cv2 = pytest.importorskip("cv2")
+
+    def reference_walk(nda):  # the reference algorithm, verbatim semantics
+        first, second = None, None
+        myo = (nda == 2).astype(np.uint8)
+        comb = ((nda == 1) | (nda == 2) | (nda == 3)).astype(np.uint8)
+        if np.isin(1, nda) and np.isin(2, nda):
+            mc, _ = cv2.findContours(myo, cv2.RETR_EXTERNAL,
+                                     cv2.CHAIN_APPROX_NONE)
+            cc, _ = cv2.findContours(comb, cv2.RETR_EXTERNAL,
+                                     cv2.CHAIN_APPROX_NONE)
+            if len(mc) > 0 and len(cc) > 0:
+                clean = lambda c: [(p[0][0], p[0][1]) for p in c[0]]
+                myo_clean, comb_clean = clean(mc), set(clean(cc))
+                septum_visited = border_visited = False
+                memory_first = None
+                for p in myo_clean:
+                    if p in comb_clean:
+                        border_visited = True
+                        if septum_visited and not second:
+                            second = p
+                        if not first:
+                            memory_first = p
+                    else:
+                        septum_visited = True
+                        if border_visited and not first:
+                            first = memory_first
+                if second and not first:
+                    first = memory_first
+        return first, second
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:48, 0:48]
+    checked = 0
+    for _ in range(60):
+        m = np.zeros((48, 48), np.uint8)
+        cy, cx = rng.integers(16, 32, 2)
+        r_out = rng.integers(6, 12)
+        r_in = max(2, r_out - rng.integers(3, 6))
+        ring = np.hypot(yy - cy, xx - cx)
+        m[ring < r_out] = 2
+        m[ring < r_in] = 3
+        rvy = cy + rng.integers(-4, 5)
+        rvx = cx - r_out - rng.integers(-2, 3)
+        m[(np.hypot(yy - rvy, xx - rvx) < rng.integers(4, 9)) & (m == 0)] = 1
+        ref = reference_walk(m)
+        got = LM.get_ip_from_2dmask(m)
+        ref = tuple(tuple(int(v) for v in p) if p is not None else None
+                    for p in ref)
+        got = tuple(tuple(int(v) for v in p) if p is not None else None
+                    for p in got)
+        assert got == ref, f"mask seed mismatch: {got} != {ref}"
+        checked += 1
+    assert checked == 60
+
+
+def test_landmarks_module_is_opencv_free():
+    """cv2 must not be imported anywhere in cmrtpu (SURVEY.md §2.3)."""
+    import subprocess
+    import sys
+    rc = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.modules['cv2'] = None\n"
+         "import cmrtpu.eval.landmarks, cmrtpu.eval.contours, "
+         "cmrtpu.eval.evaluate\n"
+         "import numpy as np\n"
+         "m = np.zeros((30, 30), np.uint8)\n"
+         "yy, xx = np.mgrid[0:30, 0:30]\n"
+         "r = np.hypot(yy - 15, xx - 19); m[r < 7] = 2; m[r < 3] = 3\n"
+         "m[(np.hypot(yy - 15, xx - 8) < 6) & (m == 0)] = 1\n"
+         "a, b = cmrtpu.eval.landmarks.get_ip_from_2dmask(m)\n"
+         "assert a is not None and b is not None\n"],
+        capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stderr
