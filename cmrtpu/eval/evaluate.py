@@ -20,6 +20,24 @@ import pandas as pd
 from cmrtpu.eval import landmarks as LM
 from cmrtpu.io import read_image
 
+def _align_by_patient_phase(files, patients, phases):
+    """Order frame-named source files (``patientXXX_frameYY_*``) onto the
+    pred rows' (patient, ED|ES) keys. Per patient, the lowest frame number is
+    ED and the next ES (ACDC convention, ref: predict_model.py:109-116).
+    Rows with no matching file get None."""
+    by_patient = {}
+    for f in files:
+        base = os.path.basename(f)
+        patient = base.split("_")[0]
+        frame = int(base.split("_")[1].split("frame")[1].split(".")[0])
+        by_patient.setdefault(patient, []).append((frame, f))
+    lookup = {}
+    for patient, frame_files in by_patient.items():
+        for rank, (_, f) in enumerate(sorted(frame_files)):
+            lookup[(patient, "ED" if rank == 0 else "ES")] = f
+    return [lookup.get(key) for key in zip(patients, phases)]
+
+
 # filename sorting rules (ref: evaluate_cv.py:222-225)
 sorting_lambda = lambda x: int(os.path.basename(x).split("_")[0].split("patient")[1])
 sorting_lambda_frame = lambda x: (
@@ -70,17 +88,26 @@ def evaluate_cv(exp_path: str, data_path: str,
     df_eval = pd.DataFrame()
     df_eval["files_pred"] = pred_files
     df_eval["files_gt"] = gt_files
-    have_io = len(io_files) == len(pred_files)
-    have_orig = len(orig_msk_files) == len(pred_files)
-    if have_io:
-        df_eval["files_io"] = io_files
-    if have_orig:
-        df_eval["files_orig_msk"] = orig_msk_files
 
     df_eval["patient"] = df_eval["files_pred"].map(
         lambda x: os.path.basename(x).split("_")[0])
     df_eval["phase"] = df_eval["files_pred"].map(
         lambda x: os.path.basename(x).split("_")[1])
+
+    # io / original-mask sources are joined by patient + phase (per patient,
+    # the lowest frame number is ED, the next ES) instead of positionally;
+    # a missing file yields NaN in that row's io/orig columns rather than
+    # silently dropping the whole column family (the reference aligns
+    # positionally and only when counts match exactly, evaluate_cv.py:668-698
+    # — a fragility the rebuild does not inherit)
+    have_io = len(io_files) > 0
+    have_orig = len(orig_msk_files) > 0
+    if have_io:
+        df_eval["files_io"] = _align_by_patient_phase(
+            io_files, df_eval["patient"], df_eval["phase"])
+    if have_orig:
+        df_eval["files_orig_msk"] = _align_by_patient_phase(
+            orig_msk_files, df_eval["patient"], df_eval["phase"])
     # pathology from the original ACDC metadata (ref: evaluate_cv.py:687-698)
     try:
         from cmrtpu.data.dataset import get_acdc_dataset_as_df
@@ -102,10 +129,12 @@ def evaluate_cv(exp_path: str, data_path: str,
         lambda x: LM.get_ip_from_rvip_file(x, keepdim=True))
     if have_io:
         df_eval["ips_io"] = df_eval["files_io"].map(
-            lambda x: LM.get_ip_from_rvip_file(x, keepdim=True))
+            lambda x: LM.get_ip_from_rvip_file(x, keepdim=True)
+            if isinstance(x, str) else None)
     if have_orig:
         df_eval["ips_orig_msk"] = df_eval["files_orig_msk"].map(
-            lambda x: LM.get_ip_from_ventriclemsk_file(x, keepdim=True))
+            lambda x: LM.get_ip_from_ventriclemsk_file(x, keepdim=True)
+            if isinstance(x, str) else None)
 
     # --- mean ips, mean angles, mean-angle diffs, mean distances -------
     sources = ["pred"] + (["io"] if have_io else []) \
@@ -114,7 +143,11 @@ def evaluate_cv(exp_path: str, data_path: str,
     df_eval["mangle_gt"] = df_eval["mips_gt"].map(lambda x: LM.get_angle2x(x[0], x[1]))
     suffix_map = {"pred": "gtpred", "io": "gtio", "orig_msk": "gtorig"}
     for src in sources:
-        df_eval[f"mips_{src}"] = df_eval[f"ips_{src}"].map(LM.calc_mean_ip)
+        # None ips (source file missing for this patient+phase) flow through
+        # as NaN means / None angles so every downstream column still exists
+        df_eval[f"mips_{src}"] = df_eval[f"ips_{src}"].map(
+            lambda x: LM.calc_mean_ip(x) if x is not None
+            else (np.nan, np.nan))
         df_eval[f"mangle_{src}"] = df_eval[f"mips_{src}"].map(
             lambda x: LM.get_angle2x(x[0], x[1]))
         suf = suffix_map[src]
@@ -131,10 +164,14 @@ def evaluate_cv(exp_path: str, data_path: str,
     df_eval["angles_gt"] = df_eval["ips_gt"].map(LM.get_angles2x)
     for src in sources:
         suf = suffix_map[src]
-        df_eval[f"angles_{src}"] = df_eval[f"ips_{src}"].map(LM.get_angles2x)
+        df_eval[f"angles_{src}"] = df_eval[f"ips_{src}"].map(
+            lambda x: LM.get_angles2x(x) if x is not None else np.array([]))
         df_eval[f"dists_ant_{suf}"], df_eval[f"dists_inf_{suf}"] = zip(
             *df_eval.apply(lambda r: LM.get_distances(
-                r["ips_gt"], r[f"ips_{src}"], r["inplane_spacing"]), axis=1))
+                r["ips_gt"], r[f"ips_{src}"], r["inplane_spacing"])
+                if r[f"ips_{src}"] is not None
+                else (np.array([None] * len(r["ips_gt"][0])),
+                      np.array([None] * len(r["ips_gt"][1]))), axis=1))
         df_eval[f"diffs_{suf}"] = df_eval.apply(
             lambda r: LM.get_differences(r["angles_gt"], r[f"angles_{src}"]), axis=1)
     df_eval["EXP"] = [path_to_exp] * len(df_eval)
@@ -145,10 +182,12 @@ def evaluate_cv(exp_path: str, data_path: str,
         s = tpr_suffix[src]
         df_eval[f"tpr_ant{s}"], df_eval[f"tpr_inf{s}"] = zip(
             *df_eval.apply(lambda r: LM.calc_tpr_thresh(
-                r["ips_gt"], r[f"ips_{src}"]), axis=1))
+                r["ips_gt"], r[f"ips_{src}"])
+                if r[f"ips_{src}"] is not None else (np.nan, np.nan), axis=1))
         df_eval[f"ppv_ant{s}"], df_eval[f"ppv_inf{s}"] = zip(
             *df_eval.apply(lambda r: LM.calc_ppv_thresh(
-                r["ips_gt"], r[f"ips_{src}"]), axis=1))
+                r["ips_gt"], r[f"ips_{src}"])
+                if r[f"ips_{src}"] is not None else (np.nan, np.nan), axis=1))
 
     # --- point-based (single-IP-also) ----------------------------------
     df_eval["ips_pred_single_also"] = df_eval["files_pred"].map(

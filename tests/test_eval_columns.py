@@ -129,3 +129,47 @@ def test_csv_written(full_exp, tmp_path):
 def test_empty_prediction_dir_raises_clear_error(tmp_path):
     with pytest.raises(FileNotFoundError, match="no prediction masks"):
         evaluate_cv(str(tmp_path), str(tmp_path))
+
+
+def test_partial_io_set_keeps_all_columns(full_exp):
+    """One missing inter-observer file must not drop the io/orig column
+    families: sources are joined by patient+phase, the affected row gets
+    NaN/None (the reference's count-equality gate silently dropped ~20
+    columns instead, evaluate_cv.py:668-698)."""
+    exp_path, data_path = full_exp
+    os.remove(os.path.join(data_path, "io", "patient001_frame12_rvip.nrrd"))
+    df = evaluate_cv(exp_path, data_path)
+    missing = [c for c in EXPECTED if c not in df.columns]
+    assert not missing, f"missing columns: {missing}"
+    ed = df[df["phase"] == "ED"].iloc[0]
+    es = df[df["phase"] == "ES"].iloc[0]
+    # ED (frame01) io file still present -> real values
+    assert isinstance(ed["files_io"], str)
+    assert ed["mdists_ant_gtio"] == pytest.approx(np.sqrt(2) * 1.25, rel=1e-6)
+    # ES (frame12) io file removed -> NaN row, not a dropped column
+    assert es["files_io"] is None or (isinstance(es["files_io"], float)
+                                      and np.isnan(es["files_io"]))
+    assert np.isnan(es["mdists_ant_gtio"])
+    assert np.isnan(es["tpr_ant_io"])
+    # pred/gt metrics untouched
+    assert (df["tpr_ant"] == 1.0).all()
+
+
+def test_io_files_align_by_patient_not_position(full_exp, tmp_path):
+    """A second patient with io labels but no predictions must not shift
+    the io<->pred pairing (positional alignment would)."""
+    from cmrtpu.io import MedicalImage, write_image
+    exp_path, data_path = full_exp
+    # extra io files for a patient that has no predictions, sorting BEFORE
+    # patient001's files under positional alignment... patient000 < patient001
+    for frame in ("01", "10"):
+        write_image(
+            MedicalImage(array=_rvip_vol(ant=(20, 20)), spacing=(1.25, 1.25, 8.0)),
+            str(os.path.join(data_path, "io",
+                             f"patient000_frame{frame}_rvip.nrrd")))
+    df = evaluate_cv(exp_path, data_path)
+    assert len(df) == 2
+    # io distances still reflect patient001's own (1,1)-px-shifted labels
+    assert df["mdists_ant_gtio"].iloc[0] == pytest.approx(
+        np.sqrt(2) * 1.25, rel=1e-6)
+    assert all("patient001" in f for f in df["files_io"])
