@@ -21,7 +21,7 @@ import numpy as np
 
 from cmrtpu import config as C
 from cmrtpu.models.unet import build_model
-from cmrtpu.train.checkpoint import load_weights
+from cmrtpu.train.checkpoint import load_weights_for_model
 
 
 def _stack_pytrees(trees):
@@ -39,7 +39,8 @@ class EnsemblePredictor:
         assert weight_dirs, "no fold checkpoints given"
         self.config = C.normalise_config(config)
         self.model = build_model(self.config)
-        members = [load_weights(d) for d in weight_dirs]
+        members = [load_weights_for_model(d, self.config, self.model)
+                   for d in weight_dirs]
         self.n_members = len(members)
         self._params = _stack_pytrees([m[0] for m in members])
         self._batch_stats = _stack_pytrees([m[1] for m in members])

@@ -31,7 +31,7 @@ from cmrtpu.ops import resample as R
 from cmrtpu.ops.connected_components import clean_prediction_2d_cc
 from cmrtpu.pipeline.generator import DataGenerator
 from cmrtpu.predict.postprocess import undo_generator_steps
-from cmrtpu.train.checkpoint import load_weights
+from cmrtpu.train.checkpoint import load_weights_for_model
 from cmrtpu.utils.io_utils import ensure_dir
 
 _BUCKET = 8  # pad slice batches to a multiple of this to bound recompiles
@@ -44,7 +44,8 @@ class Predictor:
         self.config = C.normalise_config(config)
         self.model = build_model(self.config)
         model_path = model_path or C.get(self.config, "MODEL_PATH")
-        self.params, self.batch_stats = load_weights(model_path)
+        self.params, self.batch_stats = load_weights_for_model(
+            model_path, self.config, self.model)
         self._forward = jax.jit(lambda x: self.model.apply(
             {"params": self.params, "batch_stats": self.batch_stats},
             x, train=False))

@@ -71,12 +71,33 @@ def restore_train_state(ckpt_dir: str, abstract_state):
     return ckptr.restore(path, abstract_state)
 
 
-def load_pretrained_model(model_path: str, abstract_state=None):
+def load_weights_for_model(model_path: str, config, model):
+    """Weights-only restore with reference-h5 fallback: ``model.npz`` when
+    present, else a keras ``model.h5`` imported into the given flax model's
+    tree (the reference's rebuild-then-load_weights flow,
+    ref: src/models/predict_model.py:75-76). Returns (params, batch_stats)."""
+    npz = model_path if model_path.endswith(".npz") \
+        else os.path.join(model_path, WEIGHTS_NAME)
+    h5 = model_path if model_path.endswith(".h5") \
+        else os.path.join(model_path, "model.h5")
+    if not os.path.exists(npz) and os.path.exists(h5):
+        from cmrtpu.models.unet import init_variables
+        from cmrtpu.train.keras_import import import_keras_unet_weights
+        variables = init_variables(model, config, jax.random.PRNGKey(0))
+        imported = import_keras_unet_weights(variables, h5, config)
+        return imported["params"], imported["batch_stats"]
+    return load_weights(model_path)
+
+
+def load_pretrained_model(model_path: str, abstract_state=None,
+                          config=None, variables=None):
     """Fallback-chain model loading (ref: load_pretrained_model,
     src/models/ModelUtils.py:7-73 — SavedModel -> json+h5 -> tf-variables).
 
     Here: full Orbax train state (if an abstract state is given and a
-    ``state/`` dir exists) -> weights-only model.npz -> error. Returns
+    ``state/`` dir exists) -> weights-only model.npz -> reference keras
+    ``model.h5`` (when ``config`` and the abstract ``variables`` tree are
+    given, see cmrtpu/train/keras_import.py) -> error. Returns
     (params, batch_stats, state_or_None)."""
     state_dir = os.path.join(model_path, "state")
     if abstract_state is not None and os.path.isdir(state_dir):
@@ -86,5 +107,14 @@ def load_pretrained_model(model_path: str, abstract_state=None):
         except Exception as e:  # fall through to weights-only
             import logging
             logging.info("full-state restore failed (%s); trying weights", e)
+    npz = model_path if model_path.endswith(".npz") \
+        else os.path.join(model_path, WEIGHTS_NAME)
+    h5 = model_path if model_path.endswith(".h5") \
+        else os.path.join(model_path, "model.h5")
+    if not os.path.exists(npz) and os.path.exists(h5) \
+            and config is not None and variables is not None:
+        from cmrtpu.train.keras_import import import_keras_unet_weights
+        imported = import_keras_unet_weights(variables, h5, config)
+        return imported["params"], imported["batch_stats"], None
     params, batch_stats = load_weights(model_path)
     return params, batch_stats, None

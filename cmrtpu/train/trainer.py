@@ -89,10 +89,12 @@ class Trainer:
 
     # -- checkpoint / resume -------------------------------------------------
     def restore_weights(self, model_path: str) -> None:
-        """Load weights-only model.npz (inference parity with the reference's
-        rebuild-then-load_weights flow, ref: predict_model.py:75-76)."""
-        from cmrtpu.train.checkpoint import load_weights
-        params, batch_stats = load_weights(model_path)
+        """Load weights-only model.npz — or a reference keras model.h5 —
+        (inference parity with the reference's rebuild-then-load_weights
+        flow, ref: predict_model.py:75-76)."""
+        from cmrtpu.train.checkpoint import load_weights_for_model
+        params, batch_stats = load_weights_for_model(model_path, self.config,
+                                                     self.model)
         self.state = self.state.replace(params=params, batch_stats=batch_stats)
 
     def restore(self, ckpt_dir: str) -> int:
