@@ -49,11 +49,32 @@ def main(data_root: str, acdc_path: str) -> None:
         create_2d_slices_from_3d_volume_files(img_f, msk_f, export)
     logging.info("2D slices written to %s", export)
 
+    # the reference ships df_kfold.csv inside the downloaded archive; offline,
+    # build an equivalent patient-grouped k-fold split from the slices
+    df_path = os.path.join(data_root, "df_kfold.csv")
+    if not os.path.exists(df_path):
+        from cmrtpu.data.dataset import get_kfolded_data, get_patient
+        n_patients = len({get_patient(f)
+                          for f in glob.glob(os.path.join(export, "*img.nrrd"))})
+        kfolds = min(4, n_patients)  # tiny smoke datasets get fewer folds
+        if kfolds >= 2:
+            df = get_kfolded_data(kfolds=kfolds, path_to_data=export)
+            df.to_csv(df_path, index=False)
+            logging.info("k-fold dataframe (%d folds) written to %s",
+                         kfolds, df_path)
+        else:
+            logging.warning("only %d patient(s) — skipping df_kfold.csv",
+                            n_patients)
 
-if __name__ == "__main__":
+
+def cli() -> None:
     parser = argparse.ArgumentParser(description="build the RVIP 2D dataset")
     parser.add_argument("-data_root", action="store", default=None)
     parser.add_argument("-acdc_data", action="store", default=None)
     args = parser.parse_args()
     print(f"given parameters: {args}")
     main(args.data_root, args.acdc_data)
+
+
+if __name__ == "__main__":
+    cli()

@@ -16,7 +16,7 @@ import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "cmrio.cpp")
-_LIB = os.path.join(_HERE, "libcmrio-v1.so")
+_LIB = os.path.join(_HERE, "libcmrio-v2.so")
 
 _lock = threading.Lock()
 _lib: "ctypes.CDLL | None" = None
@@ -70,7 +70,9 @@ def get_library() -> "ctypes.CDLL | None":
         if os.environ.get("CMRTPU_DISABLE_NATIVE"):
             _failed = True
             return None
-        if not os.path.exists(_LIB) and not _compile():
+        stale = (not os.path.exists(_LIB)
+                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+        if stale and not _compile() and not os.path.exists(_LIB):
             _failed = True
             return None
         try:

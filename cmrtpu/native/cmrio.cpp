@@ -43,7 +43,13 @@ int64_t cmr_inflate(const uint8_t* src, int64_t src_len,
       // NRRD files may concatenate multiple gzip members; continue until
       // input is exhausted. (inflateReset2 clears total_out, so progress is
       // tracked through next_out instead.)
-      if (zs.avail_in > 0 && zs.avail_out > 0) {
+      if (zs.avail_in > 0) {
+        if (zs.avail_out == 0) {
+          // a member ended exactly at dst capacity with input remaining:
+          // returning total here would silently drop the remaining members
+          inflateEnd(&zs);
+          return -2;  // grow dst and retry
+        }
         if (inflateReset2(&zs, 32 + MAX_WBITS) != Z_OK) break;
         continue;
       }

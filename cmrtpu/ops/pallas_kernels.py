@@ -145,15 +145,22 @@ def _cc_kernel(mask_ref, labels_ref, *, h: int, w: int, max_iters: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
-def converge_labels_pallas(masks, max_iters: int = 4096):
+def converge_labels_pallas(masks, max_iters: int = None):
     """Label 4-connected components of a stack of binary masks [N, H, W].
 
     Returns int32 labels (component id = min linear index, background =
     2**30 sentinel) — same contract as
     cmrtpu.ops.connected_components.label_components_2d, batched.
+
+    ``max_iters`` defaults to h*w, the worst-case geodesic diameter (a
+    serpentine single component), so the propagation always reaches the true
+    fixed point like the XLA fallback; the while_loop exits as soon as a
+    sweep changes nothing, so the generous bound costs nothing in practice.
     """
     masks = jnp.asarray(masks)
     n, h, w = masks.shape
+    if max_iters is None:
+        max_iters = h * w
     return pl.pallas_call(
         functools.partial(_cc_kernel, h=h, w=w, max_iters=max_iters),
         grid=(n,),

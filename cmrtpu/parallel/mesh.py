@@ -74,6 +74,13 @@ def create_mesh(config: Optional[Dict] = None,
     if batch:
         while n > 1 and batch % n:
             n -= 1
+    if n < len(devices):
+        import logging
+        logging.warning(
+            "create_mesh: BATCHSIZE %d does not divide the %d available "
+            "devices — training on %d device(s), %d idle. Pick a BATCHSIZE "
+            "divisible by the device count to use the full slice.",
+            batch, len(devices), n, len(devices) - n)
     return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
 
 

@@ -126,3 +126,18 @@ def test_inflate_batch_partial_retry():
     import zlib as _z
     blobs = [_z.compress(d) for d in datas]
     assert cmrio.inflate_batch(blobs) == datas
+
+
+def test_multimember_boundary_exactly_at_capacity():
+    """A gzip member ending exactly when the output buffer fills, with more
+    members remaining, must grow-and-retry — not silently truncate to the
+    first member."""
+    import gzip
+    from cmrtpu.native import cmrio
+
+    first = b"\x00" * (1 << 16)   # decompressed size == the 64 KiB cap floor
+    second = b"tail-member-payload" * 7
+    blob = gzip.compress(first, 1) + gzip.compress(second, 1)
+    # size_hint pins cap to exactly len(first): the first member ends with
+    # avail_out == 0 and input remaining
+    assert cmrio.inflate(blob, size_hint=len(first)) == first + second

@@ -130,3 +130,22 @@ def test_histmatch_jax_close_to_host():
     assert (np.diff(flat_dev[order]) >= -1e-5).all()
     # matched distribution ~ reference distribution
     assert abs(np.median(dev) - np.median(ref)) < 0.2
+
+
+def test_cc_serpentine_converges_to_fixed_point():
+    """A serpentine single component with geodesic diameter >> min(h, w)
+    must still converge to one label (max_iters defaults to h*w)."""
+    from cmrtpu.ops.pallas_kernels import converge_labels_pallas
+    from cmrtpu.ops.connected_components import label_components_2d
+
+    h = w = 24
+    m = np.zeros((h, w), np.int32)
+    for r in range(0, h, 2):          # boustrophedon corridor
+        m[r, :] = 1
+        if r + 1 < h:
+            m[r + 1, -1 if (r // 2) % 2 == 0 else 0] = 1
+    got = np.asarray(converge_labels_pallas(m[None]))[0]
+    want = np.asarray(label_components_2d(m))
+    np.testing.assert_array_equal(got, want)
+    fg = got[m == 1]
+    assert (fg == fg[0]).all()  # single component, fully propagated

@@ -76,3 +76,93 @@ def test_resample_image_wrapper(rng):
     assert out.array.shape == (2, 19, 19)
     assert out.spacing == (1.2, 1.2, 8.0)
     assert out.origin == img.origin
+
+
+class TestItkGoldens:
+    """Pin the resampler against SimpleITK-generated goldens when the fixture
+    exists (tools/gen_itk_goldens.py); cross-check against scipy's
+    independent interpolation implementation either way."""
+
+    def test_itk_golden_fixtures(self):
+        import os
+        fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                               "itk_goldens.npz")
+        if not os.path.exists(fixture):
+            pytest.skip("run tools/gen_itk_goldens.py in a SimpleITK env "
+                        "to enable golden parity checks")
+        blobs = np.load(fixture)
+        names = sorted({k.split("__")[0] for k in blobs.files})
+        assert names
+        for name in names:
+            arr = blobs[f"{name}__input"]
+            in_sp = blobs[f"{name}__in_spacing"]
+            out_sp = blobs[f"{name}__out_spacing"]
+            interp = int(blobs[f"{name}__interp"])
+            golden = blobs[f"{name}__golden"]
+            size = calc_resampled_size(
+                list(reversed(arr.shape)), in_sp, out_sp)
+            got = R.resample_nd(arr, in_sp, size, out_sp, interpolate=interp)
+            assert got.shape == golden.shape, name
+            if interp == R.NEAREST:
+                np.testing.assert_array_equal(got, golden, err_msg=name)
+            else:
+                np.testing.assert_allclose(got, golden, atol=1e-3,
+                                           err_msg=name)
+
+    def test_linear_matches_scipy_map_coordinates(self):
+        """Interior linear interpolation cross-checked against
+        scipy.ndimage.map_coordinates — a third-party implementation of the
+        same multilinear math, fed the independently-computed ITK out->in
+        index map c_k = i_k * out_spacing_k / in_spacing_k."""
+        import scipy.ndimage
+
+        rng = np.random.default_rng(9)
+        arr = rng.normal(50.0, 20.0, size=(9, 21, 17)).astype(np.float64)
+        in_sp = (1.37, 1.37, 8.0)    # x, y, z
+        out_sp = (1.2, 1.2, 3.3)
+        size = calc_resampled_size(list(reversed(arr.shape)), in_sp, out_sp)
+
+        got = R.resample_nd(arr, in_sp, size, out_sp, interpolate=R.LINEAR)
+
+        # full out->in coordinate grid, numpy (z, y, x) axis order
+        ratios = [out_sp[2] / in_sp[2], out_sp[1] / in_sp[1],
+                  out_sp[0] / in_sp[0]]
+        grids = np.meshgrid(*[np.arange(n) * r for n, r in
+                              zip(reversed(size), ratios)], indexing="ij")
+        want = scipy.ndimage.map_coordinates(arr, np.stack(grids), order=1,
+                                             mode="nearest")
+        # compare where the map stays inside [0, size-1] on every axis
+        # (identical bilinear support; edge/outside semantics are covered by
+        # the hand-derived unit tests above)
+        interior = np.ones(want.shape, bool)
+        for axis, (g, n) in enumerate(zip(grids, arr.shape)):
+            interior &= g <= n - 1
+        assert interior.mean() > 0.8
+        np.testing.assert_allclose(got[interior], want[interior], atol=1e-9)
+
+    def test_nearest_matches_bruteforce_round_half_up(self):
+        """NN resampling cross-checked against a brute-force per-voxel loop
+        applying ITK's RoundHalfIntegerUp definition directly."""
+        rng = np.random.default_rng(10)
+        arr = rng.integers(0, 5, size=(4, 9, 8)).astype(np.uint8)
+        in_sp = (1.37, 1.1, 8.0)
+        out_sp = (1.2, 0.9, 5.0)
+        size = calc_resampled_size(list(reversed(arr.shape)), in_sp, out_sp)
+        got = R.resample_nd(arr, in_sp, size, out_sp, interpolate=R.NEAREST)
+
+        zs, ys, xs = got.shape
+        want = np.zeros_like(got)
+        for z in range(zs):
+            for y in range(ys):
+                for x in range(xs):
+                    cz = z * out_sp[2] / in_sp[2]
+                    cy = y * out_sp[1] / in_sp[1]
+                    cx = x * out_sp[0] / in_sp[0]
+                    if (-0.5 <= cz < arr.shape[0] - 0.5
+                            and -0.5 <= cy < arr.shape[1] - 0.5
+                            and -0.5 <= cx < arr.shape[2] - 0.5):
+                        want[z, y, x] = arr[
+                            min(int(np.floor(cz + 0.5)), arr.shape[0] - 1),
+                            min(int(np.floor(cy + 0.5)), arr.shape[1] - 1),
+                            min(int(np.floor(cx + 0.5)), arr.shape[2] - 1)]
+        np.testing.assert_array_equal(got, want)
