@@ -245,65 +245,49 @@ def get_distances_upper_bound(ips1, ips2, spacing: float = 1.0, dim: int = 224):
     return np.array(ant), np.array(inf)
 
 
+def _parse_ips(ips):
+    return literal_eval(ips) if isinstance(ips, str) else ips
+
+
+def _detection_counts(gt_pts, pred_pts, thresh: float, spacing: float):
+    """Per-slice detection outcomes for one landmark: (hits, misses, far,
+    spurious) = within-threshold pairs, gt-without-pred, beyond-threshold
+    pairs, pred-without-gt."""
+    hits = misses = far = spurious = 0
+    for g, p in zip(gt_pts, pred_pts):
+        if g is not None and p is not None:
+            if get_dist(g, p) * spacing <= thresh:
+                hits += 1
+            else:
+                far += 1
+        elif g is not None:
+            misses += 1
+        elif p is not None:
+            spurious += 1
+    return hits, misses, far, spurious
+
+
 def calc_tpr_thresh(gt, pred, thresh: float = 1000, spacing: float = 1.0):
-    """Slice-wise TPR per landmark with distance threshold
-    (ref: evaluate_cv.py:267-307)."""
-    if isinstance(gt, str):
-        gt = literal_eval(gt)
-    if isinstance(pred, str):
-        pred = literal_eval(pred)
-    gt_ant, gt_inf = gt
-    pred_ant, pred_inf = pred
-    tp_ant = tp_inf = fn_ant = fn_inf = 0
-    tpr_ant = tpr_inf = 0
-    for i in range(len(gt_ant)):
-        if gt_ant[i] is not None:
-            if pred_ant[i] is not None:
-                if get_dist(gt_ant[i], pred_ant[i]) * spacing <= thresh:
-                    tp_ant += 1
-            else:
-                fn_ant += 1
-        if gt_inf[i] is not None:
-            if pred_inf[i] is not None:
-                if get_dist(gt_inf[i], pred_inf[i]) * spacing <= thresh:
-                    tp_inf += 1
-            else:
-                fn_inf += 1
-    if tp_ant > 0:
-        tpr_ant = tp_ant / (tp_ant + fn_ant)
-    if tp_inf > 0:
-        tpr_inf = tp_inf / (tp_inf + fn_inf)
-    return tpr_ant, tpr_inf
+    """Slice-wise TPR per landmark (anterior, inferior) with a distance
+    threshold (ref: evaluate_cv.py:267-307). Matching the reference exactly:
+    beyond-threshold detections count neither as TP nor FN, and a landmark
+    with zero hits scores 0."""
+    out = []
+    for gt_pts, pred_pts in zip(_parse_ips(gt), _parse_ips(pred)):
+        hits, misses, _, _ = _detection_counts(gt_pts, pred_pts, thresh,
+                                               spacing)
+        out.append(hits / (hits + misses) if hits > 0 else 0)
+    return tuple(out)
 
 
 def calc_ppv_thresh(gt, pred, thresh: float = 1000, spacing: float = 1.0):
-    """Slice-wise PPV per landmark; beyond-threshold hits and spurious
-    detections count as FP (ref: evaluate_cv.py:310-353)."""
-    if isinstance(gt, str):
-        gt = literal_eval(gt)
-    if isinstance(pred, str):
-        pred = literal_eval(pred)
-    gt_ant, gt_inf = gt
-    pred_ant, pred_inf = pred
-    tp_ant = tp_inf = fp_ant = fp_inf = 0
-    ppv_ant = ppv_inf = 0
-    for i in range(len(gt_ant)):
-        if gt_ant[i] is not None and pred_ant[i] is not None:
-            if get_dist(gt_ant[i], pred_ant[i]) * spacing <= thresh:
-                tp_ant += 1
-            else:
-                fp_ant += 1
-        if gt_inf[i] is not None and pred_inf[i] is not None:
-            if get_dist(gt_inf[i], pred_inf[i]) * spacing <= thresh:
-                tp_inf += 1
-            else:
-                fp_inf += 1
-        if pred_ant[i] is not None and gt_ant[i] is None:
-            fp_ant += 1
-        if pred_inf[i] is not None and gt_inf[i] is None:
-            fp_inf += 1
-    if tp_ant > 0:
-        ppv_ant = tp_ant / (tp_ant + fp_ant)
-    if tp_inf > 0:
-        ppv_inf = tp_inf / (tp_inf + fp_inf)
-    return ppv_ant, ppv_inf
+    """Slice-wise PPV per landmark (anterior, inferior); beyond-threshold
+    hits and spurious detections both count as FP
+    (ref: evaluate_cv.py:310-353)."""
+    out = []
+    for gt_pts, pred_pts in zip(_parse_ips(gt), _parse_ips(pred)):
+        hits, _, far, spurious = _detection_counts(gt_pts, pred_pts, thresh,
+                                                   spacing)
+        false_pos = far + spurious
+        out.append(hits / (hits + false_pos) if hits > 0 else 0)
+    return tuple(out)
