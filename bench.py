@@ -55,39 +55,56 @@ def main():
     y_cache[:, 160:164, 160:164] = 2.0
     data_x, data_y = upload_cache(x_cache, y_cache, mesh)
 
-    step = make_cached_train_step(trainer.model, trainer.optimizer,
-                                  trainer.loss_fn, trainer.metrics,
-                                  trainer.config, mesh, augment=True)
     from jax.sharding import NamedSharding, PartitionSpec as P
     idx_sharding = NamedSharding(mesh, P("data"))
 
-    def one_step(state, i):
-        idxs = jax.device_put(
-            rng.integers(0, n_cache, batch).astype(np.int32), idx_sharding)
-        return step(state, data_x, data_y, idxs, trainer.rng)
+    def measure(cfg_overrides, steps=20, warmup=3):
+        """slices/sec of the fused cached step under a config variant."""
+        cfg = dict(trainer.config, **cfg_overrides)
+        step = make_cached_train_step(trainer.model, trainer.optimizer,
+                                      trainer.loss_fn, trainer.metrics,
+                                      cfg, mesh, augment=True)
 
-    # warmup / compile. NOTE: sync via device->host transfer of the loss —
-    # block_until_ready does not reliably block on tunneled platforms.
-    state = trainer.state
-    for i in range(3):
-        state, logs = one_step(state, i)
-    float(np.asarray(jax.device_get(logs["loss"])))
+        def one_step(state):
+            idxs = jax.device_put(
+                rng.integers(0, n_cache, batch).astype(np.int32), idx_sharding)
+            return step(state, data_x, data_y, idxs, trainer.rng)
 
-    steps = 20
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, logs = one_step(state, i)
-    float(np.asarray(jax.device_get(logs["loss"])))
-    elapsed = time.perf_counter() - t0
+        # warmup / compile. NOTE: sync via device->host transfer of the loss —
+        # block_until_ready does not reliably block on tunneled platforms.
+        # fresh state copy per variant: the fused step donates its state
+        # argument, so reusing trainer.state across variants would hit
+        # deleted buffers
+        state = jax.device_put(jax.device_get(trainer.state))
+        for _ in range(warmup):
+            state, logs = one_step(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, logs = one_step(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        return steps * batch / (time.perf_counter() - t0)
 
-    slices_per_sec = steps * batch / elapsed
+    # flagship: the published Base experiment (augment, no smoothing)
+    slices_per_sec = measure({})
+    # published variants riding the same fused step: Var.1 (hist-matching,
+    # ref: Generators.py:350-358) and Var.2 (Gaussian sigma=2 GT heatmaps,
+    # ref: Generators.py:385-391)
+    variants = {
+        "hist_matching (Var.1)": round(measure(
+            {"HIST_MATCHING": True}, steps=10), 1),
+        "gaus_sigma2 (Var.2)": round(measure(
+            {"GAUS": True, "SIGMA": 2}, steps=10), 1),
+    }
+
     baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count
     print(json.dumps({
         "metric": "SAX slices/sec (end-to-end device-cached train: gather+"
-                  "augment+heatmaps+fwd+bwd+adam, 224x224 2D U-Net)",
+                  "augment+mask-channels+fwd+bwd+adam, 224x224 2D U-Net)",
         "value": round(slices_per_sec, 1),
         "unit": "slices/sec",
         "vs_baseline": round(slices_per_sec / baseline, 3),
+        "variants_slices_per_sec": variants,
     }))
 
 

@@ -149,3 +149,32 @@ def test_cc_serpentine_converges_to_fixed_point():
     np.testing.assert_array_equal(got, want)
     fg = got[m == 1]
     assert (fg == fg[0]).all()  # single component, fully propagated
+
+
+def test_histmatch_binned_close_to_host():
+    """The sort-free binned matcher agrees with the host skimage-semantics
+    path to within its bin-quantisation bound and preserves ordering."""
+    from cmrtpu.pipeline.histmatch import (match_histograms,
+                                           match_histograms_binned_jax)
+    rng = np.random.default_rng(6)
+    src = rng.normal(0, 1, (64, 64)).astype(np.float32)
+    ref = rng.gamma(2.0, 2.0, (64, 64)).astype(np.float32)
+    host = match_histograms(src, ref)
+    dev = np.asarray(match_histograms_binned_jax(src, ref, bins=4096))
+    span = float(ref.max() - ref.min())
+    # per-pixel error bounded by a few bin widths; mean far below that
+    assert np.abs(host - dev).mean() < 3 * span / 4096
+    assert np.abs(host - dev).max() < 0.05 * span
+    order = np.argsort(src.reshape(-1))
+    assert (np.diff(dev.reshape(-1)[order]) >= -1e-5).all()
+
+
+def test_histmatch_binned_ties_map_identically():
+    from cmrtpu.pipeline.histmatch import match_histograms_binned_jax
+    rng = np.random.default_rng(7)
+    src = np.round(rng.normal(0, 1, (32, 32)), 1).astype(np.float32)  # ties
+    ref = rng.normal(5, 2, (32, 32)).astype(np.float32)
+    dev = np.asarray(match_histograms_binned_jax(src, ref))
+    for v in np.unique(src)[:10]:
+        outs = dev[src == v]
+        assert np.allclose(outs, outs[0])
