@@ -108,13 +108,16 @@ def evaluate_cv(exp_path: str, data_path: str,
     if have_orig:
         df_eval["files_orig_msk"] = _align_by_patient_phase(
             orig_msk_files, df_eval["patient"], df_eval["phase"])
-    # pathology from the original ACDC metadata (ref: evaluate_cv.py:687-698)
+    # pathology from the original ACDC metadata, joined by patient id
+    # (ref: evaluate_cv.py:687-698 assigns positionally — same fragility as
+    # the io/orig alignment, fixed the same way)
     try:
         from cmrtpu.data.dataset import get_acdc_dataset_as_df
         df_raw = get_acdc_dataset_as_df(os.path.join(data_root, "original"))
-        df_raw = df_raw.loc[df_raw["phase"].isin(["ed", "es"])]
-        df_raw.reset_index(inplace=True, drop=True)
-        df_eval["pathology"] = df_raw["pathology"]
+        pathology_by_patient = dict(
+            df_raw.drop_duplicates("patient")[["patient",
+                                               "pathology"]].values)
+        df_eval["pathology"] = df_eval["patient"].map(pathology_by_patient)
     except Exception:
         df_eval["pathology"] = None
     df_eval = df_eval.loc[:, ~df_eval.columns.duplicated()]
