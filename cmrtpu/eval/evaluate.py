@@ -33,7 +33,9 @@ def _align_by_patient_phase(files, patients, phases):
         by_patient.setdefault(patient, []).append((frame, f))
     lookup = {}
     for patient, frame_files in by_patient.items():
-        for rank, (_, f) in enumerate(sorted(frame_files)):
+        # only the two lowest frames map to phases; extra annotated frames
+        # (e.g. 4D exports) must not steal the ES slot
+        for rank, (_, f) in enumerate(sorted(frame_files)[:2]):
             lookup[(patient, "ED" if rank == 0 else "ES")] = f
     return [lookup.get(key) for key in zip(patients, phases)]
 
@@ -167,8 +169,10 @@ def evaluate_cv(exp_path: str, data_path: str,
     df_eval["angles_gt"] = df_eval["ips_gt"].map(LM.get_angles2x)
     for src in sources:
         suf = suffix_map[src]
-        df_eval[f"angles_{src}"] = df_eval[f"ips_{src}"].map(
-            lambda x: LM.get_angles2x(x) if x is not None else np.array([]))
+        df_eval[f"angles_{src}"] = df_eval.apply(
+            lambda r: LM.get_angles2x(r[f"ips_{src}"])
+            if r[f"ips_{src}"] is not None
+            else np.array([None] * len(r["ips_gt"][0])), axis=1)
         df_eval[f"dists_ant_{suf}"], df_eval[f"dists_inf_{suf}"] = zip(
             *df_eval.apply(lambda r: LM.get_distances(
                 r["ips_gt"], r[f"ips_{src}"], r["inplane_spacing"])

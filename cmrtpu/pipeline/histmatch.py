@@ -68,7 +68,8 @@ def match_histograms_jax(source, reference):
     return matched.reshape(src.shape)
 
 
-def match_histograms_binned_jax(source, reference, bins: int = 4096):
+def match_histograms_binned_jax(source, reference, bins: int = 4096,
+                                exclude_zeros: bool = False):
     """Sort-free on-device histogram matching via binned CDFs and an
     inverse-CDF lookup table.
 
@@ -82,7 +83,14 @@ def match_histograms_binned_jax(source, reference, bins: int = 4096):
     Quantisation error is bounded by a few (max-min)/bins per image —
     ~1e-3 for MinMax-scaled slices at the default 4096 — far below
     augmentation noise. The exact sorted formulation (match_histograms_jax)
-    remains for parity-critical callers."""
+    remains for parity-critical callers.
+
+    ``exclude_zeros`` drops exactly-zero pixels from both histograms and
+    leaves them at zero in the output — the right semantics for the padded
+    device cache, where the host path matches the UNPADDED image and re-pads
+    with zeros afterwards (cmrtpu/pipeline/generator.py _hist_match_element):
+    including the zero border would drag every padding pixel to the
+    reference's mid-intensity."""
     import jax.numpy as jnp
 
     src = jnp.asarray(source, jnp.float32)
@@ -90,16 +98,27 @@ def match_histograms_binned_jax(source, reference, bins: int = 4096):
     flat = src.reshape(-1)
     rflat = ref.reshape(-1)
     eps = jnp.float32(1e-12)
+    inf = jnp.float32(np.inf)
 
     def binned_cdf(x):
-        lo, hi = jnp.min(x), jnp.max(x)
+        if exclude_zeros:
+            valid = x != 0.0
+            n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+            lo = jnp.min(jnp.where(valid, x, inf))
+            hi = jnp.max(jnp.where(valid, x, -inf))
+        else:
+            valid = None
+            n_valid = jnp.float32(x.shape[0])
+            lo, hi = jnp.min(x), jnp.max(x)
         scale = jnp.maximum(hi - lo, eps)
         idx = jnp.clip(((x - lo) / scale * bins).astype(jnp.int32), 0, bins - 1)
         # CDF at bin upper edges by broadcast-compare-reduce: fuses into a
         # tiled VPU reduction (~0.3 ms/image) — faster than scatter-add
         # histograms and with no serialization hazard
-        cdf = (idx[None, :] <= jnp.arange(bins, dtype=jnp.int32)[:, None]
-               ).astype(jnp.float32).mean(axis=1)
+        le = (idx[None, :] <= jnp.arange(bins, dtype=jnp.int32)[:, None])
+        if valid is not None:
+            le = le & valid[None, :]
+        cdf = le.astype(jnp.float32).sum(axis=1) / n_valid
         return cdf, lo, scale, idx
 
     src_cdf, _, _, src_idx = binned_cdf(flat)
@@ -121,4 +140,7 @@ def match_histograms_binned_jax(source, reference, bins: int = 4096):
     # matched value by gather — no O(n_pixels) sort/search anywhere
     quantiles = src_cdf[src_idx]
     level_idx = jnp.clip((quantiles * bins).astype(jnp.int32) - 1, 0, bins - 1)
-    return inverse_table[level_idx].reshape(src.shape)
+    matched = inverse_table[level_idx]
+    if exclude_zeros:
+        matched = jnp.where(flat != 0.0, matched, 0.0)
+    return matched.reshape(src.shape)

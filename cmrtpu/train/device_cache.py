@@ -83,8 +83,11 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
             from cmrtpu.pipeline.histmatch import (match_histograms_binned_jax,
                                                    match_histograms_jax)
             if hist_bins > 0:
+                # exclude_zeros: the cache holds pad_and_crop'ed images whose
+                # zero borders must not enter the histograms (host parity:
+                # match unpadded, then re-pad with zeros)
                 match_fn = lambda s, r: match_histograms_binned_jax(
-                    s, r, bins=hist_bins)
+                    s, r, bins=hist_bins, exclude_zeros=True)
             else:
                 match_fn = match_histograms_jax
             hm_key = jax.random.fold_in(

@@ -77,9 +77,16 @@ def _conv_arrays(weights, transpose_kernel=False):
         elif leaf == "bias":
             bias = arr
     if transpose_kernel:
-        # keras Conv*DTranspose stores (spatial..., out, in); flax wants
-        # (spatial..., in, out)
-        kernel = np.swapaxes(kernel, -1, -2)
+        # keras Conv*DTranspose stores (spatial..., out, in) and TF computes
+        # the transpose conv as the gradient of a strided conv with that
+        # kernel. flax's ConvTranspose (transpose_kernel=False) instead runs
+        # a fractionally-strided conv with its (spatial..., in, out) kernel
+        # as-is — equal to the TF result only after flipping every spatial
+        # axis AND swapping the channel axes (verified exactly against the
+        # vjp-of-strided-conv definition; see tests/test_keras_import.py).
+        spatial_flip = tuple(slice(None, None, -1)
+                             for _ in range(kernel.ndim - 2))
+        kernel = np.swapaxes(kernel[spatial_flip], -1, -2)
     return kernel, bias
 
 

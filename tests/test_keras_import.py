@@ -255,3 +255,131 @@ def test_predictor_restores_from_reference_h5_dir(fixture_h5, tmp_path):
     got = pred.predict(x)
     want = _numpy_forward(x.astype(np.float64), stored)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# transpose-conv decoder variant (USE_UPSAMPLE=False)
+# ---------------------------------------------------------------------------
+
+CFG_T = dict(CFG, USE_UPSAMPLE=False)
+
+KERAS_LAYERS_T = (
+    KERAS_LAYERS[:18]  # input through bottleneck bn_5 (identical)
+    + [
+        ("conv2d_transpose", "convT", (3, 3, 8, 16)),   # (kh,kw,out,in)
+        ("concatenate", None, None),
+        ("conv2d_6", "conv", (3, 3, 16, 8)),
+        ("batch_normalization_6", "bn", 8),
+        ("dropout_3", None, None),
+        ("conv2d_7", "conv", (3, 3, 8, 8)),
+        ("batch_normalization_7", "bn", 8),
+        ("conv2d_transpose_1", "convT", (3, 3, 4, 8)),
+        ("concatenate_1", None, None),
+        ("conv2d_8", "conv", (3, 3, 8, 4)),
+        ("batch_normalization_8", "bn", 4),
+        ("dropout_4", None, None),
+        ("conv2d_9", "conv", (3, 3, 4, 4)),
+        ("batch_normalization_9", "bn", 4),
+        ("unet", "conv", (1, 1, 4, 2)),
+    ])
+
+
+def _write_keras_h5_layers(path, rng, layers):
+    stored = {}
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = np.array([n.encode() for n, _, _ in layers])
+        for name, kind, spec in layers:
+            g = f.create_group(name)
+            if kind is None:
+                g.attrs["weight_names"] = np.array([], dtype="S1")
+                continue
+            if kind in ("conv", "convT"):
+                arrs = {"kernel": rng.normal(0, 0.1, spec).astype(np.float32),
+                        "bias": rng.normal(0, 0.02, spec[-2 if kind == "convT"
+                                                         else -1]
+                                           ).astype(np.float32)}
+                names = ["kernel", "bias"]
+            else:
+                c = spec
+                arrs = {"gamma": rng.uniform(0.6, 1.4, c).astype(np.float32),
+                        "beta": rng.normal(0, 0.05, c).astype(np.float32),
+                        "moving_mean": rng.normal(0, 0.1, c).astype(np.float32),
+                        "moving_variance": rng.uniform(0.5, 1.5, c).astype(np.float32)}
+                names = ["gamma", "beta", "moving_mean", "moving_variance"]
+            g.attrs["weight_names"] = np.array(
+                [f"{name}/{w}:0".encode() for w in names])
+            for w in names:
+                g.create_dataset(f"{name}/{w}:0", data=arrs[w])
+            stored[name] = arrs
+    return stored
+
+
+def _tf_conv_transpose(y, w_keras, b, stride=2):
+    """TF-definition transpose conv: the vjp of a SAME strided conv whose
+    HWIO kernel IS the keras [kh, kw, out, in] transpose kernel."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    y = jnp.asarray(y, jnp.float32)
+    wk = jnp.asarray(w_keras, jnp.float32)
+    bsz, h, w_dim, _ = y.shape
+    c_out = wk.shape[2]
+
+    def fwd(x):
+        return lax.conv_general_dilated(
+            x, wk, window_strides=(stride, stride), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    _, vjp = jax.vjp(fwd, jnp.zeros((bsz, h * stride, w_dim * stride, c_out),
+                                    jnp.float32))
+    return np.asarray(vjp(y)[0]) + b
+
+
+def _numpy_forward_transpose(x, W):
+    def cb(x, conv, bn):
+        return _bn(_relu(_conv_same(x, W[conv]["kernel"], W[conv]["bias"])),
+                   W[bn])
+
+    c = cb(x, "conv2d", "batch_normalization")
+    s0 = cb(c, "conv2d_1", "batch_normalization_1")
+    p = _maxpool2(s0)
+    c = cb(p, "conv2d_2", "batch_normalization_2")
+    s1 = cb(c, "conv2d_3", "batch_normalization_3")
+    p = _maxpool2(s1)
+    c = cb(p, "conv2d_4", "batch_normalization_4")
+    c = cb(c, "conv2d_5", "batch_normalization_5")
+    u = _relu(_tf_conv_transpose(c, W["conv2d_transpose"]["kernel"],
+                                 W["conv2d_transpose"]["bias"]))
+    c = np.concatenate([u, s1], axis=-1)
+    c = cb(c, "conv2d_6", "batch_normalization_6")
+    c = cb(c, "conv2d_7", "batch_normalization_7")
+    u = _relu(_tf_conv_transpose(c, W["conv2d_transpose_1"]["kernel"],
+                                 W["conv2d_transpose_1"]["bias"]))
+    c = np.concatenate([u, s0], axis=-1)
+    c = cb(c, "conv2d_8", "batch_normalization_8")
+    c = cb(c, "conv2d_9", "batch_normalization_9")
+    logits = _conv_same(c, W["unet"]["kernel"], W["unet"]["bias"])
+    return 1.0 / (1.0 + np.exp(-logits))
+
+
+def test_transpose_decoder_forward_matches_tf_semantics(tmp_path):
+    """USE_UPSAMPLE=False import: keras Conv2DTranspose kernels must be
+    spatially flipped AND channel-swapped for flax's ConvTranspose
+    (transpose_kernel=False) to reproduce the TF gradient-of-conv result —
+    a channel swap alone silently applies 180-degree-rotated kernels."""
+    import jax
+    rng = np.random.default_rng(13)
+    path = str(tmp_path / "model_t.h5")
+    stored = _write_keras_h5_layers(path, rng, KERAS_LAYERS_T)
+
+    model = build_model(CFG_T)
+    variables = init_variables(model, CFG_T, jax.random.PRNGKey(0))
+    out = import_keras_unet_weights(variables, path, CFG_T)
+
+    x = rng.normal(size=(2, 16, 16, 1)).astype(np.float32)
+    got = np.asarray(model.apply(
+        {"params": out["params"], "batch_stats": out["batch_stats"]},
+        x, train=False))
+    want = _numpy_forward_transpose(x.astype(np.float64), stored)
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -178,3 +178,30 @@ def test_histmatch_binned_ties_map_identically():
     for v in np.unique(src)[:10]:
         outs = dev[src == v]
         assert np.allclose(outs, outs[0])
+
+
+def test_histmatch_binned_excludes_padding_zeros():
+    """Matching padded cache images must reproduce the host path's
+    match-unpadded-then-repad semantics: zero borders stay zero and do not
+    drag the interior mapping toward the reference's mid-intensities."""
+    from cmrtpu.pipeline.histmatch import (match_histograms,
+                                           match_histograms_binned_jax)
+    from cmrtpu.pipeline.transforms import pad_and_crop
+    rng = np.random.default_rng(8)
+    # unpadded interiors strictly positive (MinMax output shifted off zero)
+    src = rng.uniform(0.05, 1.0, (40, 44)).astype(np.float32)
+    ref = rng.uniform(0.1, 2.0, (64, 64)).astype(np.float32)
+    src_padded = pad_and_crop(src, (64, 64))
+    ref_padded = pad_and_crop(ref, (64, 64))
+
+    host = pad_and_crop(match_histograms(src, ref), (64, 64))
+    dev = np.asarray(match_histograms_binned_jax(src_padded, ref_padded,
+                                                 exclude_zeros=True))
+    border = src_padded == 0
+    assert (dev[border] == 0).all()
+    span = float(ref.max() - ref.min())
+    assert np.abs(host[~border] - dev[~border]).mean() < 3 * span / 4096
+    # without exclusion the interior mapping is visibly wrong (regression
+    # guard for the padded-histogram bug)
+    naive = np.asarray(match_histograms_binned_jax(src_padded, ref_padded))
+    assert np.abs(host[~border] - naive[~border]).mean() > 10 * span / 4096
