@@ -138,3 +138,23 @@ def predict_phase_from_vol(filenames: Sequence[str],
             logging.info("%s: mean pFD %.2f, accuracy %.2f", phase.upper(),
                          merged[col].mean(), merged[f"acc_{phase}"].mean())
     return merged
+
+
+def get_min_max_t_per_patient(df_patient, col: str = "vol in ml",
+                              target_col: str = "t_norm") -> dict:
+    """Timesteps of one patient's min/max of ``col``
+    (ref: get_min_max_t_per_patient, src/data/Dataset.py:1410-1428)."""
+    patients = df_patient["patient"].unique()
+    assert len(patients) == 1, "more than one patient in df"
+    return {"patient": patients[0],
+            "min_t": df_patient.loc[df_patient[col].idxmin(), target_col],
+            "max_t": df_patient.loc[df_patient[col].idxmax(), target_col]}
+
+
+def get_extremas(df, col: str = "vol in ml", target_col: str = "t_norm"):
+    """Per-patient min/max-timestep dataframe (ED/ES proxy from volume
+    curves, ref: get_extremas, src/data/Dataset.py:1430-1433)."""
+    import pandas as pd
+    return pd.DataFrame([
+        get_min_max_t_per_patient(df[df["patient"] == p], col, target_col)
+        for p in df["patient"].unique()])

@@ -293,3 +293,147 @@ def load_acdc_files(data_path: str) -> Tuple[List[str], List[str]]:
     y = sorted(glob.glob(os.path.join(data_path, "**/*frame*_gt.nii.gz")))
     x = [f.replace("_gt", "") for f in y]
     return x, y
+
+
+# ---------------------------------------------------------------------------
+# file-list / filename helpers (reference long tail)
+# ---------------------------------------------------------------------------
+
+def get_img_msk_files_from_split_dir(path: str) -> Tuple[List[str], List[str]]:
+    """All img/msk nrrd pairs in a split directory, falling back to original
+    ACDC nii.gz pairs when no nrrd files exist
+    (ref: get_img_msk_files_from_split_dir, src/data/Dataset.py:1110-1126)."""
+    assert os.path.exists(path), f"Path: {path} does not exist"
+    images = sorted(glob.glob(os.path.join(path, "*img.nrrd")))
+    masks = sorted(glob.glob(os.path.join(path, "*msk.nrrd")))
+    if not images:
+        return load_acdc_files(path)
+    return images, masks
+
+
+def get_patients(path: str) -> List[str]:
+    """Unique patient ids in a split directory (ref: Dataset.py:1183-1188)."""
+    images, _ = get_img_msk_files_from_split_dir(path)
+    return sorted({get_patient(f) for f in images})
+
+
+def get_z_position_from_filename(f_name: str) -> int:
+    """z index from ``<patient>__t<frame>_z<z>_img.nrrd`` naming
+    (ref: Dataset.py:1128-1129)."""
+    return int(os.path.basename(f_name).split("_")[-2].replace("z", ""))
+
+
+def get_t_position_from_filename(f_name: str):
+    """frame token from the slice naming; int where possible
+    (ref: Dataset.py:1132-1136)."""
+    token = os.path.basename(f_name).split("_")[-3].replace("t", "")
+    try:
+        return int(token)
+    except ValueError:
+        return token
+
+
+def is_patient_in_df(row, df: pd.DataFrame, col: str = "patient") -> bool:
+    """(ref: is_patient_in_df, Dataset.py:1139-1146)"""
+    return row[col] in df[col].values
+
+
+def get_n_patients(df: pd.DataFrame, n: int = 1) -> pd.DataFrame:
+    """n seeded-random patients from fold 0 with modality forced to 'train'
+    (dataset-mixing helper, ref: get_n_patients, Dataset.py:789-817)."""
+    rng = np.random.default_rng(42)
+    patients = rng.choice(sorted(df["patient"].unique()), size=n)
+    subset = df[(df["fold"] == 0) & (df["patient"].isin(patients))].copy()
+    subset.loc[:, "modality"] = "train"
+    return subset.reset_index(drop=True)
+
+
+def get_train_data_from_df(first_df: str, second_df: Optional[str] = None,
+                           n_second_df: int = 0,
+                           n_first_df: Optional[int] = None, fold: int = 0):
+    """Resolve train/val file lists from one k-fold dataframe, optionally
+    mixing in n patients from a second dataframe (cross-dataset training,
+    ref: get_train_data_from_df, Dataset.py:820-866). Returns
+    (x_train, y_train, x_val, y_val, extend_info)."""
+    extend = {"EXTRA_PATIENTS": [], "EXTRA_IMAGES": 0}
+    df = pd.read_csv(first_df)
+    if n_first_df:
+        df = get_n_patients(df, n_first_df)
+    if second_df:
+        extra = get_n_patients(pd.read_csv(second_df), n_second_df)
+        df = pd.concat([df, extra], sort=False)
+        extend["EXTRA_PATIENTS"] = sorted(extra["patient"].unique())
+        extend["EXTRA_IMAGES"] = len(extra)
+    if "fold" in df:
+        df = df[df["fold"] == fold]
+    df_train = df[df["modality"] == "train"]
+    df_val = df[df["modality"] == "test"]
+    return (sorted(df_train["x_path"].values), sorted(df_train["y_path"].values),
+            sorted(df_val["x_path"].values), sorted(df_val["y_path"].values),
+            extend)
+
+
+# ---------------------------------------------------------------------------
+# 4D <-> 3D volume helpers (reference long tail)
+# ---------------------------------------------------------------------------
+
+def split_4d_into_3d(img_4d: MedicalImage) -> List[MedicalImage]:
+    """Split a 4D image into per-t 3D images with copied geometry
+    (ref: split_one_4d_sitk_in_list_of_3d_sitk, Dataset.py:319-344)."""
+    return [copy_meta(MedicalImage(array=vol3d), img_4d)
+            for vol3d in img_4d.array]
+
+
+def create_3d_volumes_from_4d_files(img_f: str, mask_f: str, export_path: str,
+                                    slice_threshold: int = 2) -> List[int]:
+    """Write per-t 3D img/msk nrrd pairs for the timesteps whose mask has
+    enough annotated slices (ref: create_3d_volumes_from_4d_files,
+    Dataset.py:346-377). Returns the kept timestep indices."""
+    from cmrtpu.io import read_image, write_image
+    from cmrtpu.utils.io_utils import ensure_dir
+
+    img_4d = read_image(img_f)
+    msk_4d = read_image(mask_f)
+    msk_nda, kept_t = filter_4d_vol(msk_4d.array, slice_threshold)
+    ensure_dir(export_path)
+    patient = os.path.basename(img_f).split(".")[0]
+    for vol3d, msk3d, t in zip(img_4d.array[kept_t], msk_nda, kept_t):
+        for nda, kind in ((vol3d, "img"), (msk3d, "msk")):
+            out = copy_meta(MedicalImage(array=nda), img_4d)
+            write_image(out, os.path.join(export_path,
+                                          f"{patient}_t{t}_{kind}.nrrd"))
+    return list(kept_t)
+
+
+def save_gt_and_pred(gt: np.ndarray, pred: np.ndarray, exp_path: str,
+                     patient: str,
+                     phases: Sequence[str] = ("ED", "MS", "ES", "PF", "MD")
+                     ) -> None:
+    """Write per-phase gt/pred volumes under gt_m/ and pred_m/
+    (ref: save_gt_and_pred, Dataset.py:22-51; [t, z, y, x, c] input)."""
+    from cmrtpu.io import write_image
+    from cmrtpu.utils.io_utils import ensure_dir
+
+    for sub in ("gt_m", "pred_m"):
+        ensure_dir(os.path.join(exp_path, sub))
+    for t, phase in enumerate(phases[:gt.shape[0]]):
+        for nda, sub in ((gt, "gt_m"), (pred, "pred_m")):
+            vol = np.asarray(nda[t])
+            if vol.ndim == 4:  # drop trailing channel axis like the ref
+                vol = vol[..., 0] if vol.shape[-1] == 1 else \
+                    np.argmax(vol, axis=-1).astype(np.uint8)
+            write_image(MedicalImage(array=vol),
+                        os.path.join(exp_path, sub, f"{patient}_{phase}.nrrd"))
+
+
+def describe_image(img) -> str:
+    """Loggable one-stop geometry summary (describe_sitk analogue,
+    ref: Dataset.py:1080-1095); accepts MedicalImage or ndarray."""
+    if isinstance(img, np.ndarray):
+        img = MedicalImage(array=img)
+    lines = [f"size: {img.size}", f"spacing: {img.spacing}",
+             f"origin: {img.origin}", f"direction: {img.direction}",
+             f"dtype: {img.array.dtype}"]
+    text = "\n".join(lines)
+    logging.info(text)
+    return text

@@ -133,3 +133,101 @@ def test_filter_4d_vol():
     filtered, ts = D.filter_4d_vol(nda, slice_threshold=2)
     assert ts == [1]
     assert filtered.shape == (1, 5, 8, 8)
+
+
+def test_long_tail_filename_helpers(tmp_path):
+    from cmrtpu.data import dataset as D
+    f = "patient042__t05_z3_img.nrrd"
+    assert D.get_z_position_from_filename(f) == 3
+    assert D.get_t_position_from_filename(f) == 5
+    assert D.get_patient(str(tmp_path / f)) == "patient042"
+
+
+def test_split_dir_helpers(tmp_path):
+    import numpy as np
+    from cmrtpu.data import dataset as D
+    from cmrtpu.io import MedicalImage, write_image
+    for pid in ("patient001", "patient002"):
+        for z in range(2):
+            for kind in ("img", "msk"):
+                write_image(MedicalImage(array=np.zeros((8, 8), np.float32),
+                                         spacing=(1.0, 1.0)),
+                            str(tmp_path / f"{pid}__t01_z{z}_{kind}.nrrd"))
+    imgs, msks = D.get_img_msk_files_from_split_dir(str(tmp_path))
+    assert len(imgs) == len(msks) == 4
+    assert D.get_patients(str(tmp_path)) == ["patient001", "patient002"]
+
+
+def test_get_n_patients_and_train_data_from_df(tmp_path):
+    import pandas as pd
+    from cmrtpu.data import dataset as D
+    rows = []
+    for p in range(6):
+        pid = f"patient{p:03d}"
+        for fold in (0, 1):
+            rows.append({"x_path": f"{pid}_img.nrrd", "y_path": f"{pid}_msk.nrrd",
+                         "fold": fold, "modality": "train" if p % 2 else "test",
+                         "patient": pid, "pathology": "NOR"})
+    df = pd.DataFrame(rows)
+    sub = D.get_n_patients(df, n=2)
+    assert sub["patient"].nunique() <= 2
+    assert (sub["modality"] == "train").all()
+    assert (sub["fold"] == 0).all()
+
+    df_path = str(tmp_path / "df.csv")
+    df.to_csv(df_path, index=False)
+    x_tr, y_tr, x_va, y_va, extend = D.get_train_data_from_df(df_path, fold=0)
+    assert len(x_tr) == len(y_tr) and len(x_va) == len(y_va)
+    assert len(x_tr) + len(x_va) == 6
+    assert extend["EXTRA_IMAGES"] == 0
+
+
+def test_split_4d_and_create_3d_volumes(tmp_path):
+    import numpy as np
+    from cmrtpu.data import dataset as D
+    from cmrtpu.io import MedicalImage, read_image, write_image
+    vol4d = np.zeros((3, 4, 8, 8), np.float32)
+    msk4d = np.zeros((3, 4, 8, 8), np.uint8)
+    msk4d[0, :3, 2:5, 2:5] = 1  # only t=0 has >=2 annotated slices
+    img_f = str(tmp_path / "patient007_4d.nii.gz")
+    msk_f = str(tmp_path / "patient007_4d_msk.nii.gz")
+    write_image(MedicalImage(array=vol4d, spacing=(1.2, 1.2, 6.0, 1.0)), img_f)
+    write_image(MedicalImage(array=msk4d, spacing=(1.2, 1.2, 6.0, 1.0)), msk_f)
+
+    vols = D.split_4d_into_3d(read_image(img_f))
+    assert len(vols) == 3 and vols[0].array.shape == (4, 8, 8)
+    np.testing.assert_allclose(vols[0].spacing[:2], (1.2, 1.2), rtol=1e-6)
+
+    out = str(tmp_path / "3D")
+    kept = D.create_3d_volumes_from_4d_files(img_f, msk_f, out)
+    assert kept == [0]
+    import glob as g
+    assert len(g.glob(out + "/*img.nrrd")) == 1
+    assert len(g.glob(out + "/*msk.nrrd")) == 1
+
+
+def test_save_gt_and_pred_and_describe(tmp_path):
+    import numpy as np
+    from cmrtpu.data import dataset as D
+    gt = np.zeros((2, 3, 8, 8, 1), np.float32)
+    pred = np.ones((2, 3, 8, 8, 1), np.float32)
+    D.save_gt_and_pred(gt, pred, str(tmp_path), "patient009")
+    import os
+    assert os.path.exists(str(tmp_path / "gt_m" / "patient009_ED.nrrd"))
+    assert os.path.exists(str(tmp_path / "pred_m" / "patient009_MS.nrrd"))
+    text = D.describe_image(np.zeros((4, 8, 8), np.float32))
+    assert "spacing" in text and "size" in text
+
+
+def test_analytics_extremas():
+    import pandas as pd
+    from cmrtpu.data.analytics import get_extremas
+    rows = [{"patient": "p1", "vol in ml": v, "t_norm": t}
+            for t, v in enumerate([50, 80, 60])]
+    rows += [{"patient": "p2", "vol in ml": v, "t_norm": t}
+             for t, v in enumerate([90, 40, 70])]
+    df = get_extremas(pd.DataFrame(rows))
+    p1 = df[df.patient == "p1"].iloc[0]
+    assert p1["min_t"] == 0 and p1["max_t"] == 1
+    p2 = df[df.patient == "p2"].iloc[0]
+    assert p2["min_t"] == 1 and p2["max_t"] == 0
