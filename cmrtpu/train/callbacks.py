@@ -170,6 +170,20 @@ class PolynomialDecaySchedule(Callback):
                                         self.power))
 
 
+class StepDecaySchedule(Callback):
+    """lr = init * factor^floor((1+epoch)/drop_every)
+    (ref: StepDecay, KerasCallbacks.py:154-164)."""
+
+    def __init__(self, init_alpha: float = 0.01, factor: float = 0.25,
+                 drop_every: int = 10):
+        self.init_alpha, self.factor, self.drop_every = \
+            init_alpha, factor, drop_every
+
+    def on_epoch_begin(self, trainer, epoch):
+        exponent = math.floor((1 + epoch) / self.drop_every)
+        trainer.set_lr(float(self.init_alpha * (self.factor ** exponent)))
+
+
 class SGDRScheduler(Callback):
     """Cosine annealing with warm restarts, stepped per epoch (ref: :308-384)."""
 

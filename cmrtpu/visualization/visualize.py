@@ -9,6 +9,7 @@ with the Agg backend — figures are written to disk, never shown.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
@@ -124,3 +125,47 @@ def write_figure(fig, path: str) -> None:
     fig.tight_layout()
     fig.savefig(path, dpi=96)
     plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# reference-named entry points (thin fronts over the primitives above so code
+# written against the reference's Visualize API keeps working)
+# ---------------------------------------------------------------------------
+
+def my_autopct(pct) -> str:
+    """Pie-chart percent filter: hide slices below 1%
+    (ref: my_autopct, Visualize.py:16-22)."""
+    return ("%1.0f%%" % pct) if pct > 1 else ""
+
+
+def show_slice(img=None, mask=None, show: bool = True, f_size=(15, 5),
+               ax=None):
+    """Image + mask side overlay (ref: show_slice, Visualize.py:210)."""
+    return show_slice_transparent(img, mask, show=show, f_size=f_size, ax=ax)
+
+
+def show_slice_transparent(img=None, mask=None, show: bool = True,
+                           f_size=(5, 5), ax=None, dpi: int = 300,
+                           interpol: str = "none"):
+    """Transparent mask-over-image rendering
+    (ref: show_slice_transparent, Visualize.py:328-405). Accepts 2D or
+    leading-channel 3D arrays and None for either input."""
+    if img is None and mask is None:
+        logging.error("No image data given")
+        return None
+    base = img if img is not None else np.zeros(np.asarray(mask).shape[:2])
+    base = np.squeeze(np.asarray(base, np.float32))
+    if base.ndim == 3:
+        base = base[..., 0] if base.shape[-1] <= 4 else base[base.shape[0] // 2]
+    created = ax is None
+    if created:
+        fig, ax = plt.subplots(figsize=f_size, dpi=dpi)
+    overlay_slice(ax, base, mask)
+    if created and show:
+        plt.show()
+    return ax
+
+
+def show_2D_or_3D(img, mask=None, path=None):
+    """(ref: show_2D_or_3D, Visualize.py:114)"""
+    return plot_2d_or_3d(img, mask, path=path)

@@ -242,3 +242,17 @@ def test_initialize_distributed_noop_single_host(monkeypatch):
     from cmrtpu.parallel.mesh import initialize_distributed
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert initialize_distributed() is False
+
+
+def test_step_decay_schedule(gens_cfg=None):
+    from cmrtpu.train.callbacks import StepDecaySchedule
+    from cmrtpu.train.trainer import Trainer
+    cfg = {"DIM": [16, 16], "DEPTH": 1, "FILTERS": 2, "MASK_CLASSES": 2,
+           "BATCHSIZE": 2, "MIXED_PRECISION": False, "LEARNING_RATE": 0.01,
+           "SEED": 0}
+    trainer = Trainer(cfg)
+    sched = StepDecaySchedule(init_alpha=0.01, factor=0.5, drop_every=2)
+    sched.on_epoch_begin(trainer, 0)   # floor(1/2)=0 -> 0.01
+    assert trainer.get_lr() == pytest.approx(0.01)
+    sched.on_epoch_begin(trainer, 3)   # floor(4/2)=2 -> 0.0025
+    assert trainer.get_lr() == pytest.approx(0.0025)

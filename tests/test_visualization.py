@@ -97,3 +97,22 @@ def test_prediction_overlays(vol, tmp_path):
     V.save_prediction_overlays(img[..., None], chans, chans,
                                str(tmp_path / "ov.png"))
     assert os.path.getsize(tmp_path / "ov.png") > 0
+
+
+def test_reference_named_fronts(tmp_path):
+    from cmrtpu.visualization.visualize import (my_autopct, show_2D_or_3D,
+                                                show_slice,
+                                                show_slice_transparent)
+    assert my_autopct(5.0) == "5%"
+    assert my_autopct(0.5) == ""
+    img = np.random.default_rng(0).normal(size=(16, 16)).astype(np.float32)
+    msk = np.zeros((16, 16), np.uint8)
+    msk[4:8, 4:8] = 1
+    ax = show_slice_transparent(img, msk, show=False)
+    assert ax is not None
+    assert show_slice(img, msk, show=False) is not None
+    assert show_slice_transparent(None, None) is None
+    fig = show_2D_or_3D(np.stack([img] * 3), np.stack([msk] * 3))
+    assert fig is not None
+    import matplotlib.pyplot as plt
+    plt.close("all")
