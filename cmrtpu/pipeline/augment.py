@@ -52,6 +52,24 @@ def _reflect101(coords, size: int):
     return jnp.where(c > size - 1, period - c, c)
 
 
+def _fold_coords(coords, size: int, mode: int):
+    """Map out-of-range source coordinates per the OpenCV border mode
+    (config key BORDER_MODE, ref: _create_aug_compose,
+    src/data/Preprocess.py:382-422: 0=constant, 1=replicate, 2=reflect,
+    3=wrap, 4=reflect101). Constant-mode fill happens at the gather
+    (tap-level masking in _warp2d); here it just clamps."""
+    if mode == 1 or mode == 0:
+        return jnp.clip(coords, 0.0, size - 1.0)
+    if mode == 2:  # edge-repeating reflect: fold around -0.5 / size-0.5
+        period = 2.0 * size
+        c = (coords + 0.5) % period
+        c = jnp.where(c > size, period - c, c) - 0.5
+        return jnp.clip(c, 0.0, size - 1.0)
+    if mode == 3:  # wrap
+        return coords % size
+    return _reflect101(coords, size)
+
+
 def _downscale_map(coords, size: int, active):
     """Pullback of nearest-down (to round(size*0.9)) + nearest-up."""
     m = max(1, int(round(size * DOWNSCALE)))
@@ -104,6 +122,11 @@ def _draw_params(key, config: Dict) -> Dict:
         "gd_on": gate(keys[5], prob, bool(C.get(config, "GRIDDISTORTION", False))),
         "gd_key": keys[6],
         "down_on": gate(keys[7], prob, bool(C.get(config, "DOWNSCALE", False))),
+        # static (compile-time) border handling — config keys BORDER_MODE /
+        # BORDER_VALUE (cv2 enum parity; template default 4 = reflect101)
+        "border_mode": 4 if C.get(config, "BORDER_MODE", 4) is None
+        else int(C.get(config, "BORDER_MODE", 4)),
+        "border_value": float(C.get(config, "BORDER_VALUE", 0) or 0.0),
     }
 
 
@@ -118,23 +141,69 @@ def _axis_coords(params, key_axis: int, size: int):
         coords = jnp.where(params["gd_on"], distorted, coords)
     coords = jnp.where(params["ssr_on"],
                        coords - params["shift"][key_axis] * size, coords)
-    return _reflect101(coords, size)
+    folded = _fold_coords(coords, size, params["border_mode"])
+    return folded, coords  # folded for gathering, raw for constant-fill masks
 
 
-def _warp2d(img, ys, xs, nearest: bool):
-    """Separable gather at (ys x xs); img [..., H, W]."""
+def _warp2d(img, ys, xs, nearest: bool, raw_ys=None, raw_xs=None,
+            border_mode: int = 4, fill: float = 0.0):
+    """Separable gather at (ys x xs); img [..., H, W]. For BORDER_CONSTANT
+    (mode 0) the raw un-folded coordinates drive tap-level masking so
+    out-of-range taps blend with ``fill`` exactly like cv2.remap."""
     h, w = img.shape[-2], img.shape[-1]
+    constant = border_mode == 0
+
+    wrap = border_mode == 3
+
     if nearest:
-        iy = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
-        ix = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
-        return img[..., iy, :][..., ix]
+        iy = jnp.round(ys).astype(jnp.int32)
+        ix = jnp.round(xs).astype(jnp.int32)
+        iy = iy % h if wrap else jnp.clip(iy, 0, h - 1)
+        ix = ix % w if wrap else jnp.clip(ix, 0, w - 1)
+        out = img[..., iy, :][..., ix]
+        if constant:
+            oob = (jnp.round(raw_ys)[:, None] < 0) | \
+                  (jnp.round(raw_ys)[:, None] > h - 1) | \
+                  (jnp.round(raw_xs)[None, :] < 0) | \
+                  (jnp.round(raw_xs)[None, :] > w - 1)
+            out = jnp.where(oob, jnp.asarray(fill, out.dtype), out)
+        return out
+
+    f = img.astype(jnp.float32)
+    if constant:
+        # bilinear over the virtually value-padded image: each 1D tap that
+        # falls outside contributes `fill` instead of the clamped edge pixel
+        ry0 = jnp.floor(raw_ys).astype(jnp.int32)
+        ry1 = ry0 + 1
+        wy = (raw_ys - ry0).astype(jnp.float32)
+        rx0 = jnp.floor(raw_xs).astype(jnp.int32)
+        rx1 = rx0 + 1
+        wx = (raw_xs - rx0).astype(jnp.float32)
+
+        def row(idx):
+            valid = (idx >= 0) & (idx <= h - 1)
+            taken = f[..., jnp.clip(idx, 0, h - 1), :]
+            return jnp.where(valid[..., :, None], taken, fill)
+
+        top = row(ry0) * (1 - wy)[..., :, None] + row(ry1) * wy[..., :, None]
+
+        def col(rows, idx):
+            valid = (idx >= 0) & (idx <= w - 1)
+            taken = rows[..., jnp.clip(idx, 0, w - 1)]
+            return jnp.where(valid, taken, fill)
+
+        return col(top, rx0) * (1 - wx) + col(top, rx1) * wx
+
     y0 = jnp.floor(ys).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
     wy = (ys - y0).astype(jnp.float32)
     x0 = jnp.floor(xs).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
     wx = (xs - x0).astype(jnp.float32)
-    f = img.astype(jnp.float32)
+    if wrap:  # the hi tap crosses the modular boundary
+        y1 = (y0 + 1) % h
+        x1 = (x0 + 1) % w
+    else:
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
     top = f[..., y0, :] * (1 - wy)[..., :, None] + f[..., y1, :] * wy[..., :, None]
     return top[..., x0] * (1 - wx) + top[..., x1] * wx
 
@@ -153,10 +222,14 @@ def augment_example(key, img, msk, config: Dict):
                              [lambda a: a] + [partial(jnp.rot90, k=k, axes=(-2, -1))
                                               for k in (1, 2, 3)], msk)
 
-    ys = _axis_coords(params, 0, h)
-    xs = _axis_coords(params, 1, w)
-    img_out = _warp2d(img, ys, xs, nearest=False)
-    msk_out = _warp2d(msk, ys, xs, nearest=True)
+    ys, raw_ys = _axis_coords(params, 0, h)
+    xs, raw_xs = _axis_coords(params, 1, w)
+    mode = params["border_mode"]
+    fill = params["border_value"]
+    img_out = _warp2d(img, ys, xs, nearest=False, raw_ys=raw_ys,
+                      raw_xs=raw_xs, border_mode=mode, fill=fill)
+    msk_out = _warp2d(msk, ys, xs, nearest=True, raw_ys=raw_ys,
+                      raw_xs=raw_xs, border_mode=mode, fill=fill)
     return img_out, msk_out
 
 
@@ -166,7 +239,7 @@ def augment_batch_fn(key, imgs, msks, config: Dict):
     step)."""
     cfg = {k: C.get(config, k) for k in
            ("AUGMENT_PROB", "RANDOMROTATE", "SHIFTSCALEROTATE",
-            "GRIDDISTORTION", "DOWNSCALE")}
+            "GRIDDISTORTION", "DOWNSCALE", "BORDER_MODE", "BORDER_VALUE")}
     keys = jax.random.split(key, imgs.shape[0])
     return jax.vmap(lambda k, i, m: augment_example(k, i, m, cfg))(keys, imgs, msks)
 

@@ -208,3 +208,56 @@ def test_grid_distortion_tiny_axis_no_nan(rng):
     out_i, out_m = aug(jax.random.PRNGKey(0), imgs, msks)
     assert np.isfinite(np.asarray(out_i)).all()
     assert np.isfinite(np.asarray(out_m)).all()
+
+
+def test_border_modes_match_cv2_remap():
+    """BORDER_MODE 0..4 parity against cv2.remap on a pure-shift warp (the
+    separable coordinate map degenerates to a full 2D remap there)."""
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    from cmrtpu.pipeline.augment import _fold_coords, _warp2d
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0.5, 2.0, (16, 16)).astype(np.float32)
+    dy, dx = 3.4, -2.7   # push several pixels out of range
+    fill = 0.25
+    h, w = img.shape
+    raw_ys = jnp.arange(h, dtype=jnp.float32) - dy
+    raw_xs = jnp.arange(w, dtype=jnp.float32) - dx
+
+    mx, my = np.meshgrid(np.arange(w, dtype=np.float32) - dx,
+                         np.arange(h, dtype=np.float32) - dy)
+    cv_modes = {0: cv2.BORDER_CONSTANT, 1: cv2.BORDER_REPLICATE,
+                2: cv2.BORDER_REFLECT, 3: cv2.BORDER_WRAP,
+                4: cv2.BORDER_REFLECT_101}
+    for mode, cv_mode in cv_modes.items():
+        ys = _fold_coords(raw_ys, h, mode)
+        xs = _fold_coords(raw_xs, w, mode)
+        got = np.asarray(_warp2d(jnp.asarray(img), ys, xs, nearest=False,
+                                 raw_ys=raw_ys, raw_xs=raw_xs,
+                                 border_mode=mode, fill=fill))
+        want = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                         borderMode=cv_mode, borderValue=fill)
+        np.testing.assert_allclose(got, want, atol=1e-4,
+                                   err_msg=f"border mode {mode}")
+
+
+def test_border_constant_mask_fill():
+    """Nearest (mask) warps under BORDER_CONSTANT fill out-of-range pixels
+    with the border value instead of replicating edges."""
+    import jax
+    from cmrtpu.pipeline.augment import make_batch_augmenter
+
+    msk = np.full((1, 64, 64), 2.0, np.float32)  # nonzero everywhere
+    img = np.ones((1, 64, 64), np.float32)
+    cfg = {"AUGMENT_PROB": 1.0, "SHIFTSCALEROTATE": True, "BORDER_MODE": 0,
+           "BORDER_VALUE": 0.0, "RANDOMROTATE": False, "GRIDDISTORTION": False,
+           "DOWNSCALE": False}
+    aug = make_batch_augmenter(cfg)
+    for seed in range(16):
+        out_img, out_msk = aug(jax.random.key(seed), img, msk)
+        out_msk = np.asarray(out_msk)
+        if (out_msk == 0).any():   # a shift occurred and filled the border
+            assert set(np.unique(out_msk)) <= {0.0, 2.0}
+            return
+    raise AssertionError("no shift produced a constant-filled border")
