@@ -222,3 +222,49 @@ def test_landmarks_module_is_opencv_free():
          "assert a is not None and b is not None\n"],
         capture_output=True, text=True)
     assert rc.returncode == 0, rc.stderr
+
+
+def test_file_metrics_helpers(tmp_path):
+    """File-level comparison helpers (ref: evaluate_cv.py:69-266)."""
+    from cmrtpu.eval import file_metrics as FM
+    from cmrtpu.io import MedicalImage, write_image
+
+    def rvip_vol(ant, inf, z=3, hw=48):
+        nda = np.zeros((z, hw, hw), np.uint8)
+        nda[:, ant[0]:ant[0] + 3, ant[1]:ant[1] + 3] = 1
+        nda[:, inf[0]:inf[0] + 3, inf[1]:inf[1] + 3] = 2
+        return nda
+
+    gt = rvip_vol((10, 30), (30, 10))
+    pred = rvip_vol((10, 33), (30, 14))  # shifted +3 / +4 px in x
+    gt_f, pred_f = str(tmp_path / "gt.nrrd"), str(tmp_path / "pred.nrrd")
+    write_image(MedicalImage(array=gt, spacing=(1.5, 1.5, 8.0)), gt_f)
+    write_image(MedicalImage(array=pred, spacing=(1.5, 1.5, 8.0)), pred_f)
+
+    assert FM.isvalid([1.0, 2.0]) and not FM.isvalid(None)
+    assert not FM.isvalid([np.nan, np.nan])
+
+    ant, inf = FM.calc_distances(gt, pred)
+    np.testing.assert_allclose(ant, [3.0] * 3)
+    np.testing.assert_allclose(inf, [4.0] * 3)
+    # mean-IP path equals per-slice here (constant offset)
+    ant_m, inf_m = FM.calc_distances(gt, pred, usemeanips=True)
+    np.testing.assert_allclose([ant_m[0], inf_m[0]], [3.0, 4.0])
+
+    adm, ads, idm, ids = FM.calc_dist_files(gt_f, pred_f, physical=True)
+    assert adm == pytest.approx(3.0 * 1.5) and idm == pytest.approx(4.0 * 1.5)
+    assert ads == pytest.approx(0.0) and ids == pytest.approx(0.0)
+
+    mean, sd = FM.calc_mean_angle(gt_f)
+    # ant (10,30) -> inf (30,10): dy=20, dx=-20 -> 135 deg
+    assert mean == pytest.approx(135.0, abs=1e-6)
+    diff, g, gs, p, ps = FM.calc_mean_angle_diff(gt_f, pred_f)
+    assert g == pytest.approx(135.0, abs=1e-6)
+    assert diff == pytest.approx(abs(g - p), abs=1e-9)
+
+    df_a = FM.get_angles_as_df([gt_f], [pred_f])
+    assert list(df_a.columns) == ["angle_diff_pred", "gt_angle",
+                                  "gt_angle_sd", "pred_angle",
+                                  "pred_angle_sd"]
+    df_d = FM.get_dist_as_df([gt_f], [pred_f])
+    assert df_d["ant_dist_pred"].iloc[0] == pytest.approx(3.0)
