@@ -154,7 +154,6 @@ def get_min_max_t_per_patient(df_patient, col: str = "vol in ml",
 def get_extremas(df, col: str = "vol in ml", target_col: str = "t_norm"):
     """Per-patient min/max-timestep dataframe (ED/ES proxy from volume
     curves, ref: get_extremas, src/data/Dataset.py:1430-1433)."""
-    import pandas as pd
     return pd.DataFrame([
         get_min_max_t_per_patient(df[df["patient"] == p], col, target_col)
         for p in df["patient"].unique()])

@@ -333,16 +333,19 @@ def get_t_position_from_filename(f_name: str):
         return token
 
 
-def is_patient_in_df(row, df: pd.DataFrame, col: str = "patient") -> bool:
+def is_patient_in_df(row, df: pd.DataFrame,
+                     col: str = "patient_unique") -> bool:
     """(ref: is_patient_in_df, Dataset.py:1139-1146)"""
     return row[col] in df[col].values
 
 
 def get_n_patients(df: pd.DataFrame, n: int = 1) -> pd.DataFrame:
     """n seeded-random patients from fold 0 with modality forced to 'train'
-    (dataset-mixing helper, ref: get_n_patients, Dataset.py:789-817)."""
-    rng = np.random.default_rng(42)
-    patients = rng.choice(sorted(df["patient"].unique()), size=n)
+    (dataset-mixing helper, ref: get_n_patients, Dataset.py:789-817).
+    Uses the legacy global MT19937 RNG like the reference so the selected
+    subset is identical across the two codebases."""
+    np.random.seed(42)
+    patients = np.random.choice(sorted(df["patient"].unique()), size=n)
     subset = df[(df["fold"] == 0) & (df["patient"].isin(patients))].copy()
     subset.loc[:, "modality"] = "train"
     return subset.reset_index(drop=True)
@@ -409,21 +412,21 @@ def save_gt_and_pred(gt: np.ndarray, pred: np.ndarray, exp_path: str,
                      patient: str,
                      phases: Sequence[str] = ("ED", "MS", "ES", "PF", "MD")
                      ) -> None:
-    """Write per-phase gt/pred volumes under gt_m/ and pred_m/
-    (ref: save_gt_and_pred, Dataset.py:22-51; [t, z, y, x, c] input)."""
+    """Write per-phase gt/pred volumes under gt_m/ and pred_m/ as
+    ``<patient>_<phase>.nii`` with the channel axis preserved leading
+    (ref: save_gt_and_pred, Dataset.py:22-51: [t,z,y,x,c] is transposed
+    tzyxc->cxyzt and each [c,x,y,z] phase volume written as .nii)."""
     from cmrtpu.io import write_image
     from cmrtpu.utils.io_utils import ensure_dir
 
     for sub in ("gt_m", "pred_m"):
         ensure_dir(os.path.join(exp_path, sub))
+    gt_c = np.einsum("tzyxc->cxyzt", np.asarray(gt))
+    pred_c = np.einsum("tzyxc->cxyzt", np.asarray(pred))
     for t, phase in enumerate(phases[:gt.shape[0]]):
-        for nda, sub in ((gt, "gt_m"), (pred, "pred_m")):
-            vol = np.asarray(nda[t])
-            if vol.ndim == 4:  # drop trailing channel axis like the ref
-                vol = vol[..., 0] if vol.shape[-1] == 1 else \
-                    np.argmax(vol, axis=-1).astype(np.uint8)
-            write_image(MedicalImage(array=vol),
-                        os.path.join(exp_path, sub, f"{patient}_{phase}.nrrd"))
+        for nda, sub in ((gt_c, "gt_m"), (pred_c, "pred_m")):
+            write_image(MedicalImage(array=nda[..., t]),
+                        os.path.join(exp_path, sub, f"{patient}_{phase}.nii"))
 
 
 def describe_image(img) -> str:

@@ -15,7 +15,8 @@ from typing import List, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from cmrtpu.eval.landmarks import (get_angle2x, get_dist, get_ip_from_mask_3d,
+from cmrtpu.eval.landmarks import (calc_mean_ip, get_angles2x, get_distances,
+                                   get_ip_from_mask_3d,
                                    get_ip_from_rvip_mask_3d)
 
 
@@ -34,14 +35,10 @@ def _extract_ips(vol: np.ndarray, ismsk: bool):
 
 def _mean_ips(ants: Sequence, infs: Sequence) -> Tuple[List, List]:
     """Collapse slice-wise points to one mean point each (outlier-robust
-    'usemeanips' path, ref: :156-165). NaN means when a list is empty."""
-    def mean_of(points):
-        present = [p for p in points if p is not None]
-        if not present:
-            return [np.array([np.nan, np.nan])]
-        return [np.asarray(present, dtype=float).mean(axis=0)]
-
-    return mean_of(ants), mean_of(infs)
+    'usemeanips' path, ref: :156-165) via landmarks.calc_mean_ip; NaN when a
+    landmark never appears (None/NaN-safe downstream)."""
+    mant, minf = calc_mean_ip((list(ants), list(infs)))
+    return [mant], [minf]
 
 
 def calc_distances(vol1: np.ndarray, vol2: np.ndarray, vol1ismsk: bool = False,
@@ -55,9 +52,8 @@ def calc_distances(vol1: np.ndarray, vol2: np.ndarray, vol1ismsk: bool = False,
     if usemeanips:
         ants1, infs1 = _mean_ips(ants1, infs1)
         ants2, infs2 = _mean_ips(ants2, infs2)
-    ant = np.array([get_dist(a, b) for a, b in zip(ants1, ants2)], dtype=float)
-    inf = np.array([get_dist(a, b) for a, b in zip(infs1, infs2)], dtype=float)
-    return ant, inf
+    ant, inf = get_distances((ants1, infs1), (ants2, infs2))
+    return np.array(ant, dtype=float), np.array(inf, dtype=float)
 
 
 def calc_dist_files(gt_f: str, pred_f: str, gtismsk: bool = False,
@@ -72,8 +68,8 @@ def calc_dist_files(gt_f: str, pred_f: str, gtismsk: bool = False,
     ant, inf = calc_distances(gt_img.array, pred, vol1ismsk=gtismsk,
                               vol2ismsk=predismsk, usemeanips=usemeanips)
     if physical:
-        spacing = gt_img.spacing[0]  # in-plane spacing is square
-        ant, inf = ant * spacing, inf * spacing
+        ant = ant * gt_img.inplane_spacing
+        inf = inf * gt_img.inplane_spacing
     return [float(np.nanmean(ant)), float(np.nanstd(ant)),
             float(np.nanmean(inf)), float(np.nanstd(inf))]
 
@@ -85,9 +81,7 @@ def calc_angles2x(vol: np.ndarray, ismsk: bool = False,
     ants, infs = _extract_ips(vol, ismsk)
     if usemeanips:
         ants, infs = _mean_ips(ants, infs)
-    return np.array([get_angle2x(a, b)
-                     if (a is not None and b is not None) else None
-                     for a, b in zip(ants, infs)])
+    return get_angles2x((ants, infs))
 
 
 def calc_mean_angle(file_: str, ismsk: bool = False,

@@ -144,26 +144,45 @@ def show_slice(img=None, mask=None, show: bool = True, f_size=(15, 5),
     return show_slice_transparent(img, mask, show=show, f_size=f_size, ax=ax)
 
 
+def _as_2d_slice(arr: np.ndarray, is_mask: bool):
+    """Reference mask/image shape handling (ref: Visualize.py:355-384):
+    (H, W, 1) unwraps, 4-channel masks drop the background channel,
+    leading-axis stacks take the middle slice."""
+    arr = np.asarray(arr)
+    if arr.ndim == 3:
+        if arr.shape[-1] == 1:
+            return arr[..., 0]
+        if arr.shape[-1] <= 4:
+            return arr[..., 1:] if (is_mask and arr.shape[-1] == 4) else arr
+        return arr[arr.shape[0] // 2]
+    return np.squeeze(arr)
+
+
 def show_slice_transparent(img=None, mask=None, show: bool = True,
                            f_size=(5, 5), ax=None, dpi: int = 300,
                            interpol: str = "none"):
     """Transparent mask-over-image rendering
-    (ref: show_slice_transparent, Visualize.py:328-405). Accepts 2D or
-    leading-channel 3D arrays and None for either input."""
+    (ref: show_slice_transparent, Visualize.py:328-405). Accepts 2D,
+    (H, W, C) or leading-axis 3D arrays and None for either input. Returns
+    the figure when it created one (reference contract: callers savefig the
+    show=False result), the given axes otherwise."""
     if img is None and mask is None:
         logging.error("No image data given")
         return None
-    base = img if img is not None else np.zeros(np.asarray(mask).shape[:2])
-    base = np.squeeze(np.asarray(base, np.float32))
-    if base.ndim == 3:
-        base = base[..., 0] if base.shape[-1] <= 4 else base[base.shape[0] // 2]
+    if mask is not None:
+        mask = _as_2d_slice(mask, is_mask=True)
+    base = img if img is not None \
+        else np.zeros(np.asarray(mask).shape[:2], np.float32)
+    base = _as_2d_slice(np.asarray(base, np.float32), is_mask=False)
+    if base.ndim == 3:  # (H, W, C) image: first channel, grayscale
+        base = base[..., 0]
     created = ax is None
     if created:
         fig, ax = plt.subplots(figsize=f_size, dpi=dpi)
     overlay_slice(ax, base, mask)
     if created and show:
         plt.show()
-    return ax
+    return ax.figure if created else ax
 
 
 def show_2D_or_3D(img, mask=None, path=None):

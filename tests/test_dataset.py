@@ -213,8 +213,12 @@ def test_save_gt_and_pred_and_describe(tmp_path):
     pred = np.ones((2, 3, 8, 8, 1), np.float32)
     D.save_gt_and_pred(gt, pred, str(tmp_path), "patient009")
     import os
-    assert os.path.exists(str(tmp_path / "gt_m" / "patient009_ED.nrrd"))
-    assert os.path.exists(str(tmp_path / "pred_m" / "patient009_MS.nrrd"))
+    from cmrtpu.io import read_image
+    assert os.path.exists(str(tmp_path / "gt_m" / "patient009_ED.nii"))
+    assert os.path.exists(str(tmp_path / "pred_m" / "patient009_MS.nii"))
+    # channel axis preserved leading, [c, x, y, z] like the reference einsum
+    vol = read_image(str(tmp_path / "pred_m" / "patient009_ED.nii")).array
+    assert vol.shape == (1, 8, 8, 3)
     text = D.describe_image(np.zeros((4, 8, 8), np.float32))
     assert "spacing" in text and "size" in text
 

@@ -108,9 +108,15 @@ def test_reference_named_fronts(tmp_path):
     img = np.random.default_rng(0).normal(size=(16, 16)).astype(np.float32)
     msk = np.zeros((16, 16), np.uint8)
     msk[4:8, 4:8] = 1
-    ax = show_slice_transparent(img, msk, show=False)
-    assert ax is not None
+    fig_out = show_slice_transparent(img, msk, show=False)
+    assert hasattr(fig_out, "savefig")  # figure, not axes (reference contract)
     assert show_slice(img, msk, show=False) is not None
+    # 4-channel background-first mask: background channel must be stripped
+    onehot = np.zeros((16, 16, 4), np.float32)
+    onehot[..., 0] = 1.0
+    onehot[4:8, 4:8, 0] = 0.0
+    onehot[4:8, 4:8, 1] = 1.0
+    assert show_slice_transparent(img, onehot, show=False) is not None
     assert show_slice_transparent(None, None) is None
     fig = show_2D_or_3D(np.stack([img] * 3), np.stack([msk] * 3))
     assert fig is not None
