@@ -1,0 +1,45 @@
+"""Every shipped experiment template must parse, build its model, and run a
+training step (the de-facto public API surface, SURVEY.md §2.4)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+TEMPLATES = sorted(glob.glob(os.path.join(
+    os.path.dirname(os.path.dirname(__file__)), "exp", "template_cfgs",
+    "*.json")))
+
+
+@pytest.mark.parametrize("path", TEMPLATES, ids=[os.path.basename(p)
+                                                 for p in TEMPLATES])
+def test_template_config_trains(path):
+    import jax
+    from cmrtpu import config as C
+    from cmrtpu.models.unet import build_model, init_variables
+    from cmrtpu.train.trainer import Trainer
+
+    cfg = C.normalise_config(json.load(open(path)))
+    # shrink geometry/model so the step runs in seconds on CPU while keeping
+    # every behavioural switch (loss, optimizer, GAUS/SIGMA, HIST_MATCHING,
+    # augmentations, BN settings) from the template
+    cfg.update(DIM=[32, 32], DEPTH=2, FILTERS=4, BATCHSIZE=4,
+               MIXED_PRECISION=False, EPOCHS=1)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    assert variables["params"]
+
+    trainer = Trainer(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 32, 32, 1)).astype(np.float32)
+    y = np.zeros((4, 32, 32, len(cfg["MASK_VALUES"])), np.float32)
+    y[:, 8:11, 8:11, 0] = 1.0
+    y[:, 20:23, 20:23, 1] = 1.0
+    trainer.state, logs = trainer.train_step(trainer.state, x, y, trainer.rng)
+    assert np.isfinite(float(np.asarray(logs["loss"])))
+
+
+def test_templates_exist():
+    assert len(TEMPLATES) >= 4  # base + hist + gaus sigma 2/4 variants
