@@ -139,3 +139,60 @@ def test_cli_evaluate_smoke(trained_exp, synthetic_root, monkeypatch, capsys):
     cli_eval.main()
     out = capsys.readouterr().out
     assert "evaluation done" in out
+
+
+def test_cli_predict_smoke(trained_exp, synthetic_root, monkeypatch):
+    """The predict CLI restores from a fold dir and rewrites the outputs."""
+    from cmrtpu.cli import predict as cli_predict
+    fold_dir = os.path.join(trained_exp, "f0")
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(os.path.join(fold_dir, "pred", "*msk.nrrd"))}
+    assert before
+    monkeypatch.setattr("sys.argv", ["predict", "-exp", fold_dir,
+                                     "-data", synthetic_root])
+    cli_predict.main()
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(os.path.join(fold_dir, "pred", "*msk.nrrd"))}
+    assert after.keys() == before.keys()
+    assert any(after[f] > before[f] for f in after)
+
+
+def test_cli_make_dataset_smoke(synthetic_root, tmp_path, monkeypatch):
+    """The dataset CLI slices the original tree against the rvip masks and
+    writes the k-fold dataframe when no download is available."""
+    import shutil
+    from cmrtpu.cli import make_dataset as cli_md
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+    shutil.copytree(os.path.join(synthetic_root, "original"),
+                    os.path.join(root, "original"))
+    io_dir = os.path.join(root, "io")
+    os.makedirs(io_dir)
+    for f in glob.glob(os.path.join(synthetic_root, "*_rvip.nrrd")):
+        shutil.copy(f, io_dir)
+    monkeypatch.setattr("sys.argv", ["make_dataset", "-data_root", root,
+                                     "-acdc_data",
+                                     os.path.join(root, "original")])
+    cli_md.cli()
+    slices = glob.glob(os.path.join(root, "2D", "*img.nrrd"))
+    assert len(slices) == 6 * 2 * 4  # patients x phases x z
+    df = pd.read_csv(os.path.join(root, "df_kfold.csv"))
+    assert {"x_path", "y_path", "fold", "modality", "patient"} <= set(df.columns)
+
+
+def test_cli_train_smoke(synthetic_root, tmp_path, monkeypatch):
+    """The train CLI end-to-end: config json -> run_experiment -> artifacts."""
+    import json
+    from cmrtpu.cli import train as cli_train
+    cfg = dict(CFG, EPOCHS=1, EXPERIMENT="clitrain",
+               EXPERIMENTS_ROOT=str(tmp_path / "exp") + "/")
+    cfg.pop("EXP_PATH", None)
+    cfg_path = str(tmp_path / "cfg.json")
+    json.dump(cfg, open(cfg_path, "w"))
+    monkeypatch.setattr("sys.argv", ["train", "-cfg", cfg_path,
+                                     "-data", synthetic_root])
+    cli_train.main()
+    runs = glob.glob(str(tmp_path / "exp" / "clitrain" / "*" / "f0"))
+    assert runs
+    assert os.path.isfile(os.path.join(runs[0], "config", "config.json"))
+    assert os.path.isfile(os.path.join(runs[0], "model_summary.txt"))
