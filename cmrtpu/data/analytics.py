@@ -157,3 +157,66 @@ def get_extremas(df, col: str = "vol in ml", target_col: str = "t_norm"):
     return pd.DataFrame([
         get_min_max_t_per_patient(df[df["patient"] == p], col, target_col)
         for p in df["patient"].unique()])
+
+
+def describe_path(path: str = "data/processed/train/",
+                  dataset: str = "ACDC",
+                  wildcard: Optional[str] = None) -> pd.DataFrame:
+    """Cohort dataframe of ``describe_volume`` rows over every image (and
+    mask) found under ``path`` (ref: describe_path,
+    src/data/Dataset.py:1352-1407).
+
+    ``wildcard`` overrides the dataset glob; 'ACDC' globs recursive
+    frameXX.nii.gz pairs, 'GCN' walks the clean/img/msk naming fallbacks.
+    (The reference additionally plots every 10th histogram inline; plotting
+    lives in cmrtpu.visualization — use plot_value_histogram on the files.)
+    """
+    import glob as _glob
+
+    files: Dict[str, List[str]] = {}
+    if wildcard:
+        logging.info("Using wildcard description: %s", wildcard)
+        files["images"] = sorted(_glob.glob(os.path.join(path, wildcard)))
+    elif dataset == "ACDC":
+        files["images"] = sorted(_glob.glob(
+            os.path.join(path, "**/*frame[0-9][0-9].nii.gz"), recursive=True))
+        files["masks"] = sorted(_glob.glob(
+            os.path.join(path, "**/*frame*_gt.nii.gz"), recursive=True))
+    else:  # GCN naming fallbacks (ref: Dataset.py:1370-1386)
+        for img_pat, msk_pat in (("*clean.nrrd", "*mask.nrrd"),
+                                 ("*img.nrrd", "*msk.nrrd"),
+                                 ("**/*img.nrrd", "**/*msk.nrrd"),
+                                 ("**/images/*.nrrd", "**/masks/*.nrrd")):
+            files["images"] = sorted(_glob.glob(os.path.join(path, img_pat)))
+            files["masks"] = sorted(_glob.glob(os.path.join(path, msk_pat)))
+            if files["images"]:
+                break
+    logging.info("describing path: %s", path)
+    assert files.get("images"), "No files found!"
+
+    rows = [describe_volume(f) for f in files["images"]]
+    rows += [describe_volume(f, image=False) for f in files.get("masks", [])]
+    return pd.DataFrame(rows)
+
+
+_PHASE_COLS = ["ED#", "MS#", "ES#", "PF#", "MD#"]
+
+
+def load_tof_phase_gt(filename: str) -> pd.DataFrame:
+    """Cardiac-phase ground-truth CSV for the TOF cohort: 1-based phase
+    indices shifted to 0-based, patient ids lower-cased, duplicates dropped
+    (ref: load_tof_phase_gt, src/data/Dataset.py:1435-1456)."""
+    gt_df = pd.read_csv(filename)
+    gt_df["patient"] = gt_df["patient"].str.lower()
+    gt_df = gt_df[["patient"] + _PHASE_COLS]
+    gt_df[_PHASE_COLS] = (gt_df[_PHASE_COLS] - 1).astype("int")
+    return gt_df.drop_duplicates(subset="patient")
+
+
+def load_acdc_phase_gt(filename: str) -> pd.DataFrame:
+    """Cardiac-phase ground-truth CSV for ACDC: patient ids zero-padded to
+    3 digits, indices kept as stored
+    (ref: load_acdc_phase_gt, src/data/Dataset.py:1458-1463)."""
+    gt_df = pd.read_csv(filename)
+    gt_df["patient"] = gt_df["patient"].apply(lambda x: str(x).zfill(3))
+    return gt_df

@@ -98,6 +98,89 @@ def create_2d_slices_from_4d_volume_file(img_f: str, export_path: str) -> List[s
     return written
 
 
+def create_2d_slices_from_4d_volume_files(img_f: str, mask_f: str,
+                                          export_path: str,
+                                          filter_by_mask: bool = True,
+                                          slice_threshold: int = 2):
+    """Slice a 4D img/mask pair into per-t-per-z 2D nrrd files, optionally
+    keeping only timesteps with enough annotated slices
+    (ref: create_2d_slices_from_4d_volume_files, src/data/Dataset.py:419-466).
+
+    Naming follows the reference's single-underscore GCN scheme
+    ``<patient>_t<t>_z<z>_img|msk.nrrd``. Returns [kept timesteps, img shape].
+    """
+    logging.info("process file: %s", img_f)
+    img_4d = read_image(img_f)
+    msk_4d = read_image(mask_f)
+    if filter_by_mask:
+        msk_nda, kept_t = filter_4d_vol(msk_4d.array, slice_threshold)
+        img_nda = img_4d.array[kept_t]
+    else:
+        img_nda = img_4d.array
+        kept_t = list(range(img_nda.shape[0]))
+        msk_nda = msk_4d.array
+
+    patient = os.path.basename(img_f).split(".")[0].replace("volume_clean", "")
+    ensure_dir(export_path)
+    for img_3d, msk_3d, t in zip(img_nda, msk_nda, kept_t):
+        for z, (img_2d, msk_2d) in enumerate(zip(img_3d, msk_3d)):
+            for nda, kind in ((img_2d, "img"), (msk_2d, "msk")):
+                out = copy_meta(MedicalImage(array=nda), img_4d,
+                                copy_direction=False)
+                write_image(out, os.path.join(
+                    export_path, f"{patient}_t{t}_z{z}_{kind}.nrrd"))
+    return [kept_t, list(img_nda.shape)]
+
+
+def create_2d_slices_from_3d_volume_files_any_filename(
+        img_f: str, mask_f: str, export_path: str) -> List[int]:
+    """Slice a 3D img/mask pair into 2D nrrd files, extending the ORIGINAL
+    filenames with the z index just before the img/msk suffix
+    (ref: create_2d_slices_from_3d_volume_files_any_filename,
+    src/data/Dataset.py:467-517). Returns the 3D image shape."""
+    logging.info("process file: %s", img_f)
+    img_3d = read_image(img_f)
+    msk_3d = read_image(mask_f)
+
+    def extended_name(f_name: str, z: int) -> str:
+        base = os.path.basename(f_name)
+        m = re.search("_img|_msk", base)
+        suffix = m.group(0) if m else ""
+        return re.sub(f"{suffix}.nrrd", f"_{z}{suffix}.nrrd", base)
+
+    ensure_dir(export_path)
+    for z, (img_2d, msk_2d) in enumerate(zip(img_3d.array, msk_3d.array)):
+        write_image(copy_meta(MedicalImage(array=img_2d), img_3d),
+                    os.path.join(export_path, extended_name(img_f, z)))
+        write_image(copy_meta(MedicalImage(array=msk_2d), img_3d),
+                    os.path.join(export_path, extended_name(mask_f, z)))
+    return list(img_3d.array.shape)
+
+
+def create_2d_slices_from_3d_volume_files_new_naming(
+        img_f: str, mask_f: Optional[str], export_path: str):
+    """ACDC 3D→2D slicer with the 'f_'-prefixed patient naming
+    ``f_<patient>__t<frame>_z<z>_img|msk.nrrd``
+    (ref: create_2d_slices_from_3d_volume_files_new_naming,
+    src/data/Dataset.py:564-608). Returns [frame, img shape]."""
+    logging.info("process file: %s", img_f)
+    if not mask_f:
+        mask_f = img_f
+    img_3d = read_image(img_f)
+    msk_3d = read_image(mask_f)
+    patient = "f_" + os.path.basename(img_f).split("_")[0]
+    frame = os.path.basename(img_f).split("frame")[1][:2]
+    ensure_dir(export_path)
+    for z, (img_2d, msk_2d) in enumerate(zip(img_3d.array, msk_3d.array)):
+        write_image(copy_meta(MedicalImage(array=img_2d), img_3d),
+                    os.path.join(export_path,
+                                 slice_file_name(patient, frame, z, "img")))
+        write_image(copy_meta(MedicalImage(array=msk_2d), img_3d),
+                    os.path.join(export_path,
+                                 slice_file_name(patient, frame, z, "msk")))
+    return [frame, list(img_3d.array.shape)]
+
+
 def filter_4d_vol(nda_4d: np.ndarray, slice_threshold: int = 2
                   ) -> Tuple[np.ndarray, List[int]]:
     """Keep timesteps with more than ``slice_threshold`` masked slices
@@ -406,6 +489,68 @@ def create_3d_volumes_from_4d_files(img_f: str, mask_f: str, export_path: str,
             write_image(out, os.path.join(export_path,
                                           f"{patient}_t{t}_{kind}.nrrd"))
     return list(kept_t)
+
+
+def create_4d_volumes_from_4d_files(img_f: str, mask_f: str,
+                                    export_path: str,
+                                    slice_threshold: int = 2):
+    """Filter a 4D img/mask pair down to the timesteps with enough annotated
+    slices and write the filtered 4D pair as ``<patient>_img|msk.nrrd``
+    (ref: create_4d_volumes_from_4d_files, src/data/Dataset.py:253-283).
+    Returns [kept timesteps, filtered image shape]."""
+    logging.info("process file: %s", img_f)
+    img_4d = read_image(img_f)
+    msk_4d = read_image(mask_f)
+    msk_nda, kept_t = filter_4d_vol(msk_4d.array, slice_threshold)
+    img_nda = img_4d.array[kept_t]
+
+    patient = os.path.basename(img_f).split(".")[0].replace("volume_clean", "")
+    ensure_dir(export_path)
+    for nda, kind in ((img_nda, "img"), (msk_nda, "msk")):
+        out = copy_meta(MedicalImage(array=nda), img_4d)
+        write_image(out, os.path.join(export_path, f"{patient}_{kind}.nrrd"))
+    return [kept_t, list(img_nda.shape)]
+
+
+def save_3d(nda: np.ndarray, fname: str) -> None:
+    """Write a bare ndarray as an image file with default geometry
+    (ref: save_3d, src/data/Dataset.py:53-56)."""
+    write_image(MedicalImage(array=np.asarray(nda)), fname)
+
+
+def save_phases(nda: np.ndarray, export_dir: str, suffix: str) -> None:
+    """Save each timestep of a [t,z,y,x,c] volume as a 3D file with axis
+    order c,x,y,z, naming ``<suffix with .nii -> _<t>_.nii>``
+    (ref: save_phases, src/data/Dataset.py:83-101)."""
+    f_name = os.path.join(export_dir, suffix)
+    nda = np.einsum("tzyxc->cxyzt", np.asarray(nda))
+    for t in range(nda.shape[-1]):
+        save_3d(nda[..., t], f_name.replace(".nii", f"_{t}_.nii"))
+
+
+def save_all_3d_vols_new(volumes: List[np.ndarray], vol_suffixes: List[str],
+                         exp_path: str, exp: str = "example_flows") -> None:
+    """Save a list of [t,z,y,x,c] volumes under ``<exp_path>/<exp>/`` via
+    ``save_phases`` (ref: save_all_3d_vols_new, src/data/Dataset.py:59-80)."""
+    assert isinstance(volumes, list) and isinstance(vol_suffixes, list)
+    target = os.path.join(exp_path, exp)
+    logging.info(target)
+    ensure_dir(target)
+    for nda, suffix in zip(volumes, vol_suffixes):
+        save_phases(nda, target, suffix)
+
+
+def get_3d_img_msk_files(path: str) -> Tuple[List[str], List[str]]:
+    """img/msk nrrd pairs from ``images/`` and ``masks/`` subdirectories,
+    falling back to original ACDC nii.gz pairs
+    (ref: get_3d_img_msk_files, src/data/Dataset.py:1205-1221)."""
+    assert os.path.exists(path), f"Path: {path} does not exist"
+    images = sorted(glob.glob(os.path.join(path, "images/*img.nrrd")))
+    masks = sorted(glob.glob(os.path.join(path, "masks/*msk.nrrd")))
+    if not images:
+        logging.info("no nrrd files found, try to load acdc files.")
+        return load_acdc_files(path)
+    return images, masks
 
 
 def save_gt_and_pred(gt: np.ndarray, pred: np.ndarray, exp_path: str,

@@ -82,11 +82,14 @@ class MedicalImage:
         return rel / np.asarray(self.spacing)
 
 
-def copy_meta(new_image: MedicalImage, reference: MedicalImage | None) -> MedicalImage:
+def copy_meta(new_image: MedicalImage, reference: MedicalImage | None,
+              copy_direction: bool = True) -> MedicalImage:
     """Copy metadata + structural info across (possibly different) dimensions.
 
     Mirrors the dimension cases of ``copy_meta_and_save``
-    (ref: src/data/Dataset.py:163-250).
+    (ref: src/data/Dataset.py:163-250), including its ``copy_direction``
+    switch: when False the new image keeps the identity direction
+    (ref: Dataset.py:211-214).
     """
     if reference is None:
         return new_image
@@ -94,14 +97,18 @@ def copy_meta(new_image: MedicalImage, reference: MedicalImage | None) -> Medica
     meta = dict(reference.metadata)
 
     if ref_dim == new_dim:
+        direction = (reference.direction if copy_direction
+                     else _identity_direction(new_dim))
         return replace(new_image, spacing=reference.spacing, origin=reference.origin,
-                       direction=reference.direction, metadata=meta)
+                       direction=direction, metadata=meta)
     if ref_dim > new_dim:  # e.g. 3D reference -> 2D slice
-        direction = reference.direction_matrix[:new_dim, :new_dim].flatten()
+        direction = (tuple(
+            reference.direction_matrix[:new_dim, :new_dim].flatten())
+            if copy_direction else _identity_direction(new_dim))
         return replace(new_image,
                        spacing=reference.spacing[:new_dim],
                        origin=reference.origin[:new_dim],
-                       direction=tuple(direction), metadata=meta)
+                       direction=direction, metadata=meta)
     # smaller reference -> bigger image: spacing pads with 1.0, origin with 0.0
     pad = new_dim - ref_dim
     return replace(new_image,

@@ -172,8 +172,9 @@ class UNet(nn.Module):
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   pad=self.pad, dtype=self.dtype)
         # REMAT: recompute block activations in the backward pass instead of
-        # storing them — the step is HBM-bandwidth bound (~74% of peak) while
-        # the MXU idles at ~35%, so trading FLOPs for activation traffic wins
+        # storing them. Opt-in knob: at the 2D flagship size the extra FLOPs
+        # lose (868-892 vs 1152 slices/s measured on v5e), but 3D volume
+        # configs need it to fit activations in HBM.
         Down = nn.remat(DownBlock, static_argnums=(2,)) if self.remat else DownBlock
         Up = nn.remat(UpBlock, static_argnums=(3,)) if self.remat else UpBlock
         x = x.astype(self.dtype)

@@ -61,3 +61,47 @@ def test_predict_phase_from_vol(tmp_path):
     merged = A.predict_phase_from_vol(paths, gt_df=gt, dataset="acdc")
     assert list(merged["pfd_ed"]) == [0, 1]
     assert list(merged["acc_es"]) == [1.0, 1.0]
+
+
+def test_describe_path_acdc_and_wildcard(tmp_path):
+    import numpy as np
+    from cmrtpu.data.analytics import describe_path
+    from cmrtpu.io import MedicalImage, write_image
+    p = tmp_path / "patient001"
+    p.mkdir()
+    vol = MedicalImage(array=np.zeros((2, 6, 6), np.float32),
+                       spacing=(1.3, 1.3, 8.0))
+    write_image(vol, str(p / "patient001_frame01.nii.gz"))
+    write_image(vol, str(p / "patient001_frame01_gt.nii.gz"))
+
+    df = describe_path(str(tmp_path), dataset="ACDC")
+    assert len(df) == 2  # one image + one mask row
+    assert set(df["image"]) == {True, False}
+    assert df.iloc[0]["z-axis"] == 2
+
+    df_w = describe_path(str(tmp_path), wildcard="**/*frame01.nii.gz")
+    assert len(df_w) == 1 and bool(df_w.iloc[0]["image"])
+
+
+def test_phase_gt_loaders(tmp_path):
+    import pandas as pd
+    from cmrtpu.data.analytics import load_acdc_phase_gt, load_tof_phase_gt
+    cols = ["ED#", "MS#", "ES#", "PF#", "MD#"]
+    df = pd.DataFrame({"patient": ["P1", "P1", "p2"],
+                       **{c: [1, 1, 4] for c in cols},
+                       "extra": [0, 0, 0]})
+    f = str(tmp_path / "phase.csv")
+    df.to_csv(f, index=False)
+
+    tof = load_tof_phase_gt(f)
+    # lower-cased, dedup'd, shifted to 0-based, extra column dropped
+    assert list(tof["patient"]) == ["p1", "p2"]
+    assert list(tof["ED#"]) == [0, 3]
+    assert "extra" not in tof.columns
+
+    df2 = pd.DataFrame({"patient": [7, 42], **{c: [1, 4] for c in cols}})
+    df2.to_csv(f, index=False)
+    acdc = load_acdc_phase_gt(f)
+    # zero-padded ids, indices kept as stored
+    assert list(acdc["patient"]) == ["007", "042"]
+    assert list(acdc["ED#"]) == [1, 4]

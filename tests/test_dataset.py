@@ -235,3 +235,106 @@ def test_analytics_extremas():
     assert p1["min_t"] == 0 and p1["max_t"] == 1
     p2 = df[df.patient == "p2"].iloc[0]
     assert p2["min_t"] == 1 and p2["max_t"] == 0
+
+
+def test_create_2d_slices_from_4d_pair_gcn_naming(tmp_path):
+    """4D pair -> per-t-per-z 2D files with the single-underscore GCN naming
+    and mask-derived timestep filtering (ref: Dataset.py:419-466)."""
+    import glob as g
+    vol4d = np.zeros((3, 4, 8, 8), np.float32)
+    msk4d = np.zeros((3, 4, 8, 8), np.uint8)
+    msk4d[1, :3, 2:5, 2:5] = 1  # only t=1 has >=2 annotated slices
+    img_f = str(tmp_path / "volume_cleanp42.nrrd")
+    msk_f = str(tmp_path / "volume_cleanp42_m.nrrd")
+    write_image(MedicalImage(array=vol4d, spacing=(1.2, 1.2, 6.0, 1.0)), img_f)
+    write_image(MedicalImage(array=msk4d, spacing=(1.2, 1.2, 6.0, 1.0)), msk_f)
+
+    out = str(tmp_path / "2D")
+    kept, shape = D.create_2d_slices_from_4d_volume_files(img_f, msk_f, out)
+    assert kept == [1] and shape == [1, 4, 8, 8]
+    imgs = sorted(g.glob(out + "/*img.nrrd"))
+    assert len(imgs) == 4  # z slices of the surviving timestep
+    assert os.path.basename(imgs[0]) == "p42_t1_z0_img.nrrd"
+    # identity direction: the reference passes copy_direction=False here
+    sliced = read_image(imgs[0])
+    np.testing.assert_allclose(sliced.direction, (1.0, 0.0, 0.0, 1.0))
+
+    # filter_by_mask=False keeps every timestep
+    out2 = str(tmp_path / "2D_all")
+    kept, _ = D.create_2d_slices_from_4d_volume_files(
+        img_f, msk_f, out2, filter_by_mask=False)
+    assert kept == [0, 1, 2]
+    assert len(g.glob(out2 + "/*msk.nrrd")) == 12
+
+
+def test_create_2d_slices_any_filename_and_new_naming(tmp_path):
+    import glob as g
+    vol = np.zeros((3, 8, 8), np.float32)
+    msk = np.zeros((3, 8, 8), np.uint8)
+
+    img_f = str(tmp_path / "site1_p7_img.nrrd")
+    msk_f = str(tmp_path / "site1_p7_msk.nrrd")
+    write_image(MedicalImage(array=vol, spacing=(1.0, 1.0, 5.0)), img_f)
+    write_image(MedicalImage(array=msk, spacing=(1.0, 1.0, 5.0)), msk_f)
+    out = str(tmp_path / "any")
+    shape = D.create_2d_slices_from_3d_volume_files_any_filename(
+        img_f, msk_f, out)
+    assert shape == [3, 8, 8]
+    # z index extends the original name just before the img/msk suffix
+    assert os.path.exists(os.path.join(out, "site1_p7_1_img.nrrd"))
+    assert os.path.exists(os.path.join(out, "site1_p7_2_msk.nrrd"))
+
+    img_f = str(tmp_path / "patient009_frame05.nii.gz")
+    write_image(MedicalImage(array=vol, spacing=(1.0, 1.0, 5.0)), img_f)
+    out2 = str(tmp_path / "newnaming")
+    frame, shape = D.create_2d_slices_from_3d_volume_files_new_naming(
+        img_f, None, out2)
+    assert frame == "05" and shape == [3, 8, 8]
+    files = sorted(g.glob(out2 + "/*img.nrrd"))
+    assert os.path.basename(files[0]) == "f_patient009__t05_z0_img.nrrd"
+    assert D.get_patient(files[0]) == "f_patient009"
+
+
+def test_create_4d_volumes_from_4d_files(tmp_path):
+    vol4d = np.zeros((3, 4, 8, 8), np.float32)
+    vol4d[2] = 7.0
+    msk4d = np.zeros((3, 4, 8, 8), np.uint8)
+    msk4d[2, :3, 1:4, 1:4] = 2
+    img_f = str(tmp_path / "volume_cleanp9.nrrd")
+    msk_f = str(tmp_path / "volume_cleanp9_m.nrrd")
+    write_image(MedicalImage(array=vol4d, spacing=(1.2, 1.2, 6.0, 1.0)), img_f)
+    write_image(MedicalImage(array=msk4d, spacing=(1.2, 1.2, 6.0, 1.0)), msk_f)
+
+    out = str(tmp_path / "4D")
+    kept, shape = D.create_4d_volumes_from_4d_files(img_f, msk_f, out)
+    assert kept == [2] and shape == [1, 4, 8, 8]
+    filtered = read_image(os.path.join(out, "p9_img.nrrd"))
+    assert filtered.array.shape == (1, 4, 8, 8)
+    np.testing.assert_allclose(filtered.array[0], 7.0)
+    filtered_msk = read_image(os.path.join(out, "p9_msk.nrrd"))
+    assert filtered_msk.array.max() == 2
+
+
+def test_save_phases_and_all_3d_vols(tmp_path):
+    nda = np.zeros((2, 3, 4, 5, 1), np.float32)  # t,z,y,x,c
+    nda[1] = 3.0
+    D.save_phases(nda, str(tmp_path), "flow.nii")
+    v0 = read_image(str(tmp_path / "flow_0_.nii"))
+    v1 = read_image(str(tmp_path / "flow_1_.nii"))
+    # axis order c,x,y,z after the reference einsum tzyxc->cxyzt
+    assert v0.array.shape == (1, 5, 4, 3)
+    np.testing.assert_allclose(v1.array, 3.0)
+
+    D.save_all_3d_vols_new([nda], ["vols.nii"], str(tmp_path), exp="myexp")
+    assert os.path.exists(str(tmp_path / "myexp" / "vols_0_.nii"))
+
+
+def test_get_3d_img_msk_files(tmp_path):
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    vol = MedicalImage(array=np.zeros((2, 4, 4), np.float32))
+    write_image(vol, str(tmp_path / "images" / "a_img.nrrd"))
+    write_image(vol, str(tmp_path / "masks" / "a_msk.nrrd"))
+    imgs, msks = D.get_3d_img_msk_files(str(tmp_path))
+    assert len(imgs) == 1 and imgs[0].endswith("a_img.nrrd")
+    assert len(msks) == 1 and msks[0].endswith("a_msk.nrrd")
