@@ -260,3 +260,71 @@ def evaluate_cv(exp_path: str, data_path: str,
     df_eval.to_csv(out_csv, index=False)
     print("evaluation done for {}".format({glob_exp}))
     return df_eval
+
+
+def evaluate_cv_save(exp_path: str, data_path: str) -> pd.DataFrame:
+    """Lighter evaluation variant: only the angle + distance dataframes
+    (via ``get_angles_as_df`` / ``get_dist_as_df``) over pred / inter-observer
+    / original-mask sources vs GT, extended by patient/phase/pathology and
+    written as df_eval.csv (ref: evaluate_cv_save,
+    src/models/evaluate_cv.py:599-660).
+
+    Sources whose file count does not match the GT list are skipped with a
+    message (they would mis-pair positionally); ``evaluate_cv`` is the
+    robust, full-column entry point.
+    """
+    from cmrtpu.eval.file_metrics import get_angles_as_df, get_dist_as_df
+
+    data_root = data_path
+    glob_exp = os.path.join(exp_path, "*/*/")
+    io_files = sorted(glob.glob(os.path.join(data_root, "io", "*rvip.nrrd")),
+                      key=sorting_lambda_frame)
+    pred_files = sorted(glob.glob(os.path.join(glob_exp, "pred", "*msk.nrrd")),
+                        key=sorting_lambda)
+    gt_files = sorted(glob.glob(os.path.join(glob_exp, "gt", "*msk.nrrd")),
+                      key=sorting_lambda)
+    if not pred_files:  # flat fold layout exp/f<k>/pred as fallback
+        pred_files = sorted(glob.glob(os.path.join(exp_path, "*/pred/*msk.nrrd")),
+                            key=sorting_lambda)
+        gt_files = sorted(glob.glob(os.path.join(exp_path, "*/gt/*msk.nrrd")),
+                          key=sorting_lambda)
+    orig_msk_files = sorted(glob.glob(os.path.join(data_root, "original",
+                                                   "*/*frame*gt.nii.gz")),
+                            key=sorting_lambda_frame)
+    if not pred_files:
+        raise FileNotFoundError(f"no prediction masks under {glob_exp}pred/")
+
+    sources = []
+    for f, ismsk, sfx in [(pred_files, False, "pred"), (io_files, False, "io"),
+                          (orig_msk_files, True, "orig_msk")]:
+        if len(f) == len(gt_files):
+            sources.append((f, ismsk, sfx))
+        else:
+            print(f"skip source '{sfx}': {len(f)} files != "
+                  f"{len(gt_files)} gt files")
+
+    df_angles = pd.concat(
+        [get_angles_as_df(gt_files, f, f2ismsk=ismsk, suffix=sfx, meanips=True)
+         for f, ismsk, sfx in sources], axis=1)
+    df_dists = pd.concat(
+        [get_dist_as_df(gt_files, f, f2ismsk=ismsk, suffix=sfx, meanips=True)
+         for f, ismsk, sfx in sources], axis=1)
+    df_eval = pd.concat([df_angles, df_dists], axis=1)
+
+    df_eval["pred_files"] = pred_files
+    df_eval["patient"] = df_eval["pred_files"].map(
+        lambda x: os.path.basename(x).split("_")[0])
+    df_eval["phase"] = df_eval["pred_files"].map(
+        lambda x: os.path.basename(x).split("_")[1])
+    try:
+        from cmrtpu.data.dataset import get_acdc_dataset_as_df
+        df = get_acdc_dataset_as_df(os.path.join(data_root, "original"))
+        df = df.loc[df["phase"].isin(["ed", "es"])].reset_index(drop=True)
+        pathology = dict(zip(df["patient"], df["pathology"]))
+        df_eval["pathology"] = df_eval["patient"].map(pathology)
+    except Exception:
+        df_eval["pathology"] = None
+    df_eval = df_eval.loc[:, ~df_eval.columns.duplicated()]
+    df_eval.to_csv(os.path.join(exp_path, "df_eval.csv"), index=False)
+    print("evaluation done for {}".format({glob_exp}))
+    return df_eval

@@ -340,3 +340,36 @@ def get_callbacks(config: Dict, sample_batches: Optional[List] = None,
             to_tensorboard=C.get(config, "SAVE_LEARNING_PROGRESS_AS_TF", False),
             tb_dir=tb_path))
     return cbs
+
+
+def feed_inputs_4_tensorboard(config: Dict, batch_generator=None,
+                              validation_generator=None,
+                              samples: int = 4) -> List:
+    """Fixed sample batches for the ImageWriter callback, drawn once from the
+    train/val generators (ref: feed_inputs_4_tensorboard,
+    src/utils/KerasCallbacks.py:117-151). Returns [(name, x, y), ...] triples
+    — the ``sample_batches`` format ImageWriter/get_callbacks consume."""
+    samples = min(C.get(config, "BATCHSIZE", 32), samples)
+    feeds: List = []
+    for name, gen in (("gen_train", batch_generator),
+                      ("gen_val", validation_generator)):
+        if gen is None:
+            continue
+        x, y = gen[0]
+        feeds.append((name, np.asarray(x)[:samples],
+                      None if y is None else np.asarray(y)[:samples]))
+    logging.info("feed 4 Tensorboard is ready")
+    return feeds
+
+
+def finetune_with_sgd(trainer, train_data, val_data=None,
+                      initial_epoch: int = 0, epochs: Optional[int] = None):
+    """Fine-tune an already-trained model with plain SGD: swap the optimizer
+    in place (fresh opt state, compiled steps rebuilt) and continue fitting
+    from ``initial_epoch`` with the standard callback set
+    (ref: finetune_with_SGD, src/utils/KerasCallbacks.py:280-306 — the
+    OptimizerChanger callback automates the same hand-off mid-fit)."""
+    trainer.switch_optimizer("sgd")
+    return trainer.fit(train_data, val_data, epochs=epochs,
+                       initial_epoch=initial_epoch,
+                       callbacks=get_callbacks(trainer.config))

@@ -56,6 +56,7 @@ class Trainer:
         self.rng = jax.random.key(C.get(self.config, "SEED", 42))
 
         self.optimizer = get_optimizer(self.config)
+        self.optimizer_name = str(C.get(self.config, "OPTIMIZER", "adam")).lower()
         variables = init_variables(self.model, self.config, self.rng)
         self.state = S.create_train_state(self.model, variables, self.optimizer)
         self._build_steps()
@@ -84,6 +85,7 @@ class Trainer:
         cfg = dict(self.config)
         cfg["OPTIMIZER"] = name
         self.optimizer = get_optimizer(cfg)
+        self.optimizer_name = str(name).lower()
         self.state = self.state.replace(opt_state=self.optimizer.init(self.state.params))
         self._build_steps()
 

@@ -173,3 +173,29 @@ def test_io_files_align_by_patient_not_position(full_exp, tmp_path):
     assert df["mdists_ant_gtio"].iloc[0] == pytest.approx(
         np.sqrt(2) * 1.25, rel=1e-6)
     assert all("patient001" in f for f in df["files_io"])
+
+
+def test_evaluate_cv_save_light_variant(full_exp):
+    """evaluate_cv_save: angles+distances-only df with patient/phase/pathology
+    (ref: evaluate_cv_save, src/models/evaluate_cv.py:599-660)."""
+    import pandas as pd
+    from cmrtpu.eval.evaluate import evaluate_cv_save
+    exp, data = full_exp
+    df = evaluate_cv_save(exp, data)
+    for col in ("angle_diff_pred", "gt_angle", "pred_angle",
+                "ant_dist_pred", "inf_dist_pred",
+                "ant_dist_io", "ant_dist_orig_msk",
+                "patient", "phase", "pathology"):
+        assert col in df.columns, col
+    assert len(df) == 2  # one patient x ED/ES
+    assert set(df["phase"]) == {"ED", "ES"}
+    assert set(df["pathology"]) == {"NOR"}
+    # identical pred == gt rvips -> zero distance/angle diff
+    assert float(df["ant_dist_pred"].iloc[0]) == 0.0
+    assert os.path.exists(os.path.join(exp, "df_eval.csv"))
+    # mismatched source counts are skipped, not mis-paired
+    import glob as g
+    os.remove(sorted(g.glob(os.path.join(data, "io", "*rvip.nrrd")))[0])
+    df2 = evaluate_cv_save(exp, data)
+    assert "ant_dist_io" not in df2.columns
+    assert "ant_dist_pred" in df2.columns

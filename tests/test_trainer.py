@@ -256,3 +256,35 @@ def test_step_decay_schedule(gens_cfg=None):
     assert trainer.get_lr() == pytest.approx(0.01)
     sched.on_epoch_begin(trainer, 3)   # floor(4/2)=2 -> 0.0025
     assert trainer.get_lr() == pytest.approx(0.0025)
+
+
+def test_feed_inputs_4_tensorboard_and_finetune_sgd(tmp_path):
+    """feed_inputs_4_tensorboard builds ImageWriter sample triples;
+    finetune_with_sgd swaps to SGD and continues fitting."""
+    import numpy as np
+    import optax
+    from cmrtpu.train.callbacks import (feed_inputs_4_tensorboard,
+                                        finetune_with_sgd)
+    from cmrtpu.train.trainer import Trainer
+
+    class FakeGen:
+        def __getitem__(self, i):
+            x = np.zeros((8, 32, 32, 1), np.float32)
+            y = np.zeros((8, 32, 32, 2), np.float32)
+            return x, y
+        def __len__(self):
+            return 1
+
+    cfg = dict(CFG, BATCHSIZE=8, EPOCHS=1,
+               EXP_PATH=str(tmp_path), MODEL_PATH=str(tmp_path / "model"),
+               TENSORBOARD_PATH=str(tmp_path / "tb"))
+    feeds = feed_inputs_4_tensorboard(cfg, FakeGen(), FakeGen(), samples=2)
+    assert [f[0] for f in feeds] == ["gen_train", "gen_val"]
+    assert feeds[0][1].shape[0] == 2 and feeds[0][2].shape[0] == 2
+
+    trainer = Trainer(cfg)
+    x = np.zeros((8, 32, 32, 1), np.float32)
+    y = np.zeros((8, 32, 32, 2), np.float32)
+    history = finetune_with_sgd(trainer, [(x, y)], initial_epoch=0, epochs=1)
+    assert trainer.optimizer_name == "sgd"
+    assert len(history) >= 1 and np.isfinite(history[-1]["loss"])
