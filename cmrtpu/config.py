@@ -111,6 +111,9 @@ DEFAULTS: Dict[str, Any] = {
                                  # (HBM-traffic vs FLOPs trade, see unet.py)
     "DEVICE_CACHE_LIMIT_GB": 8.0,  # max HBM for the device-resident dataset
                                    # cache; larger datasets stream from host
+    "CACHE_DTYPE": "float32",    # device-cache image storage; 'bfloat16'
+                                 # halves HBM footprint (masks auto-pack to
+                                 # uint8 when exact) — see device_cache.py
 }
 
 # accepted alternate spellings -> canonical key (reference quirk compat)

@@ -142,6 +142,75 @@ class UpBlock(nn.Module):
         return x
 
 
+class ConvEncoder(nn.Module):
+    """Standalone reusable encoder: depth x DownBlock + conv-drop-conv
+    bottleneck, returns (encoding, skips) — the composable half the reference
+    exposes for building custom models (ref: ConvEncoder,
+    src/models/KerasLayers.py:237-327)."""
+    depth: int = 4
+    filters: int = 32
+    f_size: Tuple[int, ...] = (3, 3)
+    m_pool: Tuple[int, ...] = (2, 2)
+    dropouts: Tuple[float, ...] = (0.3, 0.4, 0.4, 0.5)
+    drop_bottleneck: float = 0.5
+    activation: str = "relu"
+    batch_norm: bool = True
+    bn_first: bool = False
+    pad: str = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        kw = dict(f_size=self.f_size, activation=self.activation,
+                  batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  pad=self.pad, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        filters = self.filters
+        skips = []
+        for level in range(self.depth):
+            skip, x = DownBlock(filters, m_pool=self.m_pool,
+                                drop=self.dropouts[level], **kw)(x, train)
+            skips.append(skip)
+            filters *= 2
+        x = ConvBlock(filters, **kw)(x, train)
+        x = nn.Dropout(self.drop_bottleneck, deterministic=not train)(x)
+        x = ConvBlock(filters, **kw)(x, train)
+        return x, skips
+
+
+class ConvDecoder(nn.Module):
+    """Standalone reusable decoder: depth x UpBlock consuming an encoder's
+    (encoding, skips) (ref: ConvDecoder, src/models/KerasLayers.py:348-430).
+    No head — append a 1x1 conv + activation for a complete model."""
+    depth: int = 4
+    filters: int = 32
+    f_size: Tuple[int, ...] = (3, 3)
+    up_size: Tuple[int, ...] = (2, 2)
+    dropouts: Tuple[float, ...] = (0.3, 0.4, 0.4, 0.5)
+    use_upsample: bool = True
+    activation: str = "relu"
+    batch_norm: bool = True
+    bn_first: bool = False
+    pad: str = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, encoding, skips, train: bool = True):
+        kw = dict(f_size=self.f_size, activation=self.activation,
+                  batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  pad=self.pad, dtype=self.dtype)
+        x = encoding
+        skips = list(skips)
+        dropouts = list(self.dropouts)
+        filters = self.filters * (2 ** (self.depth - 1))
+        for _ in range(self.depth):
+            x = UpBlock(filters, up_size=self.up_size, drop=dropouts.pop(),
+                        use_upsample=self.use_upsample, **kw)(
+                x, skips.pop(), train)
+            filters //= 2
+        return x
+
+
 class UNet(nn.Module):
     """Encoder/decoder U-Net with sigmoid head and optional deep supervision.
 

@@ -43,18 +43,57 @@ def cache_nbytes(*arrays: np.ndarray) -> int:
     return sum(int(a.nbytes) for a in arrays)
 
 
+def _packed_nbytes(config: Optional[Dict], x: np.ndarray, y: np.ndarray) -> int:
+    """Post-upload storage size: CACHE_DTYPE may halve the image cache and
+    small-integer masks pack to uint8 (mirrors upload_cache's casts)."""
+    x_bytes = int(x.nbytes)
+    if str(C.get(config or {}, "CACHE_DTYPE", "float32")).lower() in (
+            "bfloat16", "bf16"):
+        x_bytes = x.size * 2
+    y_bytes = int(y.nbytes)
+    if (np.issubdtype(y.dtype, np.floating)
+            and y.size and float(y.min()) >= 0 and float(y.max()) <= 255):
+        y_bytes = y.size  # uint8 candidate; exactness checked at upload
+    return x_bytes + y_bytes
+
+
 def fits_device_cache(config: Dict, *arrays: np.ndarray) -> bool:
     """HBM-budget guard: the replicated cache must fit comfortably next to
-    params/activations. Bound configurable via DEVICE_CACHE_LIMIT_GB."""
+    params/activations. Bound configurable via DEVICE_CACHE_LIMIT_GB; the
+    estimate accounts for CACHE_DTYPE / uint8 mask packing."""
     limit_gb = float(C.get(config, "DEVICE_CACHE_LIMIT_GB", 8.0) or 8.0)
-    return cache_nbytes(*arrays) <= limit_gb * (1 << 30)
+    if len(arrays) == 2:
+        total = _packed_nbytes(config, *arrays)
+    else:
+        total = cache_nbytes(*arrays)
+    return total <= limit_gb * (1 << 30)
 
 
-def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh):
-    """Upload the padded deterministic cache once, replicated over the mesh."""
+def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh,
+                 config: Optional[Dict] = None):
+    """Upload the padded deterministic cache once, replicated over the mesh.
+
+    Storage dtype is a capacity knob: CACHE_DTYPE='bfloat16' halves the image
+    cache's HBM footprint (the model computes in bf16 anyway under
+    MIXED_PRECISION, so the extra mantissa bits of a float32 cache are mostly
+    discarded at the first conv); masks whose values are small non-negative
+    integers are packed as uint8 (4x smaller). The fused step casts both back
+    to float32 right after the gather, so augmentation interpolation and loss
+    math are unchanged.
+    """
+    x = np.ascontiguousarray(x_padded)
+    y = np.ascontiguousarray(y_padded)
+    cache_dtype = str(C.get(config or {}, "CACHE_DTYPE", "float32")).lower()
+    if cache_dtype in ("bfloat16", "bf16"):
+        import ml_dtypes
+        x = x.astype(ml_dtypes.bfloat16)
+    if (np.issubdtype(y.dtype, np.floating)
+            and y.size and float(y.min()) >= 0 and float(y.max()) <= 255):
+        y_int = y.astype(np.uint8)
+        if np.array_equal(y_int.astype(y.dtype), y):  # exact small ints only
+            y = y_int
     repl = NamedSharding(mesh, P())
-    return (jax.device_put(np.ascontiguousarray(x_padded), repl),
-            jax.device_put(np.ascontiguousarray(y_padded), repl))
+    return jax.device_put(x, repl), jax.device_put(y, repl)
 
 
 def make_cached_train_step(model, optimizer, loss_fn: Callable,
@@ -77,8 +116,10 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
     hist_bins = int(C.get(cfg, "HIST_MATCHING_BINS", 4096))
 
     def step_fn(state: S.TrainState, data_x, data_y, idxs, rng):
-        imgs = jnp.take(data_x, idxs, axis=0)
-        msks = jnp.take(data_y, idxs, axis=0)
+        # gather in storage dtype (bf16/uint8 caches move half the bytes),
+        # then everything downstream computes in f32 as before
+        imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
+        msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
         if hist_matching:
             from cmrtpu.pipeline.histmatch import (match_histograms_binned_jax,
                                                    match_histograms_jax)
@@ -106,7 +147,7 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
                 sel = jax.random.permutation(k_gate, batch)[:quota]
                 ref_idx = jax.random.randint(k_ref, (quota,), 0,
                                              data_x.shape[0])
-                refs = jnp.take(data_x, ref_idx, axis=0)
+                refs = jnp.take(data_x, ref_idx, axis=0).astype(jnp.float32)
                 matched = jax.vmap(match_fn)(
                     jnp.take(imgs, sel, axis=0), refs)
                 imgs = imgs.at[sel].set(matched)
@@ -157,8 +198,8 @@ def make_cached_eval_step(model, loss_fn: Callable,
     cfg = dict(config)
 
     def step_fn(state: S.TrainState, data_x, data_y, idxs):
-        imgs = jnp.take(data_x, idxs, axis=0)
-        msks = jnp.take(data_y, idxs, axis=0)
+        imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
+        msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
         x, y = finalize_batch(imgs, msks, cfg, masks=masks)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         preds = model.apply(variables, x, train=False)
@@ -190,7 +231,8 @@ class DeviceCachedLoop:
         self.rng = np.random.default_rng(C.get(cfg, "SEED", 42))
 
         self.x_train, self.y_train = upload_cache(train_gen._cache_x,
-                                                  train_gen._cache_y, mesh)
+                                                  train_gen._cache_y, mesh,
+                                                  config=cfg)
         self.n_train = train_gen._cache_x.shape[0]
         self._augment = bool(C.get(cfg, "AUGMENT", False))
         self._masks = bool(getattr(train_gen, "masks", True))
@@ -199,7 +241,8 @@ class DeviceCachedLoop:
         self.val = None
         if val_gen is not None and getattr(val_gen, "_cache_x", None) is not None:
             self.x_val, self.y_val = upload_cache(val_gen._cache_x,
-                                                  val_gen._cache_y, mesh)
+                                                  val_gen._cache_y, mesh,
+                                                  config=cfg)
             self.n_val = val_gen._cache_x.shape[0]
             self._eval_step = make_cached_eval_step(
                 trainer.model, trainer.loss_fn, trainer.metrics, cfg, mesh,

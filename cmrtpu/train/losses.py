@@ -55,6 +55,28 @@ def dice_coef_labels(y_true, y_pred) -> jax.Array:
     return dice_coef(y_true[..., -3:], y_pred[..., -3:])
 
 
+# named per-channel dices (ref: Loss_and_metrics.py:124-153 — lv/upper =
+# ch[-1], myo/lower = ch[-2], rv = ch[-3], background = ch[0])
+def dice_coef_background(y_true, y_pred) -> jax.Array:
+    return dice_coef_channel(y_true, y_pred, 0)
+
+
+def dice_coef_rv(y_true, y_pred) -> jax.Array:
+    return dice_coef_channel(y_true, y_pred, -3)
+
+
+def dice_coef_myo(y_true, y_pred) -> jax.Array:
+    return dice_coef_channel(y_true, y_pred, -2)
+
+
+def dice_coef_lv(y_true, y_pred) -> jax.Array:
+    return dice_coef_channel(y_true, y_pred, -1)
+
+
+dice_coef_lower = dice_coef_myo  # reference aliases (ref: :135-147)
+dice_coef_upper = dice_coef_lv
+
+
 def binary_crossentropy(y_true, y_pred) -> jax.Array:
     """keras.losses.binary_crossentropy parity: elementwise BCE on clipped
     probabilities, mean over the last (channel) axis."""

@@ -256,3 +256,39 @@ def test_train_fold_hist_matching_uses_cached_loop(gens, tmp_path, monkeypatch):
                    EXPERIMENTS_ROOT=str(tmp_path / "exp") + "/", FOLD=0)
     F.train_fold(run_cfg)
     assert called.get("cached")
+
+
+def test_cache_dtype_bf16_and_uint8_mask_packing(gens):
+    """CACHE_DTYPE='bfloat16' stores the image cache in bf16 (half the HBM)
+    and exact small-integer float masks pack to uint8; the fused step casts
+    back to f32 after the gather so training still converges."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    from cmrtpu.parallel.mesh import create_mesh
+    from cmrtpu.train.device_cache import (_packed_nbytes, fits_device_cache,
+                                           upload_cache)
+    train, val, cfg = gens
+    cfg = dict(cfg, CACHE_DTYPE="bfloat16", AUGMENT=False)
+    mesh = create_mesh(cfg)
+
+    x = np.random.default_rng(0).normal(size=(6, 24, 24)).astype(np.float32)
+    y = np.zeros((6, 24, 24), np.float32)
+    y[:, 4:7, 4:7] = 1.0
+    y[:, 12:15, 12:15] = 2.0
+    dx, dy = upload_cache(x, y, mesh, config=cfg)
+    assert dx.dtype == jnp.bfloat16
+    assert dy.dtype == jnp.uint8
+    # size estimate matches the packed layout
+    assert _packed_nbytes(cfg, x, y) == x.size * 2 + y.size
+    assert fits_device_cache(cfg, x, y)
+    # non-exact float masks must NOT pack
+    y_frac = y + 0.5
+    _, dy2 = upload_cache(x, y_frac, mesh, config=cfg)
+    assert dy2.dtype == np.float32
+
+    # end-to-end: the cached loop trains on the packed cache
+    train2 = DataGenerator(train.images, train.labels, config=cfg)
+    trainer = Trainer(cfg)
+    hist = trainer.fit_cached(train2, epochs=10)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]

@@ -98,3 +98,43 @@ def test_model_summary_text():
     _, variables = _apply(model, SMALL_CFG)
     text = model_summary(model, variables)
     assert "Trainable params:" in text
+
+
+def test_conv_encoder_decoder_compose():
+    """ConvEncoder/ConvDecoder compose into a U-Net-shaped trunk
+    (ref: ConvEncoder/ConvDecoder, src/models/KerasLayers.py:237-430)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from cmrtpu.models.unet import ConvDecoder, ConvEncoder
+
+    class Composed(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            enc, skips = ConvEncoder(depth=2, filters=4,
+                                     dropouts=(0.1, 0.2),
+                                     dtype=jnp.float32)(x, train)
+            x = ConvDecoder(depth=2, filters=4, dropouts=(0.1, 0.2),
+                            dtype=jnp.float32)(enc, skips, train)
+            return nn.Conv(2, (1, 1))(x)
+
+    model = Composed()
+    x = jnp.zeros((2, 32, 32, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 32, 32, 2)
+
+
+def test_named_channel_dices():
+    import jax.numpy as jnp
+    from cmrtpu.train import losses as L
+    y = jnp.zeros((2, 8, 8, 3))
+    y = y.at[..., 2].set(1.0)
+    # lv = last channel: perfect overlap; myo = ch[-2]: empty (dice -> 1 via smooth)
+    assert float(L.dice_coef_lv(y, y)) > 0.99
+    assert float(L.dice_coef_myo(y, y)) > 0.99  # both empty -> smooth/smooth
+    assert L.dice_coef_upper is L.dice_coef_lv
+    assert L.dice_coef_lower is L.dice_coef_myo
+    assert float(L.dice_coef_background(y, y)) > 0.99
+    # rv = ch[-3] present in 3-channel input
+    assert jnp.isfinite(L.dice_coef_rv(y, y))
