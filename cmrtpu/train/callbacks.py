@@ -51,15 +51,31 @@ def _improved(current: float, best: float, mode: str) -> bool:
 
 
 class ModelCheckpoint(Callback):
-    """Best-only weights-only checkpoint (ref: KerasCallbacks.py:54-61)."""
+    """Best-only weights-only checkpoint (ref: KerasCallbacks.py:54-61).
+
+    Writes happen on a background thread by default (``async_write``): the
+    callback snapshots the state on device and returns immediately, so the
+    device->host transfer + file IO overlap the next epochs' compute instead
+    of blocking the loop (see AsyncCheckpointWriter). ``on_train_end`` flushes
+    before anyone reads the checkpoint back (e.g. the chained pred_fold)."""
 
     def __init__(self, model_path: str, monitor: str = "loss", mode: str = "min",
-                 save_full_state: bool = True):
+                 save_full_state: bool = True, async_write: bool = True):
         self.model_path = model_path
         self.monitor = monitor
         self.mode = mode
         self.best = math.inf if mode == "min" else -math.inf
         self.save_full_state = save_full_state
+        self.async_write = async_write
+        self._writer = ckpt.AsyncCheckpointWriter() if async_write else None
+
+    def _write(self, state):
+        ckpt.save_weights(self.model_path, state.params, state.batch_stats)
+        if self.save_full_state:
+            try:
+                ckpt.save_train_state(self.model_path, state)
+            except Exception as e:  # full-state resume is best-effort
+                logging.debug("full-state checkpoint skipped: %s", e)
 
     def on_epoch_end(self, trainer, epoch, logs):
         current = logs.get(self.monitor)
@@ -69,13 +85,15 @@ class ModelCheckpoint(Callback):
             logging.info("Epoch %d: %s improved from %.5f to %.5f, saving model",
                          epoch + 1, self.monitor, self.best, current)
             self.best = current
-            ckpt.save_weights(self.model_path, trainer.state.params,
-                              trainer.state.batch_stats)
-            if self.save_full_state:
-                try:
-                    ckpt.save_train_state(self.model_path, trainer.state)
-                except Exception as e:  # full-state resume is best-effort
-                    logging.debug("full-state checkpoint skipped: %s", e)
+            if self._writer is not None:
+                self._writer.submit(self._write,
+                                    ckpt.device_snapshot(trainer.state))
+            else:
+                self._write(trainer.state)
+
+    def on_train_end(self, trainer):
+        if self._writer is not None:
+            self._writer.flush()
 
 
 class ReduceLROnPlateau(Callback):
@@ -284,21 +302,36 @@ class ImageWriter(Callback):
 
 class WeightsSaver(Callback):
     """Unconditional weights dump every n epochs
-    (ref: WeightsSaver, src/utils/KerasCallbacks.py:804-840)."""
+    (ref: WeightsSaver, src/utils/KerasCallbacks.py:804-840). Async by
+    default like ModelCheckpoint; per-epoch paths each get their own write
+    (latest-wins only collapses writes to the SAME path)."""
 
     def __init__(self, model_path: str, every_n_epochs: int = 5,
-                 keep_per_epoch: bool = False):
+                 keep_per_epoch: bool = False, async_write: bool = True):
         self.model_path = model_path
         self.every_n_epochs = max(1, every_n_epochs)
         self.keep_per_epoch = keep_per_epoch
+        self._writer = ckpt.AsyncCheckpointWriter() if async_write else None
 
     def on_epoch_end(self, trainer, epoch, logs):
         if (epoch + 1) % self.every_n_epochs:
             return
         path = (os.path.join(self.model_path, f"epoch_{epoch:04d}")
                 if self.keep_per_epoch else self.model_path)
-        ckpt.save_weights(path, trainer.state.params, trainer.state.batch_stats)
+        if self._writer is not None:
+            if self.keep_per_epoch:
+                self._writer.flush()  # don't drop distinct per-epoch dumps
+            self._writer.submit(ckpt.save_weights, path,
+                                ckpt.device_snapshot(trainer.state.params),
+                                ckpt.device_snapshot(trainer.state.batch_stats))
+        else:
+            ckpt.save_weights(path, trainer.state.params,
+                              trainer.state.batch_stats)
         logging.info("Epoch %d: weights saved to %s", epoch + 1, path)
+
+    def on_train_end(self, trainer):
+        if self._writer is not None:
+            self._writer.flush()
 
 
 def get_callbacks(config: Dict, sample_batches: Optional[List] = None,

@@ -118,3 +118,70 @@ def load_pretrained_model(model_path: str, abstract_state=None,
         return imported["params"], imported["batch_stats"], None
     params, batch_stats = load_weights(model_path)
     return params, batch_stats, None
+
+
+class AsyncCheckpointWriter:
+    """Latest-wins background checkpoint writer.
+
+    Checkpoint writes are device->host transfers + file IO; doing them inline
+    in ``on_epoch_end`` blocks the train loop for the full transfer (measured:
+    a best-only save every improving epoch dominated wall-clock on small
+    epochs — 0.37 s of compute vs ~5 s of blocking writes over a slow host
+    link). Instead the callback snapshots the state ON DEVICE (an HBM-to-HBM
+    copy, hundreds of microseconds — required anyway because the fused train
+    step donates its state buffers) and hands the snapshot to this writer;
+    the device_get + serialisation then overlap the next epochs' compute.
+
+    Only the newest pending snapshot is kept ("latest-wins"): checkpoints are
+    monotone best-so-far, so an unwritten older best is superseded anyway.
+    ``flush()`` blocks until the last submitted write is durable — call it at
+    train end before anything reads the checkpoint back.
+    """
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._pending = None
+        self._busy = False
+        self._wake = threading.Condition(self._lock)
+        self._thread = None
+
+    def submit(self, fn, *args) -> None:
+        import threading
+        with self._lock:
+            self._pending = (fn, args)
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(target=self._run, daemon=True)
+                self._thread.start()
+            self._wake.notify_all()
+
+    def _run(self) -> None:
+        import logging
+        while True:
+            with self._lock:
+                while self._pending is None:
+                    self._wake.wait()
+                fn, args = self._pending
+                self._pending = None
+                self._busy = True
+            try:
+                fn(*args)
+            except Exception as e:  # pragma: no cover - IO failures
+                logging.error("async checkpoint write failed: %s", e)
+            finally:
+                with self._lock:
+                    self._busy = False
+                    self._wake.notify_all()
+
+    def flush(self) -> None:
+        with self._lock:
+            while self._pending is not None or self._busy:
+                self._wake.wait(timeout=0.1)
+
+
+def device_snapshot(tree):
+    """On-device copy of a pytree. The fused train step donates its state
+    argument, so the live buffers die at the next step dispatch; the copy is
+    not passed to the step and stays valid for a later device_get."""
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.copy, tree)

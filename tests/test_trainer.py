@@ -131,8 +131,10 @@ def test_model_checkpoint_best_only(tmp_path):
     trainer = Trainer(CFG)
     cb = ModelCheckpoint(str(tmp_path), monitor="loss", save_full_state=False)
     cb.on_epoch_end(trainer, 0, {"loss": 1.0})
+    cb.on_train_end(trainer)  # flush the async writer
     mtime = os.path.getmtime(tmp_path / "model.npz")
     cb.on_epoch_end(trainer, 1, {"loss": 2.0})  # worse -> no save
+    cb.on_train_end(trainer)
     assert os.path.getmtime(tmp_path / "model.npz") == mtime
 
 
@@ -288,3 +290,48 @@ def test_feed_inputs_4_tensorboard_and_finetune_sgd(tmp_path):
     history = finetune_with_sgd(trainer, [(x, y)], initial_epoch=0, epochs=1)
     assert trainer.optimizer_name == "sgd"
     assert len(history) >= 1 and np.isfinite(history[-1]["loss"])
+
+
+def test_async_checkpoint_writer_latest_wins(tmp_path):
+    """AsyncCheckpointWriter: latest-wins coalescing, flush durability, and
+    survival of a failing write."""
+    import time
+    from cmrtpu.train.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+    out = tmp_path / "out.txt"
+
+    def slow_write(value):
+        time.sleep(0.05)
+        out.write_text(value)
+
+    for i in range(20):
+        w.submit(slow_write, f"v{i}")
+    w.flush()
+    # the final submitted value is durable after flush
+    assert out.read_text() == "v19"
+
+    def boom(_):
+        raise RuntimeError("disk full")
+    w.submit(boom, "x")
+    w.flush()  # failure logged, writer still alive
+    w.submit(slow_write, "after-failure")
+    w.flush()
+    assert out.read_text() == "after-failure"
+
+
+def test_async_checkpoint_survives_donated_state(tmp_path):
+    """The on-device snapshot must stay readable after the donated state
+    buffers are invalidated by subsequent train steps."""
+    import numpy as np
+    from cmrtpu.train.callbacks import ModelCheckpoint
+    from cmrtpu.train.checkpoint import load_weights
+
+    trainer = Trainer(CFG)
+    cb = ModelCheckpoint(str(tmp_path), monitor="loss", save_full_state=False)
+    data = SyntheticBatches()
+    trainer.fit(data, epochs=3, callbacks=[cb])
+    params, batch_stats = load_weights(str(tmp_path))
+    assert params  # checkpoint written and parseable
+    leaf = next(iter(jax.tree_util.tree_leaves(params)))
+    assert np.all(np.isfinite(np.asarray(leaf)))
