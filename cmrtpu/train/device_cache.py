@@ -293,13 +293,15 @@ class DeviceCachedLoop:
 
     def run_eval_epoch(self) -> Dict[str, float]:
         t = self.trainer
-        sums: Dict[str, float] = {}
-        count = 0
+        step_logs = []
         for idxs in self._epoch_indices(self.n_val, shuffle=False):
             idxs_dev = jax.device_put(idxs.astype(np.int32), self._idx_sharding)
-            logs = jax.device_get(self._eval_step(t.state, self.x_val,
-                                                  self.y_val, idxs_dev))
-            for k, v in logs.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
-        return {k: v / max(count, 1) for k, v in sums.items()}
+            step_logs.append(self._eval_step(t.state, self.x_val,
+                                             self.y_val, idxs_dev))
+        if not step_logs:
+            return {}
+        # same one-sync-per-epoch pattern as run_train_epoch: device scalars
+        # accumulate, stack+mean on device, a single device_get at the end
+        mean_logs = jax.tree_util.tree_map(
+            lambda *xs: jnp.mean(jnp.stack(xs)), *step_logs)
+        return {k: float(v) for k, v in jax.device_get(mean_logs).items()}
