@@ -1,0 +1,80 @@
+"""Compiled-HLO assertions on the multi-chip parallelism contract.
+
+The framework's scale-out story (SURVEY.md §2.2) is: batch sharded over the
+'data' mesh axis, parameters/optimizer state replicated, gradients all-reduced
+by XLA over ICI, and the HBM-resident cache replicated so the per-step index
+gather is communication-free. These tests pin that contract at the compiled-
+program level on the virtual 8-device CPU mesh — a regression here means a
+resharding crept in (e.g. an accidental all-gather of activations or a
+collective in the input path), which would silently tax ICI at scale.
+"""
+
+import re
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cmrtpu.parallel.mesh import create_mesh
+from cmrtpu.train.device_cache import make_cached_train_step, upload_cache
+from cmrtpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the 8-device virtual mesh")
+
+CFG = {"DIM": [32, 32], "DEPTH": 2, "FILTERS": 4, "MASK_CLASSES": 2,
+       "BATCHSIZE": 16, "MIXED_PRECISION": True, "MASK_VALUES": [1, 2],
+       "AUGMENT": True, "AUGMENT_PROB": 1.0, "RANDOMROTATE": True,
+       "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True,
+       "LEARNING_RATE": 1e-3, "SEED": 0}
+
+
+@pytest.fixture(scope="module")
+def compiled_step():
+    mesh = create_mesh(devices=jax.devices()[:8])
+    trainer = Trainer(CFG, mesh=mesh)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 32, 32)).astype(np.float32)
+    y = (rng.random((64, 32, 32)) > 0.9).astype(np.float32)
+    data_x, data_y = upload_cache(x, y, mesh)
+    step = make_cached_train_step(trainer.model, trainer.optimizer,
+                                  trainer.loss_fn, {}, CFG, mesh, augment=True)
+    idxs = jax.device_put(np.arange(16, dtype=np.int32),
+                          NamedSharding(mesh, P("data")))
+    lowered = step.lower(trainer.state, data_x, data_y, idxs, trainer.rng)
+    return lowered.compile()
+
+
+def test_gradients_are_all_reduced(compiled_step):
+    """The compiled step must contain cross-device all-reduces (the gradient
+    psum XLA inserts for data parallelism over the 'data' axis)."""
+    hlo = compiled_step.as_text()
+    assert re.search(r"all-reduce", hlo), (
+        "no all-reduce in the compiled train step: gradients are not being "
+        "combined across the data-parallel mesh")
+
+
+def test_no_gather_style_collectives(compiled_step):
+    """Replicated cache + sharded index gather must stay communication-free:
+    no all-gather / all-to-all / collective-permute should appear anywhere in
+    the step (activations stay batch-sharded end-to-end; only scalar/gradient
+    reductions cross devices)."""
+    hlo = compiled_step.as_text()
+    for bad in ("all-gather", "all-to-all", "collective-permute"):
+        assert not re.search(bad, hlo), (
+            f"unexpected {bad} in the compiled train step: an intermediate "
+            "is being resharded instead of staying batch-sharded")
+
+
+def test_state_stays_replicated_and_logs_scalar(compiled_step):
+    """Output shardings: the new train state must be fully replicated (no
+    device owns a parameter shard) and the logs are replicated scalars."""
+    out_shardings = jax.tree_util.tree_leaves(
+        compiled_step.output_shardings,
+        is_leaf=lambda s: isinstance(s, jax.sharding.Sharding))
+    assert out_shardings, "no output shardings reported"
+    for s in out_shardings:
+        spec = getattr(s, "spec", None)
+        assert spec is not None and all(axis is None for axis in spec), (
+            f"non-replicated output sharding {s}")
