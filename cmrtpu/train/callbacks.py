@@ -68,6 +68,8 @@ class ModelCheckpoint(Callback):
         self.save_full_state = save_full_state
         self.async_write = async_write
         self._writer = ckpt.AsyncCheckpointWriter() if async_write else None
+        self._saved = False
+        self._warned_missing = False
 
     def _write(self, state):
         ckpt.save_weights(self.model_path, state.params, state.batch_stats)
@@ -77,21 +79,39 @@ class ModelCheckpoint(Callback):
             except Exception as e:  # full-state resume is best-effort
                 logging.debug("full-state checkpoint skipped: %s", e)
 
+    def _save(self, trainer):
+        self._saved = True
+        if self._writer is not None:
+            self._writer.submit(self._write, ckpt.device_snapshot(trainer.state))
+        else:
+            self._write(trainer.state)
+
     def on_epoch_end(self, trainer, epoch, logs):
         current = logs.get(self.monitor)
         if current is None:
+            if not self._warned_missing:
+                self._warned_missing = True
+                logging.warning(
+                    "ModelCheckpoint: monitor '%s' not in epoch logs %s — "
+                    "no best-only checkpoints will be written (is the "
+                    "validation set empty?)", self.monitor, sorted(logs))
             return
         if _improved(current, self.best, self.mode):
             logging.info("Epoch %d: %s improved from %.5f to %.5f, saving model",
                          epoch + 1, self.monitor, self.best, current)
             self.best = current
-            if self._writer is not None:
-                self._writer.submit(self._write,
-                                    ckpt.device_snapshot(trainer.state))
-            else:
-                self._write(trainer.state)
+            self._save(trainer)
 
     def on_train_end(self, trainer):
+        if not self._saved:
+            # the monitored key never appeared (e.g. empty validation set):
+            # persist the final state anyway so downstream consumers (the
+            # chained pred_fold, a later restore) have weights to load —
+            # the reference would crash at predict time in this situation
+            logging.warning(
+                "ModelCheckpoint: no epoch ever improved monitor '%s'; "
+                "saving the final training state as a fallback", self.monitor)
+            self._save(trainer)
         if self._writer is not None:
             self._writer.flush()
 

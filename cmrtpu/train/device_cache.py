@@ -194,8 +194,14 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
 
 def make_cached_eval_step(model, loss_fn: Callable,
                           metrics: Optional[Dict[str, Callable]],
-                          config: Dict, mesh: Mesh, masks: bool = True):
-    """(state, data_x, data_y, idxs) -> logs; no augmentation, no updates."""
+                          config: Dict, mesh: Mesh, masks: bool = True,
+                          shard_batch_axis: bool = True):
+    """(state, data_x, data_y, idxs) -> logs; no augmentation, no updates.
+
+    ``shard_batch_axis=False`` replicates the index vector instead of
+    sharding it over the 'data' axis — every device computes the whole
+    (small) batch redundantly. That lifts the batch-divides-mesh constraint
+    for partial/remainder batches; for their size the redundancy is free."""
     metrics = metrics or {}
     cfg = dict(config)
 
@@ -211,7 +217,7 @@ def make_cached_eval_step(model, loss_fn: Callable,
         return logs
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
+    data = NamedSharding(mesh, P(DATA_AXIS)) if shard_batch_axis else repl
     return jax.jit(step_fn, in_shardings=(repl, repl, repl, data),
                    out_shardings=repl)
 
@@ -246,9 +252,11 @@ class DeviceCachedLoop:
                                                   val_gen._cache_y, mesh,
                                                   config=cfg)
             self.n_val = val_gen._cache_x.shape[0]
+            self._val_masks = bool(getattr(val_gen, "masks", True))
             self._eval_step = make_cached_eval_step(
                 trainer.model, trainer.loss_fn, trainer.metrics, cfg, mesh,
-                masks=bool(getattr(val_gen, "masks", True)))
+                masks=self._val_masks)
+            self._eval_step_partial = None  # compiled on first remainder use
             self.val = True
         self._idx_sharding = NamedSharding(mesh, P(DATA_AXIS))
         logging.info("device cache: %d train / %s val examples resident in HBM",
@@ -261,10 +269,14 @@ class DeviceCachedLoop:
             t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
             self._augment, masks=self._masks)
 
-    def _epoch_indices(self, n: int, shuffle: bool) -> np.ndarray:
+    def _epoch_indices(self, n: int, shuffle: bool,
+                       batch: Optional[int] = None) -> np.ndarray:
+        batch = batch or self.batch
+        if batch <= 0:
+            return np.zeros((0, 0), np.int64)
         idxs = self.rng.permutation(n) if shuffle else np.arange(n)
-        n_batches = n // self.batch
-        return idxs[:n_batches * self.batch].reshape(n_batches, self.batch)
+        n_batches = n // batch
+        return idxs[:n_batches * batch].reshape(n_batches, batch)
 
     def run_train_epoch(self) -> Dict[str, float]:
         t = self.trainer
@@ -294,16 +306,33 @@ class DeviceCachedLoop:
         return {k: float(v) for k, v in jax.device_get(mean_logs).items()}
 
     def run_eval_epoch(self) -> Dict[str, float]:
+        """Evaluate ALL validation examples. Full batches run through the
+        batch-sharded eval program; the remainder (which keras/reference
+        floor semantics would silently drop — with n_val < BATCHSIZE that
+        means NO val metrics at all) runs through a replicated-index twin
+        with no batch-divides-mesh constraint. The epoch value is the exact
+        example-weighted mean, still one host sync per epoch."""
         t = self.trainer
-        step_logs = []
+        step_logs, weights = [], []
         for idxs in self._epoch_indices(self.n_val, shuffle=False):
             idxs_dev = jax.device_put(idxs.astype(np.int32), self._idx_sharding)
             step_logs.append(self._eval_step(t.state, self.x_val,
                                              self.y_val, idxs_dev))
+            weights.append(float(len(idxs)))
+        remainder = self.n_val % self.batch
+        if remainder:
+            if self._eval_step_partial is None:
+                self._eval_step_partial = make_cached_eval_step(
+                    t.model, t.loss_fn, t.metrics, t.config, t.mesh,
+                    masks=self._val_masks, shard_batch_axis=False)
+            tail = np.arange(self.n_val - remainder, self.n_val, dtype=np.int32)
+            step_logs.append(self._eval_step_partial(
+                t.state, self.x_val, self.y_val,
+                jax.device_put(tail, NamedSharding(t.mesh, P()))))
+            weights.append(float(remainder))
         if not step_logs:
             return {}
-        # same one-sync-per-epoch pattern as run_train_epoch: device scalars
-        # accumulate, stack+mean on device, a single device_get at the end
+        w = jnp.asarray(weights)
         mean_logs = jax.tree_util.tree_map(
-            lambda *xs: jnp.mean(jnp.stack(xs)), *step_logs)
+            lambda *xs: jnp.sum(jnp.stack(xs) * w) / jnp.sum(w), *step_logs)
         return {k: float(v) for k, v in jax.device_get(mean_logs).items()}

@@ -1,0 +1,208 @@
+"""Full 4-fold cross-validation demo on an anatomically-structured synthetic
+cohort — the complete reference workflow at ACDC scale, no download needed.
+
+Generates N patients of SAX-like phantoms with real geometry (LV blood pool,
+MYO ring, RV crescent; labels RV=1 MYO=2 LV=3 like ACDC), derives the two
+RV insertion points as the intersections of the RV boundary with the MYO
+outer contour (so the RVIP ground truth is geometrically consistent with the
+visible structures), and writes the full ACDC-shaped tree:
+
+    original/patientXXX/Info.cfg                      ED/ES frames + pathology
+    original/patientXXX/patientXXX_frameYY.nii.gz     CMR phases
+    original/patientXXX/patientXXX_frameYY_gt.nii.gz  ventricle masks
+    original/patientXXX/patientXXX_4d.nii.gz          2-frame cine
+    io/patientXXX_frameYY_rvip.nrrd                   RVIP labels {1,2}
+
+then runs the real pipeline end-to-end: make_dataset slicing -> 4-fold
+training (device-cached fused step) -> chained per-fold prediction ->
+evaluate_cv with ALL four sources (pred/gt/inter-observer/original ventricle
+masks -> the full df_eval column set, including the contour-walk extraction
+path) and prints the localisation summary.
+
+    python examples/full_cv_demo.py --root /tmp/cmrtpu_cv --patients 100 \
+        --epochs 150
+
+On one TPU chip the 100-patient default takes ~30 min (most of it training
+4 folds at ~1.1k slices/s); use --patients 8 --epochs 10 --dim 64 for a
+CPU-sized smoke run.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PATHOLOGIES = ["NOR", "MINF", "DCM", "HCM", "RV"]
+
+
+def _circle_intersections(c1, r1, c2, r2):
+    """Intersection points of two circles, (y, x) coords; None if disjoint."""
+    c1 = np.asarray(c1, float)
+    c2 = np.asarray(c2, float)
+    d = float(np.linalg.norm(c2 - c1))
+    if d == 0 or d > r1 + r2 or d < abs(r1 - r2):
+        return None
+    a = (r1 * r1 - r2 * r2 + d * d) / (2 * d)
+    h2 = r1 * r1 - a * a
+    if h2 < 0:
+        return None
+    h = np.sqrt(h2)
+    u = (c2 - c1) / d
+    mid = c1 + a * u
+    perp = np.array([-u[1], u[0]])
+    return mid + h * perp, mid - h * perp
+
+
+def _slice_phantom(hw, center, r_lv, t_myo, theta, r_rv, rng):
+    """One SAX slice: (image f32, ventricle mask {1,2,3}, (ant_ip, inf_ip))."""
+    yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float64)
+    cy, cx = center
+    r1 = r_lv + t_myo                      # MYO outer radius
+    rv_dir = np.array([np.sin(theta), -np.cos(theta)])   # RV sits to the left
+    rv_c = np.array([cy, cx]) + rv_dir * (r1 + 0.45 * r_rv)
+
+    d_lv = np.hypot(yy - cy, xx - cx)
+    d_rv = np.hypot(yy - rv_c[0], xx - rv_c[1])
+    msk = np.zeros((hw, hw), np.uint8)
+    msk[d_rv <= r_rv] = 1                                   # RV
+    msk[(d_lv > r_lv) & (d_lv <= r1)] = 2                   # MYO ring wins
+    msk[d_lv <= r_lv] = 3                                   # LV blood pool
+
+    ips = _circle_intersections((cy, cx), r1, rv_c, r_rv)
+    if ips is None:
+        raise ValueError("phantom RV does not touch the MYO ring")
+    # anterior = superior intersection (smaller y), inferior = the other
+    ant, inf = sorted(ips, key=lambda p: p[0])
+
+    img = np.full((hw, hw), 120.0)
+    img[msk == 1] = 380.0
+    img[msk == 2] = 200.0
+    img[msk == 3] = 420.0
+    from scipy.ndimage import gaussian_filter
+    img = gaussian_filter(img, 1.5) + rng.normal(0, 25.0, (hw, hw))
+    return img.astype(np.float32), msk, (ant, inf)
+
+
+def _rvip_mask(hw, ant, inf):
+    msk = np.zeros((hw, hw), np.uint8)
+    for point, value in ((ant, 1), (inf, 2)):
+        y, x = int(round(point[0])), int(round(point[1]))
+        msk[max(0, y - 1):y + 2, max(0, x - 1):x + 2] = value
+    return msk
+
+
+def generate_cohort(root, n_patients=100, hw=200, n_slices=8,
+                    spacing=1.37, seed=0):
+    from cmrtpu.io import MedicalImage, write_image
+    from cmrtpu.utils.io_utils import ensure_dir
+
+    rng = np.random.default_rng(seed)
+    ensure_dir(os.path.join(root, "io"))
+    sp3 = (spacing, spacing, 8.0)
+    for p in range(1, n_patients + 1):
+        pid = f"patient{p:03d}"
+        pdir = os.path.join(root, "original", pid)
+        ensure_dir(pdir)
+        jit = max(1, int(hw * 0.06))
+        center = (hw / 2 + rng.integers(-jit, jit + 1),
+                  hw / 2 + rng.integers(-jit, jit + 1))
+        r_lv0 = hw * rng.uniform(0.11, 0.15)
+        t_myo = hw * rng.uniform(0.035, 0.055)
+        theta = rng.uniform(-0.5, 0.5)
+        pathology = PATHOLOGIES[(p - 1) % len(PATHOLOGIES)]
+        frames = {}
+        for frame, lv_scale in (("01", 1.0), ("12", 0.72)):   # ED / ES
+            imgs, vmsks, rvips = [], [], []
+            for z in range(n_slices):
+                z_scale = 1.0 - 0.035 * z                      # toward apex
+                img, vmsk, (ant, inf) = _slice_phantom(
+                    hw, center, r_lv0 * lv_scale * z_scale, t_myo * z_scale,
+                    theta + rng.normal(0, 0.03),
+                    (r_lv0 * 0.95) * z_scale, rng)
+                imgs.append(img)
+                vmsks.append(vmsk)
+                rvips.append(_rvip_mask(hw, ant, inf))
+            frames[frame] = np.stack(imgs)
+            write_image(MedicalImage(array=np.stack(imgs), spacing=sp3),
+                        os.path.join(pdir, f"{pid}_frame{frame}.nii.gz"))
+            write_image(MedicalImage(array=np.stack(vmsks), spacing=sp3),
+                        os.path.join(pdir, f"{pid}_frame{frame}_gt.nii.gz"))
+            write_image(MedicalImage(array=np.stack(rvips), spacing=sp3),
+                        os.path.join(root, "io", f"{pid}_frame{frame}_rvip.nrrd"))
+        write_image(MedicalImage(array=np.stack([frames["01"], frames["12"]]),
+                                 spacing=sp3 + (1.0,)),
+                    os.path.join(pdir, f"{pid}_4d.nii.gz"))
+        with open(os.path.join(pdir, "Info.cfg"), "w") as fh:
+            fh.write(f"ED: 1\nES: 12\nGroup: {pathology}\n"
+                     f"Height: 170.0\nNbFrame: 2\nWeight: 75.0\n")
+    print(f"cohort: {n_patients} patients written under {root}/original")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default="/tmp/cmrtpu_cv")
+    parser.add_argument("--patients", type=int, default=100)
+    parser.add_argument("--epochs", type=int, default=150)
+    parser.add_argument("--dim", type=int, default=224)
+    parser.add_argument("--folds", type=int, nargs="*", default=[0, 1, 2, 3])
+    parser.add_argument("--skip-generate", action="store_true")
+    args = parser.parse_args()
+
+    if not args.skip_generate:
+        hw = max(64, int(args.dim * 200 / 224))
+        generate_cohort(args.root, n_patients=args.patients, hw=hw)
+
+    # ETL: the real CLI path (pairs original frames with the io rvip masks,
+    # slices to per-z 2D nrrd, builds df_kfold.csv)
+    from cmrtpu.cli.make_dataset import main as make_dataset_main
+    if not os.path.isdir(os.path.join(args.root, "2D")):
+        make_dataset_main(args.root, os.path.join(args.root, "original"))
+
+    config = {
+        "EXPERIMENT": "full_cv", "EXPERIMENTS_ROOT": os.path.join(args.root, "exp/"),
+        "SEED": 42, "EPOCHS": args.epochs, "BATCHSIZE": 128,
+        "FOLDS": args.folds,
+        "DIM": [args.dim, args.dim], "SPACING": [1.2, 1.2], "RESAMPLE": True,
+        "DEPTH": 4, "FILTERS": 32, "M_POOL": [2, 2], "F_SIZE": [3, 3],
+        "MASK_VALUES": [1, 2], "MASK_CLASSES": 2, "OPTIMIZER": "adam",
+        "LEARNING_RATE": 1e-3, "LOSS_FUNCTION": "BceDiceLoss",
+        "MIXED_PRECISION": True, "USE_UPSAMPLE": False,
+        "AUGMENT": True, "AUGMENT_PROB": 0.8, "RANDOMROTATE": True,
+        "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True,
+        "GAUS": True, "SIGMA": 2,
+        "SCALER": "MinMax", "CC_FILTER": True,
+        "EARLY_STOPPING_PATIENCE": args.epochs,
+        "MONITOR_FUNCTION": "val_loss", "SAVE_MODEL_FUNCTION": "val_loss",
+    }
+    from cmrtpu.train.fold import run_experiment
+    exp_path = run_experiment(config, data_path=args.root)
+
+    from cmrtpu.eval.evaluate import evaluate_cv
+    df = evaluate_cv(exp_path, args.root)
+    print(f"\ndf_eval: {df.shape[0]} patient-phase rows x {df.shape[1]} columns")
+    print(f"sources present: io={'files_io' in df}, "
+          f"orig ventricle masks={'files_orig_msk' in df}")
+    print("\n=== localisation summary (mm) ===")
+    for c in ("mdists_ant_gtpred", "mdists_inf_gtpred",
+              "mdists_ant_gtio", "mdists_inf_gtio",
+              "mdists_ant_gtorig", "mdists_inf_gtorig",
+              "tpr_ant_point_th15", "ppv_ant_point_th15",
+              "tpr_inf_point_th15", "ppv_inf_point_th15"):
+        if c in df:
+            vals = df[c].astype(float)
+            print(f"  {c:28s} {vals.mean():8.3f} +- {vals.std():.3f}")
+    out = os.path.join(exp_path, "df_eval.csv")
+    print(f"\nfull table: {out}")
+    summary = {"rows": int(df.shape[0]), "columns": int(df.shape[1]),
+               "mdists_ant_gtpred_mm": float(df["mdists_ant_gtpred"].astype(float).mean()),
+               "mdists_inf_gtpred_mm": float(df["mdists_inf_gtpred"].astype(float).mean())}
+    with open(os.path.join(exp_path, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -292,3 +292,16 @@ def test_cache_dtype_bf16_and_uint8_mask_packing(gens):
     hist = trainer.fit_cached(train2, epochs=10)
     assert np.isfinite(hist[-1]["loss"])
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_small_validation_set_still_yields_val_logs(gens, tmp_path):
+    """n_val < BATCHSIZE floors to zero reference-semantics eval batches; the
+    cached loop must shrink the eval batch instead of silently dropping every
+    val_* key (monitor-driven callbacks would go blind)."""
+    train, val, cfg = gens
+    small_val = DataGenerator(val.images[:2], val.labels[:2],
+                              config=dict(cfg, AUGMENT=False))
+    assert small_val._cache_x.shape[0] < cfg["BATCHSIZE"]
+    trainer = Trainer(cfg)
+    hist = trainer.fit_cached(train, val_gen=small_val, epochs=2)
+    assert "val_loss" in hist[-1] and np.isfinite(hist[-1]["val_loss"])

@@ -335,3 +335,18 @@ def test_async_checkpoint_survives_donated_state(tmp_path):
     assert params  # checkpoint written and parseable
     leaf = next(iter(jax.tree_util.tree_leaves(params)))
     assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_model_checkpoint_fallback_when_monitor_never_appears(tmp_path):
+    """A monitor key that never shows up (e.g. val_loss with an empty
+    validation set) must still leave restorable weights at train end: the
+    chained pred_fold reads the checkpoint right after fit."""
+    from cmrtpu.train.callbacks import ModelCheckpoint
+    from cmrtpu.train.checkpoint import load_weights
+
+    trainer = Trainer(CFG)
+    cb = ModelCheckpoint(str(tmp_path), monitor="val_loss",
+                         save_full_state=False)
+    trainer.fit(SyntheticBatches(n_batches=1), epochs=2, callbacks=[cb])
+    params, _ = load_weights(str(tmp_path))
+    assert params  # fallback checkpoint written despite missing monitor
