@@ -42,6 +42,8 @@ class Predictor:
 
     def __init__(self, config: Dict, model_path: Optional[str] = None):
         self.config = C.normalise_config(config)
+        from cmrtpu.utils.xla_cache import ensure_compilation_cache
+        ensure_compilation_cache(self.config)
         self.model = build_model(self.config)
         model_path = model_path or C.get(self.config, "MODEL_PATH")
         self.params, self.batch_stats = load_weights_for_model(

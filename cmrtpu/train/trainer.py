@@ -29,6 +29,10 @@ class Trainer:
                  metrics: Optional[Dict[str, Callable]] = None,
                  supervision: bool = False):
         self.config = C.normalise_config(config)
+        # persistent XLA compilation cache: every fold of a CV run (and every
+        # CLI invocation) compiles the same programs from scratch otherwise
+        from cmrtpu.utils.xla_cache import ensure_compilation_cache
+        ensure_compilation_cache(self.config)
         # dropout-mask PRNG implementation: 'rbg' measured ~1.4x faster than
         # the threefry default for this model family on v5e (PRNG_IMPL knob;
         # set to '' / None to keep jax's default)

@@ -350,3 +350,18 @@ def test_model_checkpoint_fallback_when_monitor_never_appears(tmp_path):
     trainer.fit(SyntheticBatches(n_batches=1), epochs=2, callbacks=[cb])
     params, _ = load_weights(str(tmp_path))
     assert params  # fallback checkpoint written despite missing monitor
+
+
+def test_persistent_compilation_cache_configured(tmp_path, monkeypatch):
+    """Trainer enables the persistent XLA compilation cache (every CV fold
+    recompiles identical programs otherwise); '' disables it."""
+    import cmrtpu.utils.xla_cache as XC
+
+    monkeypatch.setattr(XC, "_enabled_dir", None)
+    cache_dir = str(tmp_path / "xla")
+    Trainer(dict(CFG, COMPILATION_CACHE_DIR=cache_dir))
+    assert jax.config.jax_compilation_cache_dir == os.path.abspath(cache_dir)
+    assert os.path.isdir(cache_dir)
+
+    monkeypatch.setattr(XC, "_enabled_dir", None)
+    assert XC.ensure_compilation_cache({"COMPILATION_CACHE_DIR": ""}) is None
