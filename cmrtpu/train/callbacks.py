@@ -81,10 +81,18 @@ class ModelCheckpoint(Callback):
 
     def _save(self, trainer):
         self._saved = True
-        if self._writer is not None:
-            self._writer.submit(self._write, ckpt.device_snapshot(trainer.state))
+        if self.save_full_state:
+            job, args = self._write, (ckpt.device_snapshot(trainer.state),)
         else:
-            self._write(trainer.state)
+            # weights-only mode: don't snapshot the optimizer state (~2x the
+            # params for adam) that _write would never read
+            job = ckpt.save_weights
+            args = (self.model_path, ckpt.device_snapshot(trainer.state.params),
+                    ckpt.device_snapshot(trainer.state.batch_stats))
+        if self._writer is not None:
+            self._writer.submit(job, *args)
+        else:
+            job(*args)
 
     def on_epoch_end(self, trainer, epoch, logs):
         current = logs.get(self.monitor)

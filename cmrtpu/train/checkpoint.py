@@ -37,7 +37,12 @@ def save_weights(model_path: str, params, batch_stats=None) -> str:
     if batch_stats:
         blobs.update(_flatten(jax.device_get(batch_stats), "batch_stats"))
     path = os.path.join(model_path, WEIGHTS_NAME)
-    np.savez(path, **blobs)
+    # write-then-rename so a crash mid-write (the async writer is a daemon
+    # thread) can never leave a truncated model.npz behind. The temp name
+    # keeps the .npz suffix (np.savez appends it otherwise).
+    tmp = os.path.join(model_path, ".tmp." + WEIGHTS_NAME)
+    np.savez(tmp, **blobs)
+    os.replace(tmp, path)
     return path
 
 
@@ -169,6 +174,11 @@ class AsyncCheckpointWriter:
             except Exception as e:  # pragma: no cover - IO failures
                 logging.error("async checkpoint write failed: %s", e)
             finally:
+                # drop the references before parking: args holds a full
+                # on-device state snapshot, and an idle thread per fold
+                # would otherwise pin dead trainers' HBM for the process
+                # lifetime
+                fn = args = None
                 with self._lock:
                     self._busy = False
                     self._wake.notify_all()

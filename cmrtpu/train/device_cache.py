@@ -269,14 +269,10 @@ class DeviceCachedLoop:
             t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
             self._augment, masks=self._masks)
 
-    def _epoch_indices(self, n: int, shuffle: bool,
-                       batch: Optional[int] = None) -> np.ndarray:
-        batch = batch or self.batch
-        if batch <= 0:
-            return np.zeros((0, 0), np.int64)
+    def _epoch_indices(self, n: int, shuffle: bool) -> np.ndarray:
         idxs = self.rng.permutation(n) if shuffle else np.arange(n)
-        n_batches = n // batch
-        return idxs[:n_batches * batch].reshape(n_batches, batch)
+        n_batches = n // self.batch
+        return idxs[:n_batches * self.batch].reshape(n_batches, self.batch)
 
     def run_train_epoch(self) -> Dict[str, float]:
         t = self.trainer

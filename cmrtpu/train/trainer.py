@@ -144,27 +144,40 @@ class Trainer:
         self.stop_training = False
         for cb in callbacks:
             cb.on_train_begin(self)
-        for epoch in range(initial_epoch, epochs):
-            t0 = time.time()
-            for cb in callbacks:
-                cb.on_epoch_begin(self, epoch)
-            logs = self._run_epoch(train_data, training=True)
-            if val_data is not None:
-                val_logs = self._run_epoch(val_data, training=False)
-                logs.update({f"val_{k}": v for k, v in val_logs.items()})
-            logs["epoch_time"] = time.time() - t0
-            self.history.append(logs)
-            for cb in callbacks:
-                cb.on_epoch_end(self, epoch, logs)
-            if hasattr(train_data, "on_epoch_end"):
-                train_data.on_epoch_end()
-            logging.info("epoch %d/%d %s", epoch + 1, epochs,
-                         " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())))
-            if self.stop_training:
-                break
-        for cb in callbacks:
-            cb.on_train_end(self)
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
+                for cb in callbacks:
+                    cb.on_epoch_begin(self, epoch)
+                logs = self._run_epoch(train_data, training=True)
+                if val_data is not None:
+                    val_logs = self._run_epoch(val_data, training=False)
+                    logs.update({f"val_{k}": v for k, v in val_logs.items()})
+                logs["epoch_time"] = time.time() - t0
+                self.history.append(logs)
+                for cb in callbacks:
+                    cb.on_epoch_end(self, epoch, logs)
+                if hasattr(train_data, "on_epoch_end"):
+                    train_data.on_epoch_end()
+                logging.info("epoch %d/%d %s", epoch + 1, epochs,
+                             " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())))
+                if self.stop_training:
+                    break
+        finally:
+            # runs on KeyboardInterrupt/NaN-raise too: the async checkpoint
+            # writer must flush before the process dies or the best (or
+            # fallback) checkpoint is lost with it
+            self._end_callbacks(callbacks)
         return self.history
+
+    def _end_callbacks(self, callbacks) -> None:
+        """on_train_end for every callback; never masks an in-flight
+        exception from the epoch loop."""
+        for cb in callbacks:
+            try:
+                cb.on_train_end(self)
+            except Exception as e:
+                logging.error("on_train_end callback failed: %s", e)
 
     def fit_cached(self, train_gen, val_gen=None, epochs: Optional[int] = None,
                    callbacks: Optional[List[Callback]] = None,
@@ -188,24 +201,25 @@ class Trainer:
         self.stop_training = False
         for cb in callbacks:
             cb.on_train_begin(self)
-        for epoch in range(initial_epoch, epochs):
-            t0 = time.time()
-            for cb in callbacks:
-                cb.on_epoch_begin(self, epoch)
-            logs = loop.run_train_epoch()
-            if loop.val:
-                logs.update({f"val_{k}": v
-                             for k, v in loop.run_eval_epoch().items()})
-            logs["epoch_time"] = time.time() - t0
-            self.history.append(logs)
-            for cb in callbacks:
-                cb.on_epoch_end(self, epoch, logs)
-            logging.info("epoch %d/%d %s", epoch + 1, epochs,
-                         " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())))
-            if self.stop_training:
-                break
-        for cb in callbacks:
-            cb.on_train_end(self)
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
+                for cb in callbacks:
+                    cb.on_epoch_begin(self, epoch)
+                logs = loop.run_train_epoch()
+                if loop.val:
+                    logs.update({f"val_{k}": v
+                                 for k, v in loop.run_eval_epoch().items()})
+                logs["epoch_time"] = time.time() - t0
+                self.history.append(logs)
+                for cb in callbacks:
+                    cb.on_epoch_end(self, epoch, logs)
+                logging.info("epoch %d/%d %s", epoch + 1, epochs,
+                             " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())))
+                if self.stop_training:
+                    break
+        finally:
+            self._end_callbacks(callbacks)
         return self.history
 
     def predict(self, x: np.ndarray) -> np.ndarray:

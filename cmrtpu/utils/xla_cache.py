@@ -20,33 +20,36 @@ import os
 from typing import Dict, Optional
 
 _DEFAULT_DIR = os.path.join("~", ".cache", "cmrtpu", "xla")
-_enabled_dir: Optional[str] = None
 
 
 def ensure_compilation_cache(config: Optional[Dict] = None) -> Optional[str]:
     """Idempotently point jax at a persistent compilation-cache directory.
 
-    Returns the active cache dir, or None when disabled (explicitly, or
-    because jax refused the setting)."""
-    global _enabled_dir
+    Returns the active cache dir, or None when disabled (explicitly via
+    ``COMPILATION_CACHE_DIR: ''``, or because jax refused the setting).
+    Reads/writes the live jax config rather than a module flag, so an
+    explicit disable really unsets a cache an earlier Trainer enabled."""
     from cmrtpu import config as C
 
     raw = C.get(config or {}, "COMPILATION_CACHE_DIR", _DEFAULT_DIR)
-    if not raw:  # '' / None / False -> disabled
-        return None
-    path = os.path.abspath(os.path.expanduser(str(raw)))
-    if _enabled_dir == path:
-        return _enabled_dir
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+
+        current = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if not raw:  # '' / None / False -> disabled, even if enabled earlier
+            if current:
+                jax.config.update("jax_compilation_cache_dir", None)
+            return None
+        path = os.path.abspath(os.path.expanduser(str(raw)))
+        if current == path:
+            return path
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache anything that took >1s to compile (the fused steps take
         # tens of seconds to minutes; trivial programs stay uncached)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        _enabled_dir = path
         logging.debug("persistent XLA compilation cache at %s", path)
+        return path
     except Exception as e:  # pragma: no cover - jax without the knob
         logging.debug("compilation cache unavailable: %s", e)
         return None
-    return _enabled_dir

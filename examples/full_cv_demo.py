@@ -149,8 +149,15 @@ def main():
     parser.add_argument("--epochs", type=int, default=150)
     parser.add_argument("--dim", type=int, default=224)
     parser.add_argument("--folds", type=int, nargs="*", default=[0, 1, 2, 3])
+    parser.add_argument("--batch", type=int, default=0,
+                        help="0 = auto: min(128, one fold's train slices)")
     parser.add_argument("--skip-generate", action="store_true")
     args = parser.parse_args()
+
+    # a fold trains on ~3/4 of the patients x 2 phases x 8 slices; the batch
+    # must not exceed that or the cached loop has zero batches per epoch
+    n_train_slices = max(1, (args.patients * 3 // 4)) * 2 * 8
+    batch = args.batch or min(128, n_train_slices)
 
     if not args.skip_generate:
         hw = max(64, int(args.dim * 200 / 224))
@@ -164,7 +171,7 @@ def main():
 
     config = {
         "EXPERIMENT": "full_cv", "EXPERIMENTS_ROOT": os.path.join(args.root, "exp/"),
-        "SEED": 42, "EPOCHS": args.epochs, "BATCHSIZE": 128,
+        "SEED": 42, "EPOCHS": args.epochs, "BATCHSIZE": batch,
         "FOLDS": args.folds,
         "DIM": [args.dim, args.dim], "SPACING": [1.2, 1.2], "RESAMPLE": True,
         "DEPTH": 4, "FILTERS": 32, "M_POOL": [2, 2], "F_SIZE": [3, 3],
@@ -197,9 +204,10 @@ def main():
             print(f"  {c:28s} {vals.mean():8.3f} +- {vals.std():.3f}")
     out = os.path.join(exp_path, "df_eval.csv")
     print(f"\nfull table: {out}")
-    summary = {"rows": int(df.shape[0]), "columns": int(df.shape[1]),
-               "mdists_ant_gtpred_mm": float(df["mdists_ant_gtpred"].astype(float).mean()),
-               "mdists_inf_gtpred_mm": float(df["mdists_inf_gtpred"].astype(float).mean())}
+    summary = {"rows": int(df.shape[0]), "columns": int(df.shape[1])}
+    for c in ("mdists_ant_gtpred", "mdists_inf_gtpred"):
+        if c in df:  # absent when every fold's chained prediction failed
+            summary[f"{c}_mm"] = float(df[c].astype(float).mean())
     with open(os.path.join(exp_path, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
 

@@ -352,16 +352,41 @@ def test_model_checkpoint_fallback_when_monitor_never_appears(tmp_path):
     assert params  # fallback checkpoint written despite missing monitor
 
 
-def test_persistent_compilation_cache_configured(tmp_path, monkeypatch):
+def test_persistent_compilation_cache_configured(tmp_path):
     """Trainer enables the persistent XLA compilation cache (every CV fold
-    recompiles identical programs otherwise); '' disables it."""
+    recompiles identical programs otherwise); '' disables it for real even
+    after an earlier enable."""
     import cmrtpu.utils.xla_cache as XC
 
-    monkeypatch.setattr(XC, "_enabled_dir", None)
-    cache_dir = str(tmp_path / "xla")
-    Trainer(dict(CFG, COMPILATION_CACHE_DIR=cache_dir))
-    assert jax.config.jax_compilation_cache_dir == os.path.abspath(cache_dir)
-    assert os.path.isdir(cache_dir)
+    previous = getattr(jax.config, "jax_compilation_cache_dir", None)
+    try:
+        cache_dir = str(tmp_path / "xla")
+        Trainer(dict(CFG, COMPILATION_CACHE_DIR=cache_dir))
+        assert jax.config.jax_compilation_cache_dir == os.path.abspath(cache_dir)
+        assert os.path.isdir(cache_dir)
 
-    monkeypatch.setattr(XC, "_enabled_dir", None)
-    assert XC.ensure_compilation_cache({"COMPILATION_CACHE_DIR": ""}) is None
+        # explicit disable must unset the live jax config, not just no-op
+        assert XC.ensure_compilation_cache({"COMPILATION_CACHE_DIR": ""}) is None
+        assert not jax.config.jax_compilation_cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", previous)
+
+
+def test_checkpoint_flushed_when_training_crashes(tmp_path):
+    """A mid-training exception must not lose the pending async checkpoint:
+    on_train_end (and so the writer flush) runs from the finally path."""
+    from cmrtpu.train.callbacks import Callback, ModelCheckpoint
+    from cmrtpu.train.checkpoint import load_weights
+
+    class Boom(Callback):
+        def on_epoch_end(self, trainer, epoch, logs):
+            if epoch == 1:
+                raise RuntimeError("nan guard tripped")
+
+    trainer = Trainer(CFG)
+    cb = ModelCheckpoint(str(tmp_path), monitor="loss", save_full_state=False)
+    with pytest.raises(RuntimeError, match="nan guard"):
+        # ModelCheckpoint first so its save is pending when Boom raises
+        trainer.fit(SyntheticBatches(), epochs=5, callbacks=[cb, Boom()])
+    params, _ = load_weights(str(tmp_path))
+    assert params  # epoch-0/1 best checkpoint survived the crash
