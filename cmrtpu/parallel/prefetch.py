@@ -38,16 +38,27 @@ def prefetch_to_device(data: Iterable, mesh: Optional[Mesh],
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err: list = []
+    stop = threading.Event()
 
     def producer():
         try:
             for batch in data:
+                if stop.is_set():  # consumer left mid-epoch (early stop,
+                    return         # exception): don't preprocess the rest
                 out = shard_batch(batch, mesh) if mesh is not None else batch
-                q.put(out)
+                while not stop.is_set():
+                    try:
+                        q.put(out, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # noqa: BLE001 - propagate to consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            try:
+                q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass  # consumer is gone and will not read it anyway
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -60,7 +71,8 @@ def prefetch_to_device(data: Iterable, mesh: Optional[Mesh],
         if err:
             raise err[0]
     finally:
-        # drain so the producer can exit if the consumer stops early
+        # unblock + stop the producer if the consumer stops early
+        stop.set()
         while thread.is_alive():
             try:
                 q.get_nowait()

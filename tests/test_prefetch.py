@@ -48,3 +48,24 @@ def test_prefetch_early_consumer_exit():
     gen = prefetch_to_device(_batches(100, delay=0.001), mesh, depth=2)
     next(gen)
     gen.close()  # no deadlock / leaked thread blocking exit
+
+
+def test_early_consumer_exit_stops_producer():
+    """Abandoning the iterator mid-epoch (early stopping, an exception) must
+    stop the producer instead of preprocessing the rest of the epoch into a
+    drained queue."""
+    import time
+    from cmrtpu.parallel.prefetch import prefetch_to_device
+
+    produced = []
+
+    def slow_batches():
+        for i in range(50):
+            produced.append(i)
+            yield (i,)
+
+    it = prefetch_to_device(slow_batches(), mesh=None, depth=2)
+    next(it)
+    it.close()  # generator finaliser runs the cleanup path
+    time.sleep(0.3)
+    assert len(produced) < 10, f"producer ran on: {len(produced)} batches"
