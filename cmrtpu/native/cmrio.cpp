@@ -56,8 +56,12 @@ int64_t cmr_inflate(const uint8_t* src, int64_t src_len,
       break;
     }
     if (rc == Z_BUF_ERROR || zs.avail_out == 0) {
+      // Z_BUF_ERROR with output space remaining means no progress was
+      // possible on the INPUT side: a truncated/corrupt stream, not a
+      // too-small buffer — growing and retrying would never converge.
+      int64_t verdict = (rc == Z_BUF_ERROR && zs.avail_out > 0) ? -1 : -2;
       inflateEnd(&zs);
-      return -2;  // grow dst
+      return verdict;
     }
     if (rc != Z_OK) {
       inflateEnd(&zs);

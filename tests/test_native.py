@@ -141,3 +141,19 @@ def test_multimember_boundary_exactly_at_capacity():
     # size_hint pins cap to exactly len(first): the first member ends with
     # avail_out == 0 and input remaining
     assert cmrio.inflate(blob, size_hint=len(first)) == first + second
+
+
+def test_truncated_gzip_fails_fast_not_grow_loop():
+    """A truncated gzip stream must raise promptly (input starvation), not
+    spin the grow-and-retry loop reserved for too-small output buffers."""
+    import gzip
+    import zlib
+
+    import pytest
+
+    from cmrtpu.native import cmrio
+
+    blob = gzip.compress(b"x" * 100000)
+    truncated = blob[:len(blob) // 2]
+    with pytest.raises((zlib.error, EOFError)):
+        cmrio.inflate(truncated)
