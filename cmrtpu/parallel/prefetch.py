@@ -55,10 +55,15 @@ def prefetch_to_device(data: Iterable, mesh: Optional[Mesh],
         except BaseException as e:  # noqa: BLE001 - propagate to consumer
             err.append(e)
         finally:
-            try:
-                q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass  # consumer is gone and will not read it anyway
+            # the sentinel MUST reach a live consumer (a lost sentinel
+            # deadlocks its q.get()); only a stopped consumer may drop it
+            while True:
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()

@@ -69,3 +69,20 @@ def test_early_consumer_exit_stops_producer():
     it.close()  # generator finaliser runs the cleanup path
     time.sleep(0.3)
     assert len(produced) < 10, f"producer ran on: {len(produced)} batches"
+
+
+def test_sentinel_delivered_when_queue_full():
+    """Producer finishing with a FULL queue must still deliver the sentinel —
+    a dropped sentinel deadlocks the consumer's blocking get (regression:
+    the early-exit stop flag briefly made the final put non-blocking)."""
+    import time
+    from cmrtpu.parallel.prefetch import prefetch_to_device
+
+    # 5 instant batches against depth=2: the producer finishes while the
+    # queue is full if the consumer is slower
+    out = []
+    for item in prefetch_to_device(iter([(i,) for i in range(5)]),
+                                   mesh=None, depth=2):
+        time.sleep(0.05)
+        out.append(item[0])
+    assert out == [0, 1, 2, 3, 4]
