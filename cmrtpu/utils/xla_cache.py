@@ -9,8 +9,15 @@ instead. Keyed by content hash (program + flags + backend), so it is safe to
 share across configs; irrelevant entries are simply never hit.
 
 Knobs (flat config keys, reference-style): ``COMPILATION_CACHE_DIR`` overrides
-the location, empty string / ``False`` disables. Default:
-``~/.cache/cmrtpu/xla``.
+the location, empty string / ``False`` disables; the environment variable
+``CMRTPU_COMPILATION_CACHE_DIR`` overrides both (set it to '' to disable
+without touching configs). Default: ``~/.cache/cmrtpu/xla``.
+
+Known cosmetic quirk: XLA:CPU AOT entries record tuning hints
+(``prefer-no-gather``/``-scatter``) as machine features; on reload the AOT
+loader logs an E-line feature-mismatch warning even on the same machine.
+Execution is unaffected (jax keys cache entries by platform + compiler
+version); the warning is upstream noise, not corruption.
 """
 
 from __future__ import annotations
@@ -31,7 +38,10 @@ def ensure_compilation_cache(config: Optional[Dict] = None) -> Optional[str]:
     explicit disable really unsets a cache an earlier Trainer enabled."""
     from cmrtpu import config as C
 
-    raw = C.get(config or {}, "COMPILATION_CACHE_DIR", _DEFAULT_DIR)
+    env = os.environ.get("CMRTPU_COMPILATION_CACHE_DIR")
+    raw = env if env is not None else C.get(config or {},
+                                            "COMPILATION_CACHE_DIR",
+                                            _DEFAULT_DIR)
     try:
         import jax
 
