@@ -41,12 +41,12 @@ def export_model(config: Dict, model_path: str, out_dir: str,
     import jax
     from jax import export as jex
 
-    from cmrtpu.models.unet import build_model
+    from cmrtpu.models.hybrids import get_model
     from cmrtpu.train.checkpoint import load_weights_for_model
     from cmrtpu.utils.io_utils import ensure_dir
 
     cfg = C.normalise_config(config)
-    model = build_model(cfg)
+    model = get_model(cfg)  # honors MODEL_VARIANT (hybrids export too)
     params, batch_stats = load_weights_for_model(model_path, cfg, model)
 
     dim = tuple(C.get(cfg, "DIM"))

@@ -26,7 +26,7 @@ import pandas as pd
 from cmrtpu import config as C
 from cmrtpu.data.dataset import get_trainings_files
 from cmrtpu.io import MedicalImage, read_image, write_image
-from cmrtpu.models.unet import build_model
+from cmrtpu.models.hybrids import get_model
 from cmrtpu.ops import resample as R
 from cmrtpu.ops.connected_components import clean_prediction_2d_cc
 from cmrtpu.pipeline.generator import DataGenerator
@@ -44,7 +44,10 @@ class Predictor:
         self.config = C.normalise_config(config)
         from cmrtpu.utils.xla_cache import ensure_compilation_cache
         ensure_compilation_cache(self.config)
-        self.model = build_model(self.config)
+        # get_model honors MODEL_VARIANT so hybrid-trained folds
+        # restore correctly (the reference's predict path only ever
+        # rebuilds the plain U-Net, ref: predict_model.py:75)
+        self.model = get_model(self.config)
         model_path = model_path or C.get(self.config, "MODEL_PATH")
         self.params, self.batch_stats = load_weights_for_model(
             model_path, self.config, self.model)

@@ -189,3 +189,26 @@ def test_model_summary_works_for_hybrids():
     summary = model_summary(model, variables)
     assert "Avg2D3D" in summary
     assert "Trainable params" in summary
+
+
+def test_hybrid_restores_through_predictor(tmp_path):
+    """A fold trained with MODEL_VARIANT must restore for inference: the
+    Predictor rebuilds via get_model (the reference's predict path only ever
+    rebuilt the plain U-Net, so hybrid folds could not be predicted)."""
+    import numpy as np
+    from cmrtpu.predict.predictor import Predictor
+    from cmrtpu.train import checkpoint as ckpt
+    from cmrtpu.train.trainer import Trainer
+
+    cfg = {"DIM": [4, 16, 16], "DEPTH": 1, "FILTERS": 2, "MASK_CLASSES": 2,
+           "M_POOL": [1, 2, 2], "F_SIZE": [3, 3, 3], "IMG_CHANNELS": 1,
+           "BATCHSIZE": 2, "LEARNING_RATE": 1e-3, "MIXED_PRECISION": False,
+           "SEED": 0, "MODEL_VARIANT": "wrapper"}
+    trainer = Trainer(cfg)
+    model_dir = str(tmp_path / "model")
+    ckpt.save_weights(model_dir, trainer.state.params, trainer.state.batch_stats)
+
+    predictor = Predictor(dict(cfg, MODEL_PATH=model_dir))
+    x = np.random.default_rng(0).normal(size=(2, 4, 16, 16, 1)).astype(np.float32)
+    preds = predictor.predict(x)
+    np.testing.assert_allclose(preds, np.asarray(trainer.predict(x)), atol=1e-5)
