@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cmrtpu import config as C
-from cmrtpu.models.unet import build_model
+from cmrtpu.models.hybrids import get_model
 from cmrtpu.train.checkpoint import load_weights_for_model
 
 
@@ -38,7 +38,7 @@ class EnsemblePredictor:
     def __init__(self, config: Dict, weight_dirs: Sequence[str]):
         assert weight_dirs, "no fold checkpoints given"
         self.config = C.normalise_config(config)
-        self.model = build_model(self.config)
+        self.model = get_model(self.config)  # honors MODEL_VARIANT
         members = [load_weights_for_model(d, self.config, self.model)
                    for d in weight_dirs]
         self.n_members = len(members)
