@@ -65,16 +65,19 @@ def export_model(config: Dict, model_path: str, out_dir: str,
         # multi-platform lowering: one artifact serves on CPU and TPU
         exported = jex.export(jax.jit(forward),
                               platforms=("cpu", "tpu"))(*args)
-    except Exception:  # older jax.export without the kwarg, or a platform
-        exported = jex.export(jax.jit(forward))(*args)  # this one only
+    except TypeError:  # older jax.export without the platforms kwarg ONLY —
+        # a real lowering failure must surface here, not at serve time
+        exported = jex.export(jax.jit(forward))(*args)
+        import logging
+        logging.warning("multi-platform export unavailable; artifact serves "
+                        "on %s only", exported.platforms)
 
     ensure_dir(out_dir)
     with open(os.path.join(out_dir, ARTIFACT), "wb") as fh:
         fh.write(exported.serialize())
     # weights ride separately so a retrained checkpoint can be dropped in
     from cmrtpu.train.checkpoint import save_weights
-    save_weights(out_dir, params, batch_stats)
-    os.replace(os.path.join(out_dir, "model.npz"),
+    os.replace(save_weights(out_dir, params, batch_stats),
                os.path.join(out_dir, WEIGHTS))
     with open(os.path.join(out_dir, META), "w") as fh:
         json.dump({"x_shape": list(x_shape), "dim": list(dim),

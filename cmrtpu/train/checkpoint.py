@@ -38,11 +38,22 @@ def save_weights(model_path: str, params, batch_stats=None) -> str:
         blobs.update(_flatten(jax.device_get(batch_stats), "batch_stats"))
     path = os.path.join(model_path, WEIGHTS_NAME)
     # write-then-rename so a crash mid-write (the async writer is a daemon
-    # thread) can never leave a truncated model.npz behind. The temp name
-    # keeps the .npz suffix (np.savez appends it otherwise).
-    tmp = os.path.join(model_path, ".tmp." + WEIGHTS_NAME)
-    np.savez(tmp, **blobs)
-    os.replace(tmp, path)
+    # thread) can never leave a truncated model.npz behind. The temp name is
+    # unique per call: two writers targeting the same model_path (e.g.
+    # ModelCheckpoint + WeightsSaver) must not truncate each other's
+    # in-flight temp file, or the rename publishes a half-written blob.
+    import tempfile
+    fd, tmp = tempfile.mkstemp(prefix=".tmp.", suffix=".npz", dir=model_path)
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **blobs)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return path
 
 

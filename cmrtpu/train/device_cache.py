@@ -235,7 +235,9 @@ class DeviceCachedLoop:
         self.trainer = trainer
         cfg = trainer.config
         mesh = trainer.mesh
-        self.batch = C.get(cfg, "BATCHSIZE", 32)
+        self.batch = int(C.get(cfg, "BATCHSIZE", 32) or 0)
+        if self.batch <= 0:
+            raise ValueError(f"BATCHSIZE must be positive, got {self.batch}")
         self.rng = np.random.default_rng(C.get(cfg, "SEED", 42))
 
         self.x_train, self.y_train = upload_cache(train_gen._cache_x,

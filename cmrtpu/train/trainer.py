@@ -171,13 +171,23 @@ class Trainer:
         return self.history
 
     def _end_callbacks(self, callbacks) -> None:
-        """on_train_end for every callback; never masks an in-flight
-        exception from the epoch loop."""
+        """on_train_end for every callback. With an epoch-loop exception in
+        flight, callback errors are logged (never mask the original); on the
+        clean path a failing on_train_end (e.g. the final checkpoint write)
+        must fail the fold loudly — downstream consumers read that file."""
+        import sys
+
+        in_flight = sys.exc_info()[0] is not None
+        first_error = None
         for cb in callbacks:
             try:
                 cb.on_train_end(self)
             except Exception as e:
                 logging.error("on_train_end callback failed: %s", e)
+                if first_error is None:
+                    first_error = e
+        if first_error is not None and not in_flight:
+            raise first_error
 
     def fit_cached(self, train_gen, val_gen=None, epochs: Optional[int] = None,
                    callbacks: Optional[List[Callback]] = None,

@@ -11,13 +11,15 @@ share across configs; irrelevant entries are simply never hit.
 Knobs (flat config keys, reference-style): ``COMPILATION_CACHE_DIR`` overrides
 the location, empty string / ``False`` disables; the environment variable
 ``CMRTPU_COMPILATION_CACHE_DIR`` overrides both (set it to '' to disable
-without touching configs). Default: ``~/.cache/cmrtpu/xla``.
+without touching configs). Default: an environment-scoped
+``~/.cache/cmrtpu/xla-<platform>-<hash>`` (see ``_default_dir``).
 
-Known cosmetic quirk: XLA:CPU AOT entries record tuning hints
-(``prefer-no-gather``/``-scatter``) as machine features; on reload the AOT
-loader logs an E-line feature-mismatch warning even on the same machine.
-Execution is unaffected (jax keys cache entries by platform + compiler
-version); the warning is upstream noise, not corruption.
+Why the default is environment-scoped rather than one shared directory:
+XLA:CPU AOT entries stamp the compile machine's features (including tuning
+pseudo-features like ``prefer-no-gather``); loading entries produced under a
+DIFFERENT XLA_FLAGS environment trips the loader's feature-mismatch path —
+observed outcomes ranged from E-line warnings to a silent execution hang.
+Homogeneous directories (same platform, jax version, flags) reload cleanly.
 """
 
 from __future__ import annotations
@@ -26,7 +28,29 @@ import logging
 import os
 from typing import Dict, Optional
 
-_DEFAULT_DIR = os.path.join("~", ".cache", "cmrtpu", "xla")
+def _default_dir() -> str:
+    """Environment-scoped default location.
+
+    One flat directory shared by every flag combination proved unsafe in
+    practice: XLA:CPU AOT entries compiled under one XLA_FLAGS set (e.g.
+    full optimization) were served to processes running under another
+    (tests pin --xla_backend_optimization_level=0), tripping the loader's
+    machine-feature mismatch — observed outcomes ranged from E-line warnings
+    to a silent execution hang. Scoping the directory by platform + jax
+    version + an XLA_FLAGS hash guarantees only like-for-like entries share
+    a cache."""
+    import hashlib
+
+    import jax
+
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = "unknown"
+    tag = hashlib.sha256(
+        f"{jax.__version__}|{platform}|{os.environ.get('XLA_FLAGS', '')}"
+        .encode()).hexdigest()[:12]
+    return os.path.join("~", ".cache", "cmrtpu", f"xla-{platform}-{tag}")
 
 
 def ensure_compilation_cache(config: Optional[Dict] = None) -> Optional[str]:
@@ -39,9 +63,12 @@ def ensure_compilation_cache(config: Optional[Dict] = None) -> Optional[str]:
     from cmrtpu import config as C
 
     env = os.environ.get("CMRTPU_COMPILATION_CACHE_DIR")
-    raw = env if env is not None else C.get(config or {},
-                                            "COMPILATION_CACHE_DIR",
-                                            _DEFAULT_DIR)
+    if env is not None:
+        raw = env
+    else:
+        raw = C.get(config or {}, "COMPILATION_CACHE_DIR", "__default__")
+        if raw == "__default__":
+            raw = _default_dir()
     try:
         import jax
 
