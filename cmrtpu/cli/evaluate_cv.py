@@ -13,7 +13,9 @@ def main():
     print(f"given parameters: {args}")
 
     from cmrtpu.eval.evaluate import evaluate_cv
-    evaluate_cv(args.exp, args.data)
+    df = evaluate_cv(args.exp, args.data)
+    print(f"evaluation done for {args.exp}: {len(df)} patient-phase rows "
+          "-> df_eval.csv")
 
 
 if __name__ == "__main__":

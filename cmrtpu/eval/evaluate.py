@@ -11,6 +11,7 @@ experiment root so the reference's analysis notebooks consume it unchanged.
 from __future__ import annotations
 
 import glob
+import logging
 import os
 from typing import Optional
 
@@ -38,6 +39,64 @@ def _align_by_patient_phase(files, patients, phases):
         for rank, (_, f) in enumerate(sorted(frame_files)[:2]):
             lookup[(patient, "ED" if rank == 0 else "ES")] = f
     return [lookup.get(key) for key in zip(patients, phases)]
+
+
+def _head_suffixes(pred_files):
+    """Discover extra multi-head output families next to the *_msk.nrrd
+    predictions: any sibling ``<patient>_<phase>_<suffix>.nrrd`` whose suffix
+    is not the landmark mask or the cmr image (rebuild extension — the
+    reference writes msk/cmr only, ref: predict_model.py:184-186; HEADS
+    configs additionally write one file family per extra head)."""
+    suffixes = set()
+    for f in pred_files:
+        base = os.path.basename(f)
+        if not base.endswith("_msk.nrrd"):
+            continue
+        stem = base[: -len("_msk.nrrd")]
+        for g in glob.glob(os.path.join(os.path.dirname(f), stem + "_*.nrrd")):
+            suffix = os.path.basename(g)[len(stem) + 1: -len(".nrrd")]
+            if suffix not in ("msk", "cmr"):
+                suffixes.add(suffix)
+    return sorted(suffixes)
+
+
+def _sibling_file(path: str, suffix: str):
+    cand = path.replace("_msk.nrrd", f"_{suffix}.nrrd")
+    return cand if cand != path and os.path.isfile(cand) else None
+
+
+# ACDC ventricle label semantics (ref: src/data/Dataset.py Info.cfg handling;
+# labels 1/2/3 = RV cavity / myocardium / LV cavity)
+_ACDC_STRUCTURES = {1: "rv", 2: "myo", 3: "lv"}
+
+
+def _append_seg_dice_columns(df_eval: pd.DataFrame, suffix: str) -> None:
+    """Per-structure hard dice between a seg head's pred and gt label masks,
+    one column per foreground label (named rv/myo/lv for the 3-label ACDC
+    case, l<k> otherwise). Missing files yield NaN rows, never missing
+    columns."""
+    from cmrtpu.train.losses import dice_numpy
+
+    pred_col = [_sibling_file(f, suffix) for f in df_eval["files_pred"]]
+    gt_col = [_sibling_file(f, suffix) for f in df_eval["files_gt"]]
+    df_eval[f"files_{suffix}_pred"] = pred_col
+    df_eval[f"files_{suffix}_gt"] = gt_col
+
+    arrays = {}
+    labels = set()
+    for pf, gf in zip(pred_col, gt_col):
+        if pf and gf:
+            arrays[(pf, gf)] = (read_image(pf).array, read_image(gf).array)
+            labels |= set(np.unique(arrays[(pf, gf)][1]).astype(int)) - {0}
+    labels = sorted(labels)
+    names = {l: _ACDC_STRUCTURES[l] for l in labels} \
+        if set(labels) <= set(_ACDC_STRUCTURES) else {l: f"l{l}" for l in labels}
+    for label in labels:
+        df_eval[f"{suffix}_dice_{names[label]}"] = [
+            dice_numpy(arrays[(pf, gf)][1] == label,
+                       arrays[(pf, gf)][0] == label)
+            if (pf, gf) in arrays else np.nan
+            for pf, gf in zip(pred_col, gt_col)]
 
 
 # filename sorting rules (ref: evaluate_cv.py:222-225)
@@ -71,15 +130,13 @@ def evaluate_cv(exp_path: str, data_path: str,
                           key=sorting_lambda)
         cmr_files = sorted(glob.glob(os.path.join(path_to_exp, "*/pred/*cmr.nrrd")),
                            key=sorting_lambda)
-    print("io files: ", len(io_files))
-    print("pred fies: ", len(pred_files))
-    print("gt files: ", len(gt_files))
-    print("cmr files: ", len(cmr_files))
+    logging.info("source files: %d pred / %d gt / %d cmr / %d inter-observer",
+                 len(pred_files), len(gt_files), len(cmr_files), len(io_files))
 
     orig_msk_files = sorted(glob.glob(os.path.join(data_root, "original",
                                                    "*/*frame*gt.nii.gz")),
                             key=sorting_lambda_frame)
-    print("original msk files: ", len(orig_msk_files))
+    logging.info("original ventricle-mask files: %d", len(orig_msk_files))
 
     if not pred_files:
         raise FileNotFoundError(
@@ -256,9 +313,13 @@ def evaluate_cv(exp_path: str, data_path: str,
     df_eval["mdists_inf_gtpred_slice_wise_single_also_up"] = \
         df_eval["dists_inf_gtpred_single_also_up"].map(LM.get_mean_dist)
 
+    # --- multi-head segmentation heads: per-structure dice --------------
+    for suffix in _head_suffixes(pred_files):
+        _append_seg_dice_columns(df_eval, suffix)
+
     out_csv = out_csv or os.path.join(path_to_exp, "df_eval.csv")
     df_eval.to_csv(out_csv, index=False)
-    print("evaluation done for {}".format({glob_exp}))
+    logging.info("evaluation written for %s -> %s", glob_exp, out_csv)
     return df_eval
 
 
@@ -300,8 +361,17 @@ def evaluate_cv_save(exp_path: str, data_path: str) -> pd.DataFrame:
         if len(f) == len(gt_files):
             sources.append((f, ismsk, sfx))
         else:
-            print(f"skip source '{sfx}': {len(f)} files != "
-                  f"{len(gt_files)} gt files")
+            logging.warning("skip source '%s': %d files != %d gt files "
+                            "(would mis-pair positionally)",
+                            sfx, len(f), len(gt_files))
+    if not sources:
+        # without this, pd.concat([]) raises a confusing ValueError far from
+        # the cause — usually an empty/odd gt dir next to a populated pred dir
+        raise FileNotFoundError(
+            f"every source was skipped: pred/gt file counts differ "
+            f"({len(pred_files)} pred vs {len(gt_files)} gt under {glob_exp}) "
+            "— check the experiment layout, or use evaluate_cv (which joins "
+            "by patient+phase instead of positionally)")
 
     df_angles = pd.concat(
         [get_angles_as_df(gt_files, f, f2ismsk=ismsk, suffix=sfx, meanips=True)
@@ -326,5 +396,5 @@ def evaluate_cv_save(exp_path: str, data_path: str) -> pd.DataFrame:
         df_eval["pathology"] = None
     df_eval = df_eval.loc[:, ~df_eval.columns.duplicated()]
     df_eval.to_csv(os.path.join(exp_path, "df_eval.csv"), index=False)
-    print("evaluation done for {}".format({glob_exp}))
+    logging.info("evaluation written for %s", glob_exp)
     return df_eval

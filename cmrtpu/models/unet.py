@@ -181,9 +181,15 @@ class ConvEncoder(nn.Module):
 class ConvDecoder(nn.Module):
     """Standalone reusable decoder: depth x UpBlock consuming an encoder's
     (encoding, skips) (ref: ConvDecoder, src/models/KerasLayers.py:348-430).
-    No head — append a 1x1 conv + activation for a complete model."""
+    No head — append a 1x1 conv + activation for a complete model.
+
+    Reference semantics: ``filters`` is the STARTING (largest) filter count,
+    halved after every up-block, and ``dropouts[layer]`` applies in forward
+    order — dropouts[0] at the deepest up-block (ref: KerasLayers.py:384-398).
+    For a decoder symmetric to a ``ConvEncoder(filters=f, depth=d)``, pass
+    ``filters = f * 2**(d-1)``."""
     depth: int = 4
-    filters: int = 32
+    filters: int = 256
     f_size: Tuple[int, ...] = (3, 3)
     up_size: Tuple[int, ...] = (2, 2)
     dropouts: Tuple[float, ...] = (0.3, 0.4, 0.4, 0.5)
@@ -201,10 +207,10 @@ class ConvDecoder(nn.Module):
                   pad=self.pad, dtype=self.dtype)
         x = encoding
         skips = list(skips)
-        dropouts = list(self.dropouts)
-        filters = self.filters * (2 ** (self.depth - 1))
-        for _ in range(self.depth):
-            x = UpBlock(filters, up_size=self.up_size, drop=dropouts.pop(),
+        filters = self.filters
+        for layer in range(self.depth):
+            x = UpBlock(filters, up_size=self.up_size,
+                        drop=self.dropouts[layer],
                         use_upsample=self.use_upsample, **kw)(
                 x, skips.pop(), train)
             filters //= 2

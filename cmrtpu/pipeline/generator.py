@@ -78,14 +78,37 @@ def finalize_batch(imgs, msks, config: Dict, masks: bool = True):
     """The fused tail of the stochastic stage: per-example re-normalise,
     label->binary channels, optional Gaussian heatmap targets
     (ref: __preprocess_one_image__, src/data/Generators.py:371-395).
-    Un-jitted for composition into larger programs."""
+    Un-jitted for composition into larger programs.
+
+    Multi-head configs (HEADS, BASELINE config 4 — a rebuild extension, the
+    reference is single-head only): ``msks`` carries one label map per head
+    stacked on axis 1 ([B, n_heads, *spatial]); per head, sigmoid heads get
+    binary channels for labels 1..C (+ optional Gaussian heatmaps), softmax
+    heads get a one-hot of labels 0..C-1; y is the channel concatenation in
+    HEADS spec order (the layout multi_head_loss consumes)."""
     scaler = C.get(config, "SCALER", "MinMax")
     mask_values = tuple(C.get(config, "MASK_VALUES", [0, 1, 2, 3]))
     gaus = C.get(config, "GAUS", False)
     sigma = float(C.get(config, "SIGMA", 1))
+    heads = tuple(tuple(h) for h in C.get(config, "HEADS", ()) or ())
 
     x = jax.vmap(lambda im: _jax_normalise(im, scaler))(imgs)
-    if masks:
+    if masks and heads:
+        parts = []
+        for i, (name, channels, act) in enumerate(heads):
+            m = msks[:, i]
+            if str(act) == "softmax":
+                part = jax.nn.one_hot(m.astype(jnp.int32), int(channels),
+                                      dtype=jnp.float32)
+            else:
+                part = jnp.stack([m == v for v in range(1, int(channels) + 1)],
+                                 axis=-1).astype(jnp.float32)
+                if gaus:  # heatmap smoothing applies to landmark heads only
+                    part = jax.vmap(
+                        lambda mm: smooth_heatmap_targets(mm, sigma))(part)
+            parts.append(part)
+        y = jnp.concatenate(parts, axis=-1)
+    elif masks:
         channels = jnp.stack([msks == v for v in mask_values],
                              axis=-1).astype(jnp.float32)
         if gaus:
@@ -138,6 +161,24 @@ class DataGenerator:
         self.replace_wildcard = ((".nii.gz", "_gt.nii.gz")
                                  if x and "ACDC" in x[0] else ("img", "msk"))
 
+        # multi-head target sources (HEADS, BASELINE config 4): head 0 reads
+        # the y file list itself; each further head derives its mask path
+        # from the y path by a [find, replace] rule — HEAD_MASK_RULES
+        # overrides, default replaces 'msk' with the head's name (e.g.
+        # patient001__t01_z03_msk.nrrd -> ..._seg.nrrd for a head named
+        # 'seg'). One label map per head, stacked on a leading head axis so
+        # augmentation warps broadcast over it like the z/t axes.
+        self.heads = tuple(tuple(h) for h in C.get(config, "HEADS", ()) or ())
+        rules = C.get(config, "HEAD_MASK_RULES", None)
+        if self.heads:
+            if rules:
+                self.head_mask_rules = [tuple(r) for r in rules]
+            else:
+                self.head_mask_rules = [None] + [("msk", str(name))
+                                                 for name, _, _ in self.heads[1:]]
+            assert len(self.head_mask_rules) == len(self.heads), (
+                "HEAD_MASK_RULES must have one [find, replace] entry per head")
+
         self._rng = np.random.default_rng(self.seed)
         # typed key: carries its PRNG impl, immune to later global
         # jax_default_prng_impl flips (e.g. Trainer setting PRNG_IMPL=rbg)
@@ -149,6 +190,7 @@ class DataGenerator:
         self._finalize = self._build_finalize()
 
         self._cache_x = self._cache_y = None  # padded, batch-gatherable cache
+        self._raw_y_uint8 = None  # lazily-probed packability for raw_batch
         if self.in_memory and self.images:
             with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
                 self._cache = list(pool.map(self._fix_preprocessing,
@@ -158,8 +200,7 @@ class DataGenerator:
             # vectorized gather instead of a per-element python loop
             self._cache_x = np.stack([T.pad_and_crop(img.astype(np.float32), self.dim)
                                       for img, _ in self._cache])
-            self._cache_y = np.stack([T.pad_and_crop(msk.astype(np.float32), self.dim)
-                                      for _, msk in self._cache])
+            self._cache_y = np.stack([self._pad_y(msk) for _, msk in self._cache])
         self.on_epoch_end()
 
     # ------------------------------------------------------------------
@@ -173,10 +214,16 @@ class DataGenerator:
         img = load_masked_img(self.images[idx], mask=self.masking_image,
                               masking_values=self.masking_values,
                               replace=self.replace_wildcard)
-        if self.masks:
-            msk = read_image(self.labels[idx])
+        if self.masks and self.heads:
+            msks = []
+            for rule in self.head_mask_rules:
+                path = self.labels[idx] if rule is None \
+                    else self.labels[idx].replace(rule[0], rule[1])
+                msks.append(read_image(path))
+        elif self.masks:
+            msks = [read_image(self.labels[idx])]
         else:
-            msk = img
+            msks = [img]
 
         if self.resample and img.ndim in (2, 3):
             target_spacing = list(reversed(self.spacing))  # numpy -> sitk order
@@ -185,14 +232,18 @@ class DataGenerator:
                                              target_spacing)
             img = R.resample_image(img, new_size, target_spacing,
                                    self.img_interpolation)
-            msk = R.resample_image(msk, new_size, target_spacing,
-                                   self.msk_interpolation)
+            msks = [R.resample_image(m, new_size, target_spacing,
+                                     self.msk_interpolation) for m in msks]
 
         img_nda = T.clip_quantile(img.array, 0.999)
         img_nda = T.normalise_image(img_nda, self.scaler)
-        msk_nda = msk.array
         if not self.masks:  # autoencoder mode: image twice
-            msk_nda = T.normalise_image(T.clip_quantile(msk_nda, 0.999), self.scaler)
+            msk_nda = T.normalise_image(
+                T.clip_quantile(msks[0].array, 0.999), self.scaler)
+        elif self.heads:
+            msk_nda = np.stack([m.array for m in msks])  # [n_heads, *spatial]
+        else:
+            msk_nda = msks[0].array
         return img_nda.astype(np.float32), msk_nda.astype(np.float32)
 
     # ------------------------------------------------------------------
@@ -224,6 +275,14 @@ class DataGenerator:
         if self._cache is not None:
             return self._cache[idx]
         return self._fix_preprocessing(idx)
+
+    def _pad_y(self, msk: np.ndarray) -> np.ndarray:
+        """pad/crop a target to DIM; multi-head label stacks pad per head
+        (the leading head axis is not a spatial axis)."""
+        msk = msk.astype(np.float32)
+        if self.masks and self.heads and msk.ndim == len(self.dim) + 1:
+            return np.stack([T.pad_and_crop(m, self.dim) for m in msk])
+        return T.pad_and_crop(msk, self.dim)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         with GLOBAL_TIMER.stage("generator/batch"):
@@ -264,7 +323,7 @@ class DataGenerator:
                     imgs.append(self._hist_match_element(int(idx)))
                 else:
                     imgs.append(T.pad_and_crop(img_nda.astype(np.float32), self.dim))
-                msks.append(T.pad_and_crop(msk_nda.astype(np.float32), self.dim))
+                msks.append(self._pad_y(msk_nda))
             imgs_b = np.stack(imgs)
             msks_b = np.stack(msks)
 
@@ -281,6 +340,43 @@ class DataGenerator:
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+    # ------------------------------------------------------------------
+    # packed raw batches (the streamed fused-step path)
+    # ------------------------------------------------------------------
+    def raw_batch(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Deterministic-stage batch in PACKED storage dtypes (images bf16,
+        exact-small-integer masks uint8) for the streamed fused train step:
+        the stochastic stage (hist-match / augment / finalize) runs inside
+        the train step on device, so the host link moves 4x fewer bytes than
+        streaming finalized float32 tensors — the difference between the
+        25-50 MB/s interleaved-upload regime and a usable streaming path
+        (docs/ARCHITECTURE.md; ref queue model: src/models/
+        train_model.py:105-112)."""
+        idxs = self.indices[index * self.batchsize:(index + 1) * self.batchsize]
+        if self._cache_x is not None:
+            imgs_b = self._cache_x[idxs]
+            msks_b = self._cache_y[idxs]
+        else:
+            imgs, msks = [], []
+            for idx in idxs:
+                img_nda, msk_nda = self._get_fixed(int(idx))
+                imgs.append(T.pad_and_crop(img_nda.astype(np.float32), self.dim))
+                msks.append(self._pad_y(msk_nda))
+            imgs_b = np.stack(imgs)
+            msks_b = np.stack(msks)
+        import ml_dtypes
+        stream_dtype = str(C.get(self.config, "STREAM_DTYPE",
+                                 "bfloat16")).lower()
+        if stream_dtype in ("bfloat16", "bf16"):
+            imgs_b = imgs_b.astype(ml_dtypes.bfloat16)
+        if self._raw_y_uint8 is None:
+            from cmrtpu.train.device_cache import _uint8_packable
+            src = self._cache_y if self._cache_y is not None else msks_b
+            self._raw_y_uint8 = _uint8_packable(np.asarray(src))
+        if self._raw_y_uint8:
+            msks_b = msks_b.astype(np.uint8)
+        return imgs_b, msks_b
 
 
 def sliceable(generator_cls, x: Sequence[str], y=None, config: Optional[Dict] = None,

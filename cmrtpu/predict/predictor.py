@@ -55,13 +55,15 @@ class Predictor:
             {"params": self.params, "batch_stats": self.batch_stats},
             x, train=False))
 
-    def predict(self, x: np.ndarray) -> np.ndarray:
+    def predict(self, x: np.ndarray):
+        """Batched forward; multi-head models return a dict of head outputs
+        (each trimmed back to the unpadded batch size)."""
         n = x.shape[0]
         padded = -(-n // _BUCKET) * _BUCKET
         if padded != n:
             x = np.concatenate([x, np.zeros((padded - n, *x.shape[1:]), x.dtype)])
-        out = np.asarray(jax.device_get(self._forward(x)))
-        return out[:n]
+        out = jax.device_get(self._forward(x))
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], out)
 
 
 def filter_by_patient_id(p_id: str, f_names: List[str]) -> List[str]:
@@ -75,6 +77,49 @@ def threshold_and_flatten(channels: np.ndarray) -> np.ndarray:
     for c in range(channels.shape[-1]):
         flat[channels[..., c] > 0.5] = c + 1
     return flat
+
+
+def flatten_head(channels: np.ndarray, activation: str) -> np.ndarray:
+    """Channel probabilities -> flat integer labels, per head activation:
+    sigmoid heads use the reference's 0.5-threshold overwrite rule (labels
+    1..C), softmax heads take the exclusive argmax (labels 0..C-1 with 0 =
+    background)."""
+    if str(activation) == "softmax":
+        return np.argmax(channels, axis=-1).astype(np.float64)
+    return threshold_and_flatten(channels)
+
+
+def _head_outputs(cfg: Dict, preds, gts: np.ndarray):
+    """Split multi-head predictions/targets into per-head flat label volumes.
+
+    Returns [(file_suffix, pred_flat, gt_flat, label_values), ...] in HEADS
+    spec order. The FIRST sigmoid head keeps the reference's ``msk`` suffix
+    (so the landmark evaluation contract, ref: predict_model.py:184-186,
+    holds unchanged); every other head writes ``_<name>.nrrd``."""
+    heads = tuple(tuple(h) for h in C.get(cfg, "HEADS", ()) or ())
+    if not heads:
+        label_values = tuple(range(1, gts.shape[-1] + 1))
+        return [("msk", threshold_and_flatten(preds),
+                 threshold_and_flatten(gts), label_values)]
+    outputs = []
+    offset = 0
+    msk_taken = False
+    for name, channels, act in heads:
+        channels = int(channels)
+        gt_h = gts[..., offset:offset + channels]
+        offset += channels
+        pred_h = preds[name]
+        if str(act) == "softmax":
+            # one-hot targets/probabilities -> exclusive labels; 0 = bg
+            label_values = tuple(range(1, channels))
+        else:
+            label_values = tuple(range(1, channels + 1))
+        suffix = str(name)
+        if str(act) != "softmax" and not msk_taken:
+            suffix, msk_taken = "msk", True
+        outputs.append((suffix, flatten_head(pred_h, act),
+                        flatten_head(gt_h, act), label_values))
+    return outputs
 
 
 def pred_fold(config: Dict) -> bool:
@@ -128,35 +173,36 @@ def pred_fold(config: Dict) -> bool:
                 xs.append(np.squeeze(x, axis=0))
                 ys.append(np.squeeze(y, axis=0))
             gts_cmr = np.stack([np.squeeze(x) for x in xs])          # [z, H, W]
-            gts = np.stack(ys)                                       # [z, H, W, C]
-            preds = predictor.predict(np.stack(xs))                  # [z, H, W, C]
+            gts = np.stack(ys)                                       # [z, H, W, sum(C)]
+            preds = predictor.predict(np.stack(xs))    # [z, H, W, C] or head dict
 
-            gts_flat = threshold_and_flatten(gts)
-            preds_flat = threshold_and_flatten(preds)
-
-            if C.get(cfg, "CC_FILTER", False):
-                label_values = tuple(range(1, gts.shape[-1] + 1))
-                preds_flat = np.asarray(jax.device_get(
-                    clean_prediction_2d_cc(preds_flat, label_values)))
-
+            orig = None
             if orig_given:
                 orig_f = filter_by_patient_id(p, orig_cmr_files)[0]
                 orig = read_image(orig_f)
-                gt_img = undo_generator_steps(gts_flat.astype(np.uint8), cfg,
-                                              R.NEAREST, orig)
-                pred_img = undo_generator_steps(preds_flat.astype(np.uint8), cfg,
-                                                R.NEAREST, orig)
-                cmr_img = undo_generator_steps(gts_cmr, cfg, R.NEAREST, orig)
-            else:
-                # config-spacing fallback (ref: predict_model.py:174-181)
-                spacing = tuple(reversed(C.get(cfg, "SPACING"))) + (10.0,)
-                gt_img = MedicalImage(array=gts_flat.astype(np.uint8), spacing=spacing)
-                pred_img = MedicalImage(array=preds_flat.astype(np.uint8),
-                                        spacing=spacing)
-                cmr_img = MedicalImage(array=gts_cmr, spacing=spacing)
+            # config-spacing fallback (ref: predict_model.py:174-181)
+            spacing = tuple(reversed(C.get(cfg, "SPACING"))) + (10.0,)
 
-            write_image(gt_img, os.path.join(gt_path, f"{p}_{phase}_msk.nrrd"))
-            write_image(pred_img, os.path.join(pred_path, f"{p}_{phase}_msk.nrrd"))
+            def to_orig(flat_labels: np.ndarray) -> MedicalImage:
+                if orig is not None:
+                    return undo_generator_steps(flat_labels.astype(np.uint8),
+                                                cfg, R.NEAREST, orig)
+                return MedicalImage(array=flat_labels.astype(np.uint8),
+                                    spacing=spacing)
+
+            for suffix, preds_flat, gts_flat, label_values in \
+                    _head_outputs(cfg, preds, gts):
+                if C.get(cfg, "CC_FILTER", False):
+                    preds_flat = np.asarray(jax.device_get(
+                        clean_prediction_2d_cc(preds_flat, label_values)))
+                write_image(to_orig(gts_flat),
+                            os.path.join(gt_path, f"{p}_{phase}_{suffix}.nrrd"))
+                write_image(to_orig(preds_flat),
+                            os.path.join(pred_path, f"{p}_{phase}_{suffix}.nrrd"))
+
+            cmr_img = undo_generator_steps(gts_cmr, cfg, R.NEAREST, orig) \
+                if orig is not None \
+                else MedicalImage(array=gts_cmr, spacing=spacing)
             write_image(cmr_img, os.path.join(pred_path, f"{p}_{phase}_cmr.nrrd"))
             logging.info("patient %s phase %s: %d slices predicted",
                          p, phase, len(phase_files))

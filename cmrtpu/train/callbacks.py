@@ -298,13 +298,22 @@ class ImageWriter(Callback):
         self.to_tensorboard = to_tensorboard
         self.tb_dir = tb_dir or image_dir
         self._writer = None
+        self._warned = False
 
     def on_epoch_end(self, trainer, epoch, logs):
         if epoch % self.frequency:
             return
         from cmrtpu.visualization.visualize import save_prediction_overlays
         for name, x, y in self.sample_batches:
-            preds = np.asarray(trainer.predict(x))
+            preds = trainer.predict(x)
+            if isinstance(preds, dict):
+                # multi-head models return a dict of head outputs; overlay
+                # the channel concatenation in HEADS spec order
+                heads = [h[0] for h in (trainer.config.get("HEADS") or ())] \
+                    or sorted(preds)
+                preds = np.concatenate([np.asarray(preds[h]) for h in heads],
+                                       axis=-1)
+            preds = np.asarray(preds)
             out = os.path.join(self.image_dir, f"epoch{epoch:04d}_{name}.png")
             try:
                 save_prediction_overlays(x[: self.samples], y[: self.samples],
@@ -312,7 +321,13 @@ class ImageWriter(Callback):
                 if self.to_tensorboard:
                     self._tb_image(name, out, epoch)
             except Exception as e:
-                logging.debug("image writer failed: %s", e)
+                # warn once per training run, then demote to debug — a
+                # silently missing learning-progress image family is
+                # otherwise invisible until someone opens tensorboard
+                level = logging.DEBUG if self._warned else logging.WARNING
+                logging.log(level, "learning-progress image rendering failed"
+                            " (batch '%s', epoch %d): %s", name, epoch, e)
+                self._warned = True
 
     def _tb_image(self, name: str, png_path: str, epoch: int) -> None:
         import matplotlib.image as mpimg

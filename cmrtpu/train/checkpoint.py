@@ -151,7 +151,10 @@ class AsyncCheckpointWriter:
     Only the newest pending snapshot is kept ("latest-wins"): checkpoints are
     monotone best-so-far, so an unwritten older best is superseded anyway.
     ``flush()`` blocks until the last submitted write is durable — call it at
-    train end before anything reads the checkpoint back.
+    train end before anything reads the checkpoint back — and re-raises the
+    last write failure: a fold whose final model.npz is missing or stale must
+    fail loudly (the chained pred_fold reads that file), not return a clean
+    fit().
     """
 
     def __init__(self):
@@ -161,6 +164,7 @@ class AsyncCheckpointWriter:
         self._busy = False
         self._wake = threading.Condition(self._lock)
         self._thread = None
+        self._error = None
 
     def submit(self, fn, *args) -> None:
         import threading
@@ -182,8 +186,12 @@ class AsyncCheckpointWriter:
                 self._busy = True
             try:
                 fn(*args)
-            except Exception as e:  # pragma: no cover - IO failures
+                with self._lock:
+                    self._error = None  # a later successful write supersedes
+            except Exception as e:
                 logging.error("async checkpoint write failed: %s", e)
+                with self._lock:
+                    self._error = e
             finally:
                 # drop the references before parking: args holds a full
                 # on-device state snapshot, and an idle thread per fold
@@ -198,6 +206,11 @@ class AsyncCheckpointWriter:
         with self._lock:
             while self._pending is not None or self._busy:
                 self._wake.wait(timeout=0.1)
+            if self._error is not None:
+                error, self._error = self._error, None
+                raise RuntimeError(
+                    "async checkpoint write failed; the checkpoint on disk "
+                    "is missing or stale") from error
 
 
 def device_snapshot(tree):

@@ -25,6 +25,17 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# The persistent XLA compilation cache defaults OFF on the cpu backend
+# (XLA:CPU AOT reuse is host-CPU-feature-sensitive; see
+# cmrtpu/utils/xla_cache.py). The suite runs on ONE trusted host, where the
+# warm cache cuts the run from ~20 min to ~8 — opt in explicitly with the
+# fingerprint-scoped default dir.
+if "CMRTPU_COMPILATION_CACHE_DIR" not in os.environ:
+    from cmrtpu.utils.xla_cache import _default_dir
+
+    os.environ["CMRTPU_COMPILATION_CACHE_DIR"] = os.path.expanduser(
+        _default_dir())
+
 
 @pytest.fixture
 def rng():

@@ -114,7 +114,9 @@ def test_conv_encoder_decoder_compose():
             enc, skips = ConvEncoder(depth=2, filters=4,
                                      dropouts=(0.1, 0.2),
                                      dtype=jnp.float32)(x, train)
-            x = ConvDecoder(depth=2, filters=4, dropouts=(0.1, 0.2),
+            # reference semantics: decoder filters = starting (largest)
+            # count = encoder filters * 2**(depth-1)
+            x = ConvDecoder(depth=2, filters=8, dropouts=(0.1, 0.2),
                             dtype=jnp.float32)(enc, skips, train)
             return nn.Conv(2, (1, 1))(x)
 

@@ -314,10 +314,22 @@ def test_async_checkpoint_writer_latest_wins(tmp_path):
     def boom(_):
         raise RuntimeError("disk full")
     w.submit(boom, "x")
-    w.flush()  # failure logged, writer still alive
+    # a failed write must surface at flush — fit() returning cleanly while
+    # model.npz is missing/stale would break the chained pred_fold
+    import pytest
+    with pytest.raises(RuntimeError, match="checkpoint write failed"):
+        w.flush()
+    # the error is consumed: the writer stays alive for later folds
     w.submit(slow_write, "after-failure")
     w.flush()
     assert out.read_text() == "after-failure"
+
+    # a successful write submitted after a failure supersedes the error
+    # (latest-wins applies to failures too: the bad snapshot is stale)
+    w.submit(boom, "y")
+    w.submit(slow_write, "recovered")
+    w.flush()
+    assert out.read_text() == "recovered"
 
 
 def test_async_checkpoint_survives_donated_state(tmp_path):
@@ -352,12 +364,15 @@ def test_model_checkpoint_fallback_when_monitor_never_appears(tmp_path):
     assert params  # fallback checkpoint written despite missing monitor
 
 
-def test_persistent_compilation_cache_configured(tmp_path):
+def test_persistent_compilation_cache_configured(tmp_path, monkeypatch):
     """Trainer enables the persistent XLA compilation cache (every CV fold
     recompiles identical programs otherwise); '' disables it for real even
     after an earlier enable."""
     import cmrtpu.utils.xla_cache as XC
 
+    # the conftest opt-in env var outranks config keys by design; clear it so
+    # the config-driven paths are what this test exercises
+    monkeypatch.delenv("CMRTPU_COMPILATION_CACHE_DIR", raising=False)
     previous = getattr(jax.config, "jax_compilation_cache_dir", None)
     try:
         cache_dir = str(tmp_path / "xla")
@@ -368,6 +383,36 @@ def test_persistent_compilation_cache_configured(tmp_path):
         # explicit disable must unset the live jax config, not just no-op
         assert XC.ensure_compilation_cache({"COMPILATION_CACHE_DIR": ""}) is None
         assert not jax.config.jax_compilation_cache_dir
+    finally:
+        jax.config.update("jax_compilation_cache_dir", previous)
+
+
+def test_cache_dir_scoped_by_host_cpu_fingerprint():
+    """XLA:CPU AOT entries are feature-stamped for the COMPILE host; two
+    hosts with different CPU feature sets must never share a default cache
+    dir (the loader's feature-mismatch path ranges from E-line warnings to a
+    SIGILL). Same fingerprint -> same dir (the scoping stays shareable
+    across processes on one host)."""
+    from cmrtpu.utils.xla_cache import _default_dir, _host_fingerprint
+
+    a = _default_dir(host_fingerprint="x86_64|flags: sse4_2 avx2 avx512f")
+    b = _default_dir(host_fingerprint="x86_64|flags: sse4_2 avx2")
+    assert a != b
+    assert _default_dir(host_fingerprint="x86_64|flags: sse4_2 avx2 avx512f") == a
+    # the live fingerprint is non-empty and stable within a process
+    assert _host_fingerprint() and _host_fingerprint() == _host_fingerprint()
+
+
+def test_cpu_default_cache_disabled_without_optin(monkeypatch):
+    """On the cpu backend the persistent cache defaults OFF (AOT reuse is
+    host-feature-sensitive); env-var / config opt-ins still work."""
+    import cmrtpu.utils.xla_cache as XC
+
+    previous = getattr(jax.config, "jax_compilation_cache_dir", None)
+    monkeypatch.delenv("CMRTPU_COMPILATION_CACHE_DIR", raising=False)
+    try:
+        assert jax.default_backend() == "cpu"  # conftest pins cpu
+        assert XC.ensure_compilation_cache({}) is None
     finally:
         jax.config.update("jax_compilation_cache_dir", previous)
 
