@@ -85,16 +85,83 @@ def main():
         float(np.asarray(jax.device_get(logs["loss"])))
         return steps * batch / (time.perf_counter() - t0)
 
+    def measure_sharded(steps=10, warmup=3):
+        """slices/sec of the CACHE_SHARDED fused step (example-sharded HBM
+        cache, shard-local gather). On one chip this is the same math with
+        shard_map plumbing; on a pod it is the capacity-scaling path."""
+        from cmrtpu.train.device_cache import (make_cached_train_step,
+                                               upload_cache_sharded)
+        cfg = dict(trainer.config, CACHE_SHARDED=True)
+        dx, dy, n_padded = upload_cache_sharded(x_cache, y_cache, mesh,
+                                                config=cfg)
+        local_n = n_padded // n_dev
+        local_b = batch // n_dev
+        step = make_cached_train_step(trainer.model, trainer.optimizer,
+                                      trainer.loss_fn, trainer.metrics,
+                                      cfg, mesh, augment=True,
+                                      cache_sharded=True)
+        state = jax.device_put(jax.device_get(trainer.state))
+        def one(state):
+            local = rng.integers(0, local_n, (n_dev, local_b)).astype(np.int32)
+            idxs = jax.device_put(local.reshape(-1), idx_sharding)
+            return step(state, dx, dy, idxs, trainer.rng)
+        for _ in range(warmup):
+            state, logs = one(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, logs = one(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        return steps * batch / (time.perf_counter() - t0)
+
+    def measure_streaming(steps=16, warmup=3):
+        """slices/sec of the PACKED host-streaming path: bf16/uint8 batches
+        prefetched host->HBM (double buffered), stochastic stage fused into
+        the train step (cmrtpu/train/streaming.py). This is the fallback for
+        datasets beyond the sharded HBM cache — tracked so regressions on
+        the host link are visible to the driver."""
+        import ml_dtypes
+        from cmrtpu.parallel.prefetch import prefetch_to_device
+        from cmrtpu.train.device_cache import make_cached_train_step
+        step = make_cached_train_step(trainer.model, trainer.optimizer,
+                                      trainer.loss_fn, trainer.metrics,
+                                      trainer.config, mesh, augment=True,
+                                      cache_sharded=True)
+        local_b = batch // n_dev
+        idxs = jax.device_put(
+            np.tile(np.arange(local_b, dtype=np.int32), n_dev), idx_sharding)
+        x_pack = x_cache.astype(ml_dtypes.bfloat16)
+        y_pack = y_cache.astype(np.uint8)
+
+        def host_batches(n):
+            for _ in range(n):
+                sel = rng.integers(0, n_cache, batch)
+                yield x_pack[sel], y_pack[sel]
+
+        state = jax.device_put(jax.device_get(trainer.state))
+        for imgs, msks in prefetch_to_device(host_batches(warmup), mesh):
+            state, logs = step(state, imgs, msks, idxs, trainer.rng)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        t0 = time.perf_counter()
+        for imgs, msks in prefetch_to_device(host_batches(steps), mesh):
+            state, logs = step(state, imgs, msks, idxs, trainer.rng)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        return steps * batch / (time.perf_counter() - t0)
+
     # flagship: the published Base experiment (augment, no smoothing)
     slices_per_sec = measure({})
     # published variants riding the same fused step: Var.1 (hist-matching,
-    # ref: Generators.py:350-358) and Var.2 (Gaussian sigma=2 GT heatmaps,
-    # ref: Generators.py:385-391)
+    # ref: Generators.py:350-358), Var.2/Var.3 (Gaussian sigma=2/4 GT
+    # heatmaps, ref: Generators.py:385-391)
     variants = {
         "hist_matching (Var.1)": round(measure(
             {"HIST_MATCHING": True}, steps=10), 1),
         "gaus_sigma2 (Var.2)": round(measure(
             {"GAUS": True, "SIGMA": 2}, steps=10), 1),
+        "gaus_sigma4 (Var.3)": round(measure(
+            {"GAUS": True, "SIGMA": 4}, steps=10), 1),
+        "cache_sharded": round(measure_sharded(), 1),
+        "host_streaming_packed": round(measure_streaming(), 1),
     }
 
     baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count

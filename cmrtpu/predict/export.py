@@ -34,10 +34,66 @@ ARTIFACT = "forward.stablehlo"
 META = "export.json"
 WEIGHTS = "weights.npz"
 
+_BN_EPS = 1e-3  # ConvBlock's nn.BatchNorm epsilon (cmrtpu/models/unet.py)
+
+
+def fold_batch_norm(config: Dict, params, batch_stats):
+    """Fold inference-time BatchNorm into the preceding conv weights.
+
+    Valid ONLY for the ``BN_FIRST`` ordering (conv -> BN -> act): there the
+    frozen BN is an affine map directly on the conv output, so
+    ``W' = W * s`` (per output channel) and ``b' = (b - mean) * s + beta``
+    with ``s = gamma / sqrt(var + eps)`` — bit-for-bit the same function
+    with one op less per block at serve time. For the default
+    conv -> act -> BN ordering the ReLU sits between conv and BN, the fold
+    is not an affine rewrite of the conv, and this raises.
+
+    Returns ``(folded_config, folded_params)``: the config has
+    ``BATCH_NORMALISATION=False`` (build the BN-less twin model with it) and
+    the params tree has the BatchNorm scopes removed.
+    """
+    from flax import traverse_util
+
+    if not C.get(config, "BATCH_NORMALISATION", True):
+        raise ValueError("model has no BatchNorm to fold")
+    if not C.get(config, "BN_FIRST", False):
+        raise ValueError(
+            "BN folding requires BN_FIRST (conv->BN->act); the default "
+            "conv->act->BN ordering has an activation between conv and BN")
+    flat_p = traverse_util.flatten_dict(jax_device_get(params))
+    flat_s = traverse_util.flatten_dict(jax_device_get(batch_stats))
+    out = {k: np.asarray(v) for k, v in flat_p.items()
+           if "BatchNorm_0" not in k}
+    for scope in sorted({k[:-2] for k in flat_p if k[-2] == "BatchNorm_0"}):
+        gamma = np.asarray(flat_p[scope + ("BatchNorm_0", "scale")], np.float64)
+        beta = np.asarray(flat_p[scope + ("BatchNorm_0", "bias")], np.float64)
+        mean = np.asarray(flat_s[scope + ("BatchNorm_0", "mean")], np.float64)
+        var = np.asarray(flat_s[scope + ("BatchNorm_0", "var")], np.float64)
+        s = gamma / np.sqrt(var + _BN_EPS)
+        w_key = scope + ("Conv_0", "kernel")
+        b_key = scope + ("Conv_0", "bias")
+        dtype = out[w_key].dtype
+        out[w_key] = (out[w_key].astype(np.float64) * s).astype(dtype)
+        out[b_key] = ((out[b_key].astype(np.float64) - mean) * s
+                      + beta).astype(dtype)
+    folded_cfg = dict(config)
+    folded_cfg["BATCH_NORMALISATION"] = False
+    return folded_cfg, traverse_util.unflatten_dict(out)
+
+
+def jax_device_get(tree):
+    import jax
+    return jax.device_get(tree)
+
 
 def export_model(config: Dict, model_path: str, out_dir: str,
-                 batch: int = 8) -> str:
-    """Serialize the restored model's forward pass + weights into out_dir."""
+                 batch: int = 8, fold_bn: bool = False) -> str:
+    """Serialize the restored model's forward pass + weights into out_dir.
+
+    ``fold_bn=True`` folds the frozen BatchNorm statistics into the conv
+    weights before export (BN_FIRST configs only — see ``fold_batch_norm``):
+    the serving artifact then runs one op less per block with bit-equal
+    outputs."""
     import jax
     from jax import export as jex
 
@@ -48,6 +104,10 @@ def export_model(config: Dict, model_path: str, out_dir: str,
     cfg = C.normalise_config(config)
     model = get_model(cfg)  # honors MODEL_VARIANT (hybrids export too)
     params, batch_stats = load_weights_for_model(model_path, cfg, model)
+    if fold_bn:
+        cfg, params = fold_batch_norm(cfg, params, batch_stats)
+        batch_stats = {}
+        model = get_model(cfg)
 
     dim = tuple(C.get(cfg, "DIM"))
     channels = int(C.get(cfg, "IMG_CHANNELS", 1))

@@ -17,9 +17,23 @@ Only scalar metrics leave the device. Epoch shuffling stays host-side
 (a per-epoch permutation, parity with BaseGenerator.on_epoch_end,
 ref: src/data/Generators.py:164).
 
-Multi-chip: the cache is replicated; the per-step index vector is sharded
-over the 'data' mesh axis, so the gather output — and everything after it —
-is batch-sharded and XLA inserts the usual gradient psum over ICI.
+Multi-chip: by default the cache is replicated; the per-step index vector is
+sharded over the 'data' mesh axis, so the gather output — and everything
+after it — is batch-sharded and XLA inserts the usual gradient psum over ICI.
+
+CACHE_SHARDED=True instead shards the EXAMPLES over the 'data' axis, so
+aggregate cache capacity grows linearly with the chip count (a v5e-8 holds
+8x what one chip does — the difference between the fused hot loop and the
+host-streaming fallback for full-res cine/3D cohorts). The per-step gather
+is communication-free: each device gathers its per-step rows from its LOCAL
+shard (a shard_map around jnp.take), and the host draws those rows from
+per-shard epoch permutations — every example is still visited exactly once
+per epoch; only the batch composition is stratified (each batch holds
+B/n_dev examples per shard). CACHE_RESHUFFLE_EPOCHS=k re-randomizes the
+example->shard assignment every k epochs with ONE donated all-to-all-style
+gather over ICI (off by default: stratified sampling is already
+epoch-uniform; the reshuffle only decorrelates batch composition across
+epochs).
 """
 
 from __future__ import annotations
@@ -43,64 +57,192 @@ def cache_nbytes(*arrays: np.ndarray) -> int:
     return sum(int(a.nbytes) for a in arrays)
 
 
+def _uint8_packable(y: np.ndarray) -> bool:
+    """True when a float mask packs losslessly to uint8 (exact small
+    non-negative integers only — the same test upload_cache applies)."""
+    if not (np.issubdtype(y.dtype, np.floating) and y.size):
+        return False
+    if float(y.min()) < 0 or float(y.max()) > 255:
+        return False
+    return bool(np.array_equal(y.astype(np.uint8).astype(y.dtype), y))
+
+
 def _packed_nbytes(config: Optional[Dict], x: np.ndarray, y: np.ndarray) -> int:
     """Post-upload storage size: CACHE_DTYPE may halve the image cache and
-    small-integer masks pack to uint8 (mirrors upload_cache's casts)."""
+    small-integer masks pack to uint8 (mirrors upload_cache's casts). The
+    uint8 estimate is only taken when the pack is verified lossless —
+    otherwise a float-valued target (e.g. masks=False regression labels in
+    [0,255]) would be under-counted 4x and could admit a cache that OOMs HBM
+    instead of falling back to host streaming."""
     x_bytes = int(x.nbytes)
     if str(C.get(config or {}, "CACHE_DTYPE", "float32")).lower() in (
             "bfloat16", "bf16"):
         x_bytes = x.size * 2
-    y_bytes = int(y.nbytes)
-    if (np.issubdtype(y.dtype, np.floating)
-            and y.size and float(y.min()) >= 0 and float(y.max()) <= 255):
-        y_bytes = y.size  # uint8 candidate; exactness checked at upload
+    y_bytes = y.size if _uint8_packable(y) else int(y.nbytes)
     return x_bytes + y_bytes
 
 
-def fits_device_cache(config: Dict, *arrays: np.ndarray) -> bool:
-    """HBM-budget guard: the replicated cache must fit comfortably next to
-    params/activations. Bound configurable via DEVICE_CACHE_LIMIT_GB; the
-    estimate accounts for CACHE_DTYPE / uint8 mask packing."""
+def fits_device_cache(config: Dict, *arrays: np.ndarray,
+                      n_shards: int = 1) -> bool:
+    """HBM-budget guard: the cache must fit comfortably next to
+    params/activations. Bound configurable via DEVICE_CACHE_LIMIT_GB (a
+    PER-DEVICE budget); the estimate accounts for CACHE_DTYPE / uint8 mask
+    packing. With CACHE_SHARDED the examples are spread over ``n_shards``
+    devices, so aggregate capacity is n_shards x the per-device budget."""
     limit_gb = float(C.get(config, "DEVICE_CACHE_LIMIT_GB", 8.0) or 8.0)
     if len(arrays) == 2:
         total = _packed_nbytes(config, *arrays)
     else:
         total = cache_nbytes(*arrays)
-    return total <= limit_gb * (1 << 30)
+    return total <= limit_gb * (1 << 30) * max(1, int(n_shards))
 
 
-def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh,
-                 config: Optional[Dict] = None):
-    """Upload the padded deterministic cache once, replicated over the mesh.
+def cache_shards(config: Optional[Dict], mesh: Mesh) -> int:
+    """Number of example shards the cache spreads over: the data-axis size
+    under CACHE_SHARDED, else 1 (replicated)."""
+    if not bool(C.get(config or {}, "CACHE_SHARDED", False)):
+        return 1
+    return int(mesh.shape[DATA_AXIS])
 
-    Storage dtype is a capacity knob: CACHE_DTYPE='bfloat16' halves the image
-    cache's HBM footprint (the model computes in bf16 anyway under
-    MIXED_PRECISION, so the extra mantissa bits of a float32 cache are mostly
-    discarded at the first conv); masks whose values are small non-negative
-    integers are packed as uint8 (4x smaller). The fused step casts both back
-    to float32 right after the gather, so augmentation interpolation and loss
-    math are unchanged.
-    """
-    x = np.ascontiguousarray(x_padded)
-    y = np.ascontiguousarray(y_padded)
+
+def _pack_arrays(x: np.ndarray, y: np.ndarray, config: Optional[Dict]):
+    """Storage-dtype packing shared by the replicated and sharded uploads:
+    CACHE_DTYPE='bfloat16' halves the image cache's HBM footprint (the model
+    computes in bf16 anyway under MIXED_PRECISION, so the extra mantissa
+    bits of a float32 cache are mostly discarded at the first conv); masks
+    whose values are exact small non-negative integers pack to uint8 (4x
+    smaller). Consumers cast back to float32 right after the gather, so
+    augmentation interpolation and loss math are unchanged."""
+    x = np.ascontiguousarray(x)
+    y = np.ascontiguousarray(y)
     cache_dtype = str(C.get(config or {}, "CACHE_DTYPE", "float32")).lower()
     if cache_dtype in ("bfloat16", "bf16"):
         import ml_dtypes
         x = x.astype(ml_dtypes.bfloat16)
-    if (np.issubdtype(y.dtype, np.floating)
-            and y.size and float(y.min()) >= 0 and float(y.max()) <= 255):
-        y_int = y.astype(np.uint8)
-        if np.array_equal(y_int.astype(y.dtype), y):  # exact small ints only
-            y = y_int
+    if _uint8_packable(y):
+        y = y.astype(np.uint8)
+    return x, y
+
+
+def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh,
+                 config: Optional[Dict] = None):
+    """Upload the padded deterministic cache once, replicated over the mesh."""
+    x, y = _pack_arrays(x_padded, y_padded, config)
     repl = NamedSharding(mesh, P())
     return jax.device_put(x, repl), jax.device_put(y, repl)
+
+
+def upload_cache_sharded(x_padded: np.ndarray, y_padded: np.ndarray,
+                         mesh: Mesh, config: Optional[Dict] = None):
+    """Upload the cache example-sharded over the 'data' axis (CACHE_SHARDED).
+
+    The example count is padded to a multiple of the shard count by wrapping
+    (the duplicates are the same examples a remainder-dropping epoch would
+    under-sample — bounded by n_shards-1 rows). Shard d holds the contiguous
+    row block [d*local_n, (d+1)*local_n); the per-step index vector uses
+    LOCAL row ids so the gather stays communication-free.
+
+    Returns (data_x, data_y, n_padded)."""
+    n = x_padded.shape[0]
+    n_shards = int(mesh.shape[DATA_AXIS])
+    padded = -(-n // n_shards) * n_shards
+    if padded != n:
+        reps = np.arange(padded - n) % n
+        x_padded = np.concatenate([x_padded, x_padded[reps]])
+        y_padded = np.concatenate([y_padded, y_padded[reps]])
+    x, y = _pack_arrays(x_padded, y_padded, config)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.device_put(x, sharding), jax.device_put(y, sharding), padded
+
+
+def _shard_map(fn, mesh: Mesh, in_specs, out_specs):
+    try:  # moved between jax versions (experimental -> top-level in 0.8)
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def _sharded_gather(mesh: Mesh, data_x, data_y, idxs,
+                    hist_key=None, quota_local: int = 0, match_fn=None):
+    """Communication-free batch gather from an example-sharded cache: each
+    device takes its slice of the (data-sharded) LOCAL index vector from its
+    LOCAL rows; the result leaves batch-sharded over 'data'. No collective
+    is generated — pinned by tests/test_sharding.py's compiled-HLO check.
+
+    Optional shard-local hist-matching: each device quantile-matches the
+    first ``quota_local`` rows of its local batch (batch rows are a uniform
+    epoch draw, so this is a uniform example subset) against random rows of
+    its LOCAL cache shard — the reference's random-other-image semantics
+    (ref: Generators.py:352) in distribution, still with zero collectives."""
+    spec = P(DATA_AXIS)
+
+    def body(dx, dy, ix, key):
+        imgs = jnp.take(dx, ix, axis=0).astype(jnp.float32)
+        msks = jnp.take(dy, ix, axis=0).astype(jnp.float32)
+        if quota_local > 0:
+            k = jax.random.fold_in(key[0], jax.lax.axis_index(DATA_AXIS))
+            ref_idx = jax.random.randint(k, (quota_local,), 0, dx.shape[0])
+            refs = jnp.take(dx, ref_idx, axis=0).astype(jnp.float32)
+            matched = jax.vmap(match_fn)(imgs[:quota_local], refs)
+            imgs = imgs.at[:quota_local].set(matched)
+        return imgs, msks
+
+    gather = _shard_map(body, mesh,
+                        in_specs=(spec, spec, spec, P()),
+                        out_specs=(spec, spec))
+    if hist_key is None:
+        hist_key = jax.random.key(0)  # unused when quota_local == 0
+    return gather(data_x, data_y, idxs, hist_key[None])
+
+
+def sharded_eval_plan(n_real: int, n_padded: int, n_shards: int,
+                      local_batch: int):
+    """Coverage plan for evaluating a wrap-padded, example-sharded cache
+    exactly once per real example.
+
+    Shard d holds global rows [d*local_n, (d+1)*local_n); rows >= n_real are
+    wrap-padding (possibly spanning several shards for tiny cohorts) and
+    must never be counted. Full batches take local rows [0, steps *
+    local_batch) of EVERY shard — steps is capped by the smallest per-shard
+    real-row count so a covered row is always real. Returns (steps,
+    tail_global): the leftover real global rows for the replicated twin."""
+    local_n = n_padded // n_shards
+    real_per_shard = [max(0, min(local_n, n_real - d * local_n))
+                      for d in range(n_shards)]
+    steps = min(real_per_shard) // local_batch
+    covered = steps * local_batch
+    tail_global = [g for d in range(n_shards)
+                   for r in range(covered, local_n)
+                   if (g := d * local_n + r) < n_real]
+    return steps, tail_global
+
+
+def make_cache_reshuffler(mesh: Mesh):
+    """jit program re-randomizing the example->shard assignment: a global
+    permutation gather over the sharded cache, lowered by XLA to ICI
+    collectives; inputs are donated so peak HBM stays ~one cache + one
+    in-flight shard. Cost per call ~= cache_bytes/n_dev through ICI —
+    microseconds-to-milliseconds at v5e ICI rates for GB-scale caches."""
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def reshuffle(x, y, perm):
+        return jnp.take(x, perm, axis=0), jnp.take(y, perm, axis=0)
+
+    return jax.jit(reshuffle, in_shardings=(data, data, repl),
+                   out_shardings=(data, data), donate_argnums=(0, 1))
 
 
 def make_cached_train_step(model, optimizer, loss_fn: Callable,
                            metrics: Optional[Dict[str, Callable]],
                            config: Dict, mesh: Mesh, augment: bool,
-                           masks: bool = True):
-    """(state, data_x, data_y, idxs, rng) -> (state, logs), fully fused."""
+                           masks: bool = True, cache_sharded: bool = False):
+    """(state, data_x, data_y, idxs, rng) -> (state, logs), fully fused.
+
+    ``cache_sharded``: the cache is example-sharded over 'data' and ``idxs``
+    carries LOCAL row ids per shard (see upload_cache_sharded); the batch
+    gather runs shard-locally with no collective."""
     metrics = metrics or {}
     cfg = dict(config)
     # hist-matching rides the fused step too (Var.1 of the published
@@ -116,34 +258,47 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
     # 961 slices/s at 4096, matcher max-error 7e-3 of the intensity range
     # (<< augmentation noise); below 1024 throughput plateaus
     hist_bins = int(C.get(cfg, "HIST_MATCHING_BINS", 2048))
+    if hist_matching:
+        from cmrtpu.pipeline.histmatch import (match_histograms_binned_jax,
+                                               match_histograms_jax)
+        if hist_bins > 0:
+            # exclude_zeros: the cache holds pad_and_crop'ed images whose
+            # zero borders must not enter the histograms (host parity:
+            # match unpadded, then re-pad with zeros)
+            match_fn = lambda s, r: match_histograms_binned_jax(
+                s, r, bins=hist_bins, exclude_zeros=True)
+        else:
+            match_fn = match_histograms_jax
+    else:
+        match_fn = None
 
     def step_fn(state: S.TrainState, data_x, data_y, idxs, rng):
         # gather in storage dtype (bf16/uint8 caches move half the bytes),
-        # then everything downstream computes in f32 as before
-        imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
-        msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
-        if hist_matching:
-            from cmrtpu.pipeline.histmatch import (match_histograms_binned_jax,
-                                                   match_histograms_jax)
-            if hist_bins > 0:
-                # exclude_zeros: the cache holds pad_and_crop'ed images whose
-                # zero borders must not enter the histograms (host parity:
-                # match unpadded, then re-pad with zeros)
-                match_fn = lambda s, r: match_histograms_binned_jax(
-                    s, r, bins=hist_bins, exclude_zeros=True)
-            else:
-                match_fn = match_histograms_jax
-            hm_key = jax.random.fold_in(
-                jax.random.fold_in(rng, 0x415), state.step)
+        # then everything downstream computes in f32 as before.
+        # hist-matching uses a fixed per-batch quota instead of a
+        # per-example bernoulli: XLA needs static shapes, and matching the
+        # whole batch to select ~10% wastes 90% of the (sort-heavy) work —
+        # measured 2.7x slower end-to-end. round(prob*B) uniformly-chosen
+        # examples preserve the reference's expected fraction (the only
+        # thing its unseeded RNG guarantees, ref: Generators.py:350); only
+        # the per-batch count variance differs.
+        hm_key = jax.random.fold_in(
+            jax.random.fold_in(rng, 0x415), state.step) if hist_matching \
+            else None
+        if cache_sharded:
+            local_batch = idxs.shape[0] // int(mesh.shape[DATA_AXIS])
+            quota_local = int(round(hist_prob * local_batch)) \
+                if hist_matching else 0
+            imgs, msks = _sharded_gather(mesh, data_x, data_y, idxs,
+                                         hist_key=hm_key,
+                                         quota_local=quota_local,
+                                         match_fn=match_fn)
+        else:
+            imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
+            msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
+        if hist_matching and not cache_sharded:
             k_gate, k_ref = jax.random.split(hm_key)
             batch = idxs.shape[0]
-            # fixed per-batch quota instead of per-example bernoulli: XLA
-            # needs static shapes, and matching the whole batch to select
-            # ~10% wastes 90% of the (sort-heavy) work — measured 2.7x
-            # slower end-to-end. round(prob*B) uniformly-chosen examples
-            # preserves the reference's expected fraction (the only thing
-            # its unseeded RNG guarantees, ref: Generators.py:350); only the
-            # per-batch count variance differs.
             quota = int(round(hist_prob * batch))
             if quota > 0:
                 sel = jax.random.permutation(k_gate, batch)[:quota]
@@ -186,8 +341,9 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    cache = data if cache_sharded else repl
     return jax.jit(step_fn,
-                   in_shardings=(repl, repl, repl, data, repl),
+                   in_shardings=(repl, cache, cache, data, repl),
                    out_shardings=(repl, repl),
                    donate_argnums=(0,))
 
@@ -195,19 +351,27 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
 def make_cached_eval_step(model, loss_fn: Callable,
                           metrics: Optional[Dict[str, Callable]],
                           config: Dict, mesh: Mesh, masks: bool = True,
-                          shard_batch_axis: bool = True):
+                          shard_batch_axis: bool = True,
+                          cache_sharded: bool = False):
     """(state, data_x, data_y, idxs) -> logs; no augmentation, no updates.
 
     ``shard_batch_axis=False`` replicates the index vector instead of
     sharding it over the 'data' axis — every device computes the whole
     (small) batch redundantly. That lifts the batch-divides-mesh constraint
-    for partial/remainder batches; for their size the redundancy is free."""
+    for partial/remainder batches; for their size the redundancy is free.
+    ``cache_sharded``: local-row gather from an example-sharded cache
+    (requires shard_batch_axis=True)."""
     metrics = metrics or {}
     cfg = dict(config)
+    assert not (cache_sharded and not shard_batch_axis), (
+        "a replicated index vector cannot gather from a sharded cache")
 
     def step_fn(state: S.TrainState, data_x, data_y, idxs):
-        imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
-        msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
+        if cache_sharded:
+            imgs, msks = _sharded_gather(mesh, data_x, data_y, idxs)
+        else:
+            imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
+            msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
         x, y = finalize_batch(imgs, msks, cfg, masks=masks)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         preds = model.apply(variables, x, train=False)
@@ -218,7 +382,8 @@ def make_cached_eval_step(model, loss_fn: Callable,
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS)) if shard_batch_axis else repl
-    return jax.jit(step_fn, in_shardings=(repl, repl, repl, data),
+    cache = NamedSharding(mesh, P(DATA_AXIS)) if cache_sharded else repl
+    return jax.jit(step_fn, in_shardings=(repl, cache, cache, data),
                    out_shardings=repl)
 
 
@@ -240,9 +405,25 @@ class DeviceCachedLoop:
             raise ValueError(f"BATCHSIZE must be positive, got {self.batch}")
         self.rng = np.random.default_rng(C.get(cfg, "SEED", 42))
 
-        self.x_train, self.y_train = upload_cache(train_gen._cache_x,
-                                                  train_gen._cache_y, mesh,
-                                                  config=cfg)
+        self.n_shards = cache_shards(cfg, mesh)
+        self.sharded = self.n_shards > 1 or bool(
+            C.get(cfg, "CACHE_SHARDED", False))
+        if self.sharded:
+            assert self.batch % self.n_shards == 0, (
+                f"BATCHSIZE {self.batch} must divide the data-mesh size "
+                f"{self.n_shards} for a sharded cache")
+            self.local_batch = self.batch // self.n_shards
+            self.x_train, self.y_train, self._n_train_padded = \
+                upload_cache_sharded(train_gen._cache_x, train_gen._cache_y,
+                                     mesh, config=cfg)
+            self._local_n_train = self._n_train_padded // self.n_shards
+            self._reshuffle_epochs = int(
+                C.get(cfg, "CACHE_RESHUFFLE_EPOCHS", 0) or 0)
+            self._reshuffler = None
+            self._epochs_run = 0
+        else:
+            self.x_train, self.y_train = upload_cache(
+                train_gen._cache_x, train_gen._cache_y, mesh, config=cfg)
         self.n_train = train_gen._cache_x.shape[0]
         self._augment = bool(C.get(cfg, "AUGMENT", False))
         self._masks = bool(getattr(train_gen, "masks", True))
@@ -250,31 +431,84 @@ class DeviceCachedLoop:
 
         self.val = None
         if val_gen is not None and getattr(val_gen, "_cache_x", None) is not None:
-            self.x_val, self.y_val = upload_cache(val_gen._cache_x,
-                                                  val_gen._cache_y, mesh,
-                                                  config=cfg)
             self.n_val = val_gen._cache_x.shape[0]
             self._val_masks = bool(getattr(val_gen, "masks", True))
+            if self.sharded:
+                self.x_val, self.y_val, n_val_padded = upload_cache_sharded(
+                    val_gen._cache_x, val_gen._cache_y, mesh, config=cfg)
+                self._plan_sharded_eval(val_gen, n_val_padded, cfg, mesh)
+            else:
+                self.x_val, self.y_val = upload_cache(
+                    val_gen._cache_x, val_gen._cache_y, mesh, config=cfg)
             self._eval_step = make_cached_eval_step(
                 trainer.model, trainer.loss_fn, trainer.metrics, cfg, mesh,
-                masks=self._val_masks)
+                masks=self._val_masks, cache_sharded=self.sharded)
             self._eval_step_partial = None  # compiled on first remainder use
             self.val = True
         self._idx_sharding = NamedSharding(mesh, P(DATA_AXIS))
-        logging.info("device cache: %d train / %s val examples resident in HBM",
-                     self.n_train, self.n_val if self.val else "no")
+        logging.info(
+            "device cache: %d train / %s val examples resident in HBM (%s)",
+            self.n_train, self.n_val if self.val else "no",
+            f"example-sharded over {self.n_shards} devices" if self.sharded
+            else "replicated")
+
+    def _plan_sharded_eval(self, val_gen, n_val_padded: int, cfg,
+                           mesh: Mesh) -> None:
+        """Eval coverage plan for an example-sharded val cache: full batches
+        walk the same local-row range on every shard; every REAL example not
+        covered that way (per-shard leftovers + wrap-padding displacing real
+        rows) forms ONE host-prepared tail batch, uploaded replicated once
+        (it is deterministic) and evaluated by the replicated-index twin.
+        Each real example is counted exactly once; padding rows never are."""
+        steps, tail_global = sharded_eval_plan(
+            self.n_val, n_val_padded, self.n_shards, self.local_batch)
+        self._val_steps = steps
+        self._val_tail_n = len(tail_global)
+        if tail_global:
+            x_tail, y_tail = _pack_arrays(val_gen._cache_x[tail_global],
+                                          val_gen._cache_y[tail_global], cfg)
+            repl = NamedSharding(mesh, P())
+            self._val_tail = (jax.device_put(x_tail, repl),
+                              jax.device_put(y_tail, repl))
 
     def _build_train_step(self) -> None:
         t = self.trainer
         self._step_optimizer = t.optimizer
         self._train_step = make_cached_train_step(
             t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
-            self._augment, masks=self._masks)
+            self._augment, masks=self._masks, cache_sharded=self.sharded)
 
     def _epoch_indices(self, n: int, shuffle: bool) -> np.ndarray:
         idxs = self.rng.permutation(n) if shuffle else np.arange(n)
         n_batches = n // self.batch
         return idxs[:n_batches * self.batch].reshape(n_batches, self.batch)
+
+    def _epoch_indices_sharded(self) -> np.ndarray:
+        """[steps, BATCH] matrix of LOCAL row ids: each shard's column block
+        is an independent per-epoch permutation of its local rows, so every
+        example is visited exactly once per epoch (stratified batches:
+        B/n_shards examples per shard per step)."""
+        steps = self._local_n_train // self.local_batch
+        cols = [self.rng.permutation(self._local_n_train)
+                [:steps * self.local_batch].reshape(steps, self.local_batch)
+                for _ in range(self.n_shards)]
+        return np.concatenate(cols, axis=1)
+
+    def _maybe_reshuffle(self) -> None:
+        """CACHE_RESHUFFLE_EPOCHS=k: every k epochs re-randomize the
+        example->shard assignment with one donated permutation gather
+        (ICI collectives) — decorrelates batch composition across epochs."""
+        if (not self.sharded or not self._reshuffle_epochs
+                or self._epochs_run == 0
+                or self._epochs_run % self._reshuffle_epochs):
+            return
+        if self._reshuffler is None:
+            self._reshuffler = make_cache_reshuffler(self.trainer.mesh)
+        perm = jax.device_put(
+            self.rng.permutation(self._n_train_padded).astype(np.int32),
+            NamedSharding(self.trainer.mesh, P()))
+        self.x_train, self.y_train = self._reshuffler(
+            self.x_train, self.y_train, perm)
 
     def run_train_epoch(self) -> Dict[str, float]:
         t = self.trainer
@@ -284,7 +518,12 @@ class DeviceCachedLoop:
             # closes over the old optax transform, so rebuild it before the
             # stale update hits the fresh opt_state
             self._build_train_step()
-        batches = self._epoch_indices(self.n_train, shuffle=True)
+        if self.sharded:
+            self._maybe_reshuffle()
+            self._epochs_run += 1
+            batches = self._epoch_indices_sharded()
+        else:
+            batches = self._epoch_indices(self.n_train, shuffle=True)
         if len(batches) == 0:
             raise ValueError(
                 f"device-cached epoch is empty: {self.n_train} examples < "
@@ -303,6 +542,32 @@ class DeviceCachedLoop:
             lambda *xs: jnp.mean(jnp.stack(xs)), *step_logs)
         return {k: float(v) for k, v in jax.device_get(mean_logs).items()}
 
+    def _eval_tail_twin(self, step_logs, weights) -> None:
+        """Evaluate the leftover examples through the replicated-index twin
+        (no batch-divides-mesh constraint; redundant on every device, free
+        at remainder size)."""
+        t = self.trainer
+        if self.sharded:
+            n_tail = self._val_tail_n
+            if not n_tail:
+                return
+            x_tail, y_tail = self._val_tail
+            idxs = np.arange(n_tail, dtype=np.int32)
+        else:
+            n_tail = self.n_val % self.batch
+            if not n_tail:
+                return
+            x_tail, y_tail = self.x_val, self.y_val
+            idxs = np.arange(self.n_val - n_tail, self.n_val, dtype=np.int32)
+        if self._eval_step_partial is None:
+            self._eval_step_partial = make_cached_eval_step(
+                t.model, t.loss_fn, t.metrics, t.config, t.mesh,
+                masks=self._val_masks, shard_batch_axis=False)
+        step_logs.append(self._eval_step_partial(
+            t.state, x_tail, y_tail,
+            jax.device_put(idxs, NamedSharding(t.mesh, P()))))
+        weights.append(float(n_tail))
+
     def run_eval_epoch(self) -> Dict[str, float]:
         """Evaluate ALL validation examples. Full batches run through the
         batch-sharded eval program; the remainder (which keras/reference
@@ -312,22 +577,21 @@ class DeviceCachedLoop:
         example-weighted mean, still one host sync per epoch."""
         t = self.trainer
         step_logs, weights = [], []
-        for idxs in self._epoch_indices(self.n_val, shuffle=False):
-            idxs_dev = jax.device_put(idxs.astype(np.int32), self._idx_sharding)
+        if self.sharded:
+            covered = self._val_steps * self.local_batch
+            batches = [np.tile(np.arange(s * self.local_batch,
+                                         (s + 1) * self.local_batch,
+                                         dtype=np.int32), self.n_shards)
+                       for s in range(self._val_steps)] if covered else []
+        else:
+            batches = list(self._epoch_indices(self.n_val, shuffle=False))
+        for idxs in batches:
+            idxs_dev = jax.device_put(np.asarray(idxs, np.int32),
+                                      self._idx_sharding)
             step_logs.append(self._eval_step(t.state, self.x_val,
                                              self.y_val, idxs_dev))
             weights.append(float(len(idxs)))
-        remainder = self.n_val % self.batch
-        if remainder:
-            if self._eval_step_partial is None:
-                self._eval_step_partial = make_cached_eval_step(
-                    t.model, t.loss_fn, t.metrics, t.config, t.mesh,
-                    masks=self._val_masks, shard_batch_axis=False)
-            tail = np.arange(self.n_val - remainder, self.n_val, dtype=np.int32)
-            step_logs.append(self._eval_step_partial(
-                t.state, self.x_val, self.y_val,
-                jax.device_put(tail, NamedSharding(t.mesh, P()))))
-            weights.append(float(remainder))
+        self._eval_tail_twin(step_logs, weights)
         if not step_logs:
             return {}
         w = jnp.asarray(weights)

@@ -67,19 +67,26 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
     fold_cfg["EXP_PATH"] = fold_root  # per-fold artifacts under f<k>/
     callbacks = get_callbacks(fold_cfg, sample_batches=sample_batches)
     logging.info("start training")
-    from cmrtpu.train.device_cache import fits_device_cache
+    from cmrtpu.train.device_cache import cache_shards, fits_device_cache
+    n_shards = cache_shards(cfg, trainer.mesh)
     cache_ok = (getattr(batch_generator, "_cache_x", None) is not None
                 and fits_device_cache(cfg, batch_generator._cache_x,
-                                      batch_generator._cache_y))
+                                      batch_generator._cache_y,
+                                      n_shards=n_shards))
     if cache_ok:
-        # device-cached hot loop: dataset resident in HBM, fused per-step
-        # gather+[hist-match]+augment+train (host streaming only when the
-        # in-memory cache is off or doesn't fit HBM)
+        # device-cached hot loop: dataset resident in HBM (replicated, or
+        # example-sharded over the mesh under CACHE_SHARDED — aggregate
+        # capacity then scales with the chip count), fused per-step
+        # gather+[hist-match]+augment+train
         trainer.fit_cached(batch_generator, val_gen=validation_generator,
                            epochs=C.get(cfg, "EPOCHS", 100), callbacks=callbacks)
     else:
-        trainer.fit(batch_generator, val_data=validation_generator,
-                    epochs=C.get(cfg, "EPOCHS", 100), callbacks=callbacks)
+        # packed host-streaming fallback: deterministic stage streamed in
+        # storage dtypes (bf16/uint8, 4x fewer bytes over the host link),
+        # stochastic stage fused into the train step on device
+        trainer.fit_streamed(batch_generator, val_gen=validation_generator,
+                             epochs=C.get(cfg, "EPOCHS", 100),
+                             callbacks=callbacks)
 
     try:
         from cmrtpu.predict.predictor import pred_fold

@@ -1,0 +1,119 @@
+"""Packed host-streaming training: the fallback when the dataset exceeds
+even the SHARDED HBM cache (cmrtpu/train/device_cache.py).
+
+The reference streams finalized float32 batches through a keras prefetch
+queue (ref: src/models/train_model.py:105-112). Measured on the target
+hardware, per-step float32 uploads interleaved with compute collapse to
+25-50 MB/s — at 600 KB per finalized slice that is the observed ~160
+slices/s/chip. This path instead moves the stochastic stage INTO the train
+step and streams the deterministic stage's output in packed storage dtypes:
+
+    host:   gather cached rows -> pack (bf16 images, uint8 masks)  [150 KB/slice]
+    async:  device_put batch-sharded over the 'data' mesh axis (double
+            buffered, cmrtpu/parallel/prefetch.py)
+    device: ONE fused XLA program: unpack -> [hist-match] -> augment ->
+            normalise/heatmaps -> fwd -> loss -> bwd -> adam
+
+4x fewer bytes over the host link than finalized f32 (x: 4->2 bytes/px and
+no separate y channel tensor: the flat uint8 label map expands to channels
+on device), so the same interconnect sustains ~4x the slice rate.
+
+Implementation note: the fused step IS ``make_cached_train_step(...,
+cache_sharded=True)`` where the "cache" is the current batch itself and the
+per-device gather is the identity over its local rows — one code path for
+cached, sharded-cached and streamed training, one compiled program per
+shape.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cmrtpu import config as C
+from cmrtpu.parallel.mesh import DATA_AXIS
+from cmrtpu.parallel.prefetch import prefetch_to_device
+from cmrtpu.train.device_cache import (make_cached_eval_step,
+                                       make_cached_train_step)
+
+
+class StreamedLoop:
+    """Drives epochs over packed host-streamed batches for a Trainer."""
+
+    def __init__(self, trainer, train_gen, val_gen=None):
+        self.trainer = trainer
+        cfg = trainer.config
+        self.mesh = trainer.mesh
+        self.train_gen = train_gen
+        self.val_gen = val_gen
+        self.batch = int(C.get(cfg, "BATCHSIZE", 32) or 0)
+        n_shards = int(self.mesh.shape[DATA_AXIS])
+        assert self.batch % n_shards == 0, (
+            f"BATCHSIZE {self.batch} must divide the data-mesh size")
+        local_batch = self.batch // n_shards
+        # identity local gather: row r of each device's batch shard
+        self._idxs = jax.device_put(
+            np.tile(np.arange(local_batch, dtype=np.int32), n_shards),
+            NamedSharding(self.mesh, P(DATA_AXIS)))
+        self._augment = bool(C.get(cfg, "AUGMENT", False))
+        self._masks = bool(getattr(train_gen, "masks", True))
+        self._build_train_step()
+        self._eval_step = None
+        depth = int(C.get(cfg, "PREFETCH_DEPTH", 2))
+        queue_size = C.get(cfg, "QUEUE_SIZE")
+        self._depth = min(depth, int(queue_size)) if queue_size else depth
+        logging.info("streamed loop: packed batches (%s images, %s masks), "
+                     "prefetch depth %d",
+                     C.get(cfg, "STREAM_DTYPE", "bfloat16"),
+                     "uint8-packed" if True else "float32", self._depth)
+
+    def _build_train_step(self) -> None:
+        t = self.trainer
+        self._step_optimizer = t.optimizer
+        self._train_step = make_cached_train_step(
+            t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
+            self._augment, masks=self._masks, cache_sharded=True)
+
+    def _batches(self, gen):
+        for i in range(len(gen)):
+            yield gen.raw_batch(i)
+
+    def run_train_epoch(self) -> Dict[str, float]:
+        t = self.trainer
+        if self._step_optimizer is not t.optimizer:
+            self._build_train_step()  # optimizer swapped mid-training
+        sums: Dict[str, float] = {}
+        count = 0
+        for imgs, msks in prefetch_to_device(self._batches(self.train_gen),
+                                             self.mesh, depth=self._depth):
+            t.state, logs = self._train_step(t.state, imgs, msks,
+                                             self._idxs, t.rng)
+            logs = jax.device_get(logs)
+            for key, value in logs.items():
+                sums[key] = sums.get(key, 0.0) + float(value)
+            count += 1
+        if hasattr(self.train_gen, "on_epoch_end"):
+            self.train_gen.on_epoch_end()
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def run_eval_epoch(self) -> Dict[str, float]:
+        t = self.trainer
+        if self._eval_step is None:
+            self._eval_step = make_cached_eval_step(
+                t.model, t.loss_fn, t.metrics, t.config, t.mesh,
+                masks=bool(getattr(self.val_gen, "masks", True)),
+                cache_sharded=True)
+        sums: Dict[str, float] = {}
+        count = 0
+        for imgs, msks in prefetch_to_device(self._batches(self.val_gen),
+                                             self.mesh, depth=self._depth):
+            logs = jax.device_get(self._eval_step(t.state, imgs, msks,
+                                                  self._idxs))
+            for key, value in logs.items():
+                sums[key] = sums.get(key, 0.0) + float(value)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}

@@ -232,6 +232,49 @@ class Trainer:
             self._end_callbacks(callbacks)
         return self.history
 
+    def fit_streamed(self, train_gen, val_gen=None, epochs: Optional[int] = None,
+                     callbacks: Optional[List[Callback]] = None,
+                     initial_epoch: int = 0) -> List[Dict[str, float]]:
+        """Train from packed host-streamed batches (see cmrtpu/train/
+        streaming.py): the deterministic stage streams in storage dtypes
+        (bf16 images / uint8 masks — 4x fewer bytes over the host link than
+        finalized float32), the stochastic stage runs fused inside the train
+        step. The fallback for datasets exceeding even the sharded HBM
+        cache. Same callback protocol as ``fit``/``fit_cached``."""
+        from cmrtpu.train.streaming import StreamedLoop
+
+        stream_key = (train_gen, val_gen)
+        if getattr(self, "_streamed_loop_key", None) is not stream_key:
+            self._streamed_loop = StreamedLoop(self, train_gen, val_gen)
+            self._streamed_loop_key = stream_key
+        loop = self._streamed_loop
+        epochs = epochs or C.get(self.config, "EPOCHS", 100)
+        callbacks = callbacks or []
+        self.stop_training = False
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
+                for cb in callbacks:
+                    cb.on_epoch_begin(self, epoch)
+                logs = loop.run_train_epoch()
+                if val_gen is not None:
+                    logs.update({f"val_{k}": v
+                                 for k, v in loop.run_eval_epoch().items()})
+                logs["epoch_time"] = time.time() - t0
+                self.history.append(logs)
+                for cb in callbacks:
+                    cb.on_epoch_end(self, epoch, logs)
+                logging.info("epoch %d/%d %s", epoch + 1, epochs,
+                             " ".join(f"{k}={v:.4f}"
+                                      for k, v in sorted(logs.items())))
+                if self.stop_training:
+                    break
+        finally:
+            self._end_callbacks(callbacks)
+        return self.history
+
     def predict(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x)
         # pad to a multiple of the data-axis size so the batch shards evenly

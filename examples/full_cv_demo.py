@@ -152,6 +152,14 @@ def main():
     parser.add_argument("--batch", type=int, default=0,
                         help="0 = auto: min(128, one fold's train slices)")
     parser.add_argument("--skip-generate", action="store_true")
+    # published experiment arms (BASELINE.md Tab.1/2): base, Var.1
+    # (hist-matching), Var.2 (GAUS sigma=2, the default here), Var.3 (sigma=4)
+    parser.add_argument("--sigma", type=float, default=2,
+                        help="Gaussian GT-heatmap sigma (Var.2=2, Var.3=4)")
+    parser.add_argument("--no-gaus", action="store_true",
+                        help="binary GT targets (the published Base arm)")
+    parser.add_argument("--hist-matching", action="store_true",
+                        help="enable the Var.1 histogram-matching arm")
     args = parser.parse_args()
 
     # a fold trains on ~3/4 of the patients x 2 phases x 8 slices; the batch
@@ -180,7 +188,8 @@ def main():
         "MIXED_PRECISION": True, "USE_UPSAMPLE": False,
         "AUGMENT": True, "AUGMENT_PROB": 0.8, "RANDOMROTATE": True,
         "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True,
-        "GAUS": True, "SIGMA": 2,
+        "GAUS": not args.no_gaus, "SIGMA": args.sigma,
+        "HIST_MATCHING": args.hist_matching,
         "SCALER": "MinMax", "CC_FILTER": True,
         "EARLY_STOPPING_PATIENCE": args.epochs,
         "MONITOR_FUNCTION": "val_loss", "SAVE_MODEL_FUNCTION": "val_loss",

@@ -147,9 +147,10 @@ def test_train_fold_falls_back_when_cache_too_big(tmp_path, monkeypatch, gens):
     called = {}
     monkeypatch.setattr(Trainer, "fit_cached",
                         lambda self, *a, **k: called.setdefault("cached", True))
-    orig_fit = Trainer.fit
-    monkeypatch.setattr(Trainer, "fit",
-                        lambda self, *a, **k: called.setdefault("stream", True) and orig_fit(self, *a, **k))
+    orig_stream = Trainer.fit_streamed
+    monkeypatch.setattr(Trainer, "fit_streamed",
+                        lambda self, *a, **k: called.setdefault("stream", True)
+                        and orig_stream(self, *a, **k))
     data_dir = os.path.dirname(train.images[0])
     run_cfg = dict(cfg, EPOCHS=1, DATA_PATH_SAX=data_dir, DF_FOLDS=df_path,
                    EXPERIMENT="bigcache", DEVICE_CACHE_LIMIT_GB=1e-9,
@@ -281,10 +282,13 @@ def test_cache_dtype_bf16_and_uint8_mask_packing(gens):
     # size estimate matches the packed layout
     assert _packed_nbytes(cfg, x, y) == x.size * 2 + y.size
     assert fits_device_cache(cfg, x, y)
-    # non-exact float masks must NOT pack
+    # non-exact float masks must NOT pack — neither at upload nor in the
+    # size estimate (an uint8 estimate for a float-stored target would
+    # under-count 4x and admit HBM-overflowing caches)
     y_frac = y + 0.5
     _, dy2 = upload_cache(x, y_frac, mesh, config=cfg)
     assert dy2.dtype == np.float32
+    assert _packed_nbytes(cfg, x, y_frac) == x.size * 2 + y_frac.nbytes
 
     # end-to-end: the cached loop trains on the packed cache
     train2 = DataGenerator(train.images, train.labels, config=cfg)
@@ -305,3 +309,99 @@ def test_small_validation_set_still_yields_val_logs(gens, tmp_path):
     trainer = Trainer(cfg)
     hist = trainer.fit_cached(train, val_gen=small_val, epochs=2)
     assert "val_loss" in hist[-1] and np.isfinite(hist[-1]["val_loss"])
+
+
+# ---------------------------------------------------------------------------
+# CACHE_SHARDED: example-sharded HBM cache (capacity scales with the mesh)
+# ---------------------------------------------------------------------------
+
+def test_sharded_eval_plan_exact_coverage():
+    """Every real example is covered exactly once (full batches + tail),
+    padding rows never — across shard/batch/pad geometries including
+    padding that spans multiple shards."""
+    from cmrtpu.train.device_cache import sharded_eval_plan
+
+    for n_real, n_shards, local_batch in [
+            (13, 8, 1), (21, 8, 2), (64, 8, 2), (5, 8, 1), (100, 4, 8),
+            (31, 2, 4), (8, 8, 1), (9, 8, 4), (3, 8, 2)]:
+        n_padded = -(-n_real // n_shards) * n_shards
+        steps, tail = sharded_eval_plan(n_real, n_padded, n_shards,
+                                        local_batch)
+        local_n = n_padded // n_shards
+        covered = [d * local_n + r for d in range(n_shards)
+                   for r in range(steps * local_batch)]
+        seen = covered + list(tail)
+        assert sorted(seen) == list(range(n_real)), (
+            f"coverage broken for n={n_real} shards={n_shards} "
+            f"lb={local_batch}: {sorted(seen)}")
+
+
+def test_sharded_cache_loop_trains_and_evals(gens):
+    """CACHE_SHARDED end-to-end on the 8-device mesh: wrap-padded sharded
+    upload, per-shard epoch permutations, communication-free gather + fused
+    augment/hist/train, exact eval incl. the host-prepared tail twin, and
+    the periodic ICI reshuffle."""
+    import jax
+    from cmrtpu.parallel.mesh import create_mesh
+    from cmrtpu.train.device_cache import DeviceCachedLoop
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    train, val, cfg = gens
+    # deterministic configuration for the convergence assertion (augment /
+    # hist-matching in the sharded step are compile-pinned by
+    # tests/test_sharding.py's compiled_sharded_step fixture)
+    cfg = dict(cfg, BATCHSIZE=8, CACHE_SHARDED=True,
+               CACHE_RESHUFFLE_EPOCHS=2, AUGMENT=False)
+    train2 = DataGenerator(train.images, train.labels, config=cfg)
+    mesh = create_mesh(cfg)
+    assert int(mesh.shape["data"]) == 8
+    trainer = Trainer(cfg, mesh=mesh)
+    loop = DeviceCachedLoop(trainer, train2, val)
+    assert loop.sharded and loop.n_shards == 8
+    # the sharded cache really is example-sharded: each device holds 1/8
+    shard_rows = [s.data.shape[0] for s in loop.x_train.addressable_shards]
+    assert len(shard_rows) == 8
+    assert all(rows == loop._local_n_train for rows in shard_rows)
+    losses = []
+    for _ in range(12):
+        logs = loop.run_train_epoch()
+        elogs = loop.run_eval_epoch()
+        assert np.isfinite(logs["loss"]) and np.isfinite(elogs["loss"])
+        losses.append(logs["loss"])
+    assert losses[-1] < losses[0]
+
+
+def test_cache_reshuffler_matches_host_permutation():
+    """The donated permutation-gather program re-assigns examples to shards
+    exactly like the host-side permutation would."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cmrtpu.parallel.mesh import create_mesh
+    from cmrtpu.train.device_cache import (make_cache_reshuffler,
+                                           upload_cache_sharded)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = create_mesh(devices=jax.devices()[:8])
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 6, 6)).astype(np.float32)
+    y = (rng.random((16, 6, 6)) > 0.5).astype(np.float32)
+    dx, dy, n_padded = upload_cache_sharded(x, y, mesh)
+    assert n_padded == 16
+    perm = rng.permutation(16).astype(np.int32)
+    reshuffle = make_cache_reshuffler(mesh)
+    nx, ny = reshuffle(dx, dy, jax.device_put(perm, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(np.asarray(jax.device_get(nx)), x[perm])
+    np.testing.assert_allclose(np.asarray(jax.device_get(ny)), y[perm])
+
+
+def test_fits_device_cache_scales_with_shards():
+    """Aggregate capacity grows linearly with the shard count (the whole
+    point of CACHE_SHARDED: a v5e-8 holds 8x one chip's budget)."""
+    from cmrtpu.train.device_cache import fits_device_cache
+
+    x = np.zeros((512, 64, 64), np.float32)  # 8 MiB f32 + 2 MiB uint8-packed
+    tight = {"DEVICE_CACHE_LIMIT_GB": 1 / 512}  # 2 MiB per-device budget
+    assert not fits_device_cache(tight, x, x)
+    assert fits_device_cache(tight, x, x, n_shards=8)  # 16 MiB aggregate

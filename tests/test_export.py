@@ -30,3 +30,57 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     live = np.asarray(trainer.predict(x))
     np.testing.assert_allclose(served, live, atol=1e-5)
     assert served.min() >= 0.0 and served.max() <= 1.0
+
+
+def test_fold_batch_norm_exact_equality(tmp_path):
+    """Folded-BN weights on the BN-less twin model must reproduce the live
+    BN model's inference outputs (BN_FIRST ordering: conv->BN->act, where
+    the frozen BN is an affine rewrite of the conv)."""
+    import jax
+    from cmrtpu.models.hybrids import get_model
+    from cmrtpu.predict.export import fold_batch_norm
+
+    cfg = dict(CFG, BN_FIRST=True, MIXED_PRECISION=False, BATCHSIZE=4)
+    trainer = Trainer(cfg)
+    # non-trivial BN statistics: run a few train steps so mean/var move
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 32, 32, 1)).astype(np.float32)
+    y = (rng.random((4, 32, 32, 2)) > 0.9).astype(np.float32)
+    trainer.fit([(x, y)], epochs=3)
+
+    live = np.asarray(trainer.predict(x))
+    folded_cfg, folded_params = fold_batch_norm(
+        cfg, trainer.state.params, trainer.state.batch_stats)
+    assert folded_cfg["BATCH_NORMALISATION"] is False
+    twin = get_model(folded_cfg)
+    folded = np.asarray(jax.device_get(twin.apply(
+        {"params": folded_params}, x, train=False)))
+    np.testing.assert_allclose(folded, live, atol=2e-6)
+
+    # the default conv->act->BN ordering must refuse (non-affine fold)
+    import pytest
+    with pytest.raises(ValueError, match="BN_FIRST"):
+        fold_batch_norm(dict(cfg, BN_FIRST=False), trainer.state.params,
+                        trainer.state.batch_stats)
+
+
+def test_export_with_folded_bn(tmp_path):
+    """fold_bn=True exports a BN-less artifact that serves the same
+    function."""
+    from cmrtpu.predict.export import (export_model, load_exported,
+                                       load_exported_weights)
+
+    cfg = dict(CFG, BN_FIRST=True, MIXED_PRECISION=False)
+    trainer = Trainer(cfg)
+    model_dir = str(tmp_path / "model")
+    ckpt.save_weights(model_dir, trainer.state.params,
+                      trainer.state.batch_stats)
+    out = str(tmp_path / "exported_folded")
+    export_model(cfg, model_dir, out, batch=4, fold_bn=True)
+    fn, meta = load_exported(out)
+    params, batch_stats = load_exported_weights(out)
+    assert not batch_stats  # folded away
+    x = np.random.default_rng(1).normal(size=(4, 32, 32, 1)).astype(np.float32)
+    served = np.asarray(fn({"params": params, "batch_stats": {}}, x))
+    live = np.asarray(trainer.predict(x))
+    np.testing.assert_allclose(served, live, atol=1e-5)

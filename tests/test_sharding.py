@@ -78,3 +78,61 @@ def test_state_stays_replicated_and_logs_scalar(compiled_step):
         spec = getattr(s, "spec", None)
         assert spec is not None and all(axis is None for axis in spec), (
             f"non-replicated output sharding {s}")
+
+
+# ---------------------------------------------------------------------------
+# CACHE_SHARDED contract: the example-sharded cache gather must ALSO be
+# communication-free (each device gathers its per-step rows from its local
+# shard; hist-matching runs shard-locally) — only the gradient all-reduce
+# crosses devices.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def compiled_sharded_step():
+    from cmrtpu.train.device_cache import upload_cache_sharded
+
+    cfg = dict(CFG, CACHE_SHARDED=True, HIST_MATCHING=True)
+    mesh = create_mesh(devices=jax.devices()[:8])
+    trainer = Trainer(cfg, mesh=mesh)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 32, 32)).astype(np.float32)
+    y = (rng.random((64, 32, 32)) > 0.9).astype(np.float32)
+    data_x, data_y, n_padded = upload_cache_sharded(x, y, mesh)
+    assert n_padded == 64
+    step = make_cached_train_step(trainer.model, trainer.optimizer,
+                                  trainer.loss_fn, {}, cfg, mesh,
+                                  augment=True, cache_sharded=True)
+    # local row ids: each device's block indexes its OWN 8-row shard
+    idxs = jax.device_put(np.tile(np.arange(2, dtype=np.int32), 8),
+                          NamedSharding(mesh, P("data")))
+    lowered = step.lower(trainer.state, data_x, data_y, idxs, trainer.rng)
+    return lowered.compile()
+
+
+def test_sharded_cache_gradients_all_reduced(compiled_sharded_step):
+    hlo = compiled_sharded_step.as_text()
+    assert re.search(r"all-reduce", hlo), (
+        "no all-reduce in the sharded-cache train step: gradients are not "
+        "being combined across the data-parallel mesh")
+
+
+def test_sharded_cache_gather_is_communication_free(compiled_sharded_step):
+    """The capacity win of CACHE_SHARDED must not be paid back in ICI: the
+    local-shard gather (and the shard-local hist-matching) introduce NO
+    gather-style collectives on top of the replicated-cache baseline."""
+    hlo = compiled_sharded_step.as_text()
+    for bad in ("all-gather", "all-to-all", "collective-permute"):
+        assert not re.search(bad, hlo), (
+            f"unexpected {bad} in the sharded-cache train step: the local "
+            "gather is leaking cross-device traffic")
+
+
+def test_sharded_cache_state_replicated(compiled_sharded_step):
+    out_shardings = jax.tree_util.tree_leaves(
+        compiled_sharded_step.output_shardings,
+        is_leaf=lambda s: isinstance(s, jax.sharding.Sharding))
+    assert out_shardings
+    for s in out_shardings:
+        spec = getattr(s, "spec", None)
+        assert spec is not None and all(axis is None for axis in spec), (
+            f"non-replicated output sharding {s}")

@@ -1,0 +1,101 @@
+"""Packed host-streaming path: raw_batch packing, the fused streamed step,
+and semantic agreement with the device-cached path.
+
+(ref queue model being replaced: src/models/train_model.py:105-112)
+"""
+
+import numpy as np
+import pytest
+
+from cmrtpu.io import MedicalImage, write_image
+from cmrtpu.pipeline.generator import DataGenerator
+from cmrtpu.train.trainer import Trainer
+
+
+@pytest.fixture
+def gens(tmp_path):
+    rng = np.random.default_rng(1)
+    xs, ys = [], []
+    for i in range(16):
+        img = rng.normal(size=(24, 24)).astype(np.float32)
+        msk = np.zeros((24, 24), np.uint8)
+        msk[8:11, 6:9] = 1
+        msk[16:19, 12:15] = 2
+        xp = str(tmp_path / f"patient{i:03d}__t01_z0_img.nrrd")
+        yp = str(tmp_path / f"patient{i:03d}__t01_z0_msk.nrrd")
+        write_image(MedicalImage(array=img, spacing=(1.4, 1.4)), xp)
+        write_image(MedicalImage(array=msk, spacing=(1.4, 1.4)), yp)
+        xs.append(xp)
+        ys.append(yp)
+    cfg = {"DIM": [24, 24], "BATCHSIZE": 4, "MASK_VALUES": [1, 2],
+           "MASK_CLASSES": 2, "DEPTH": 1, "FILTERS": 2, "SEED": 0,
+           "LEARNING_RATE": 1e-3, "MIXED_PRECISION": False,
+           "AUGMENT": False, "RESAMPLE": False, "SHUFFLE": False}
+    train = DataGenerator(xs[:12], ys[:12], config=cfg)
+    val = DataGenerator(xs[12:], ys[12:], config=cfg)
+    return train, val, cfg
+
+
+def test_raw_batch_packs_storage_dtypes(gens):
+    """raw_batch moves bf16 images + uint8 masks — 4x fewer bytes than the
+    finalized float32 tensors the naive streaming path uploads."""
+    import ml_dtypes
+
+    train, _, cfg = gens
+    imgs, msks = train.raw_batch(0)
+    assert imgs.dtype == ml_dtypes.bfloat16
+    assert msks.dtype == np.uint8
+    assert imgs.shape == (4, 24, 24)
+    assert msks.shape == (4, 24, 24)
+    x, y = train[0]  # finalized float32 pair, for the byte comparison
+    packed = imgs.nbytes + msks.nbytes
+    finalized = np.asarray(x).nbytes + np.asarray(y).nbytes
+    assert packed * 3 < finalized  # >3x fewer bytes on the link
+
+    # STREAM_DTYPE='' keeps float32 images (opt-out knob)
+    train2 = DataGenerator(train.images, train.labels,
+                           config=dict(cfg, STREAM_DTYPE=""))
+    imgs2, _ = train2.raw_batch(0)
+    assert imgs2.dtype == np.float32
+
+
+def test_fit_streamed_trains_and_logs(gens):
+    train, val, cfg = gens
+    trainer = Trainer(cfg)
+    hist = trainer.fit_streamed(train, val_gen=val, epochs=12)
+    assert len(hist) == 12
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    assert "val_loss" in hist[-1]
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert int(trainer.state.step) == 12 * (12 // 4)
+
+
+def test_streamed_eval_matches_cached_eval(gens):
+    """With augmentation off, the streamed fused step and the cached step
+    compute the SAME finalized tensors — eval logs on identical batch
+    partitions must agree to float tolerance."""
+    from cmrtpu.train.device_cache import DeviceCachedLoop
+    from cmrtpu.train.streaming import StreamedLoop
+
+    train, val, cfg = gens
+    trainer = Trainer(cfg)
+    cached = DeviceCachedLoop(trainer, train, val)
+    streamed = StreamedLoop(trainer, train, val)
+    a = cached.run_eval_epoch()
+    b = streamed.run_eval_epoch()
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=2e-3, atol=2e-4,
+                                   err_msg=f"metric {k} diverges")
+
+
+def test_streamed_augmented_training_converges(gens):
+    """The full stochastic stage (augment warps) fused into the streamed
+    step still trains."""
+    train, val, cfg = gens
+    cfg = dict(cfg, AUGMENT=True, AUGMENT_PROB=0.5, RANDOMROTATE=True,
+               SHIFTSCALEROTATE=True, SHUFFLE=True)
+    train2 = DataGenerator(train.images, train.labels, config=cfg)
+    trainer = Trainer(cfg)
+    hist = trainer.fit_streamed(train2, epochs=6)
+    assert all(np.isfinite(h["loss"]) for h in hist)
