@@ -101,6 +101,25 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch onto the mesh, split along the leading axis."""
+    """Place a host batch onto the mesh, split along the leading axis.
+
+    Host numpy arrays go through per-device plain ``device_put`` +
+    ``make_array_from_single_device_arrays`` instead of a single
+    sharding-destination ``device_put``: measured on the target platform,
+    the NamedSharding destination path transfers at ~25 MB/s while plain
+    per-device puts sustain ~1 GB/s — a 40-60x difference that used to be
+    misattributed to the interconnect itself. Device-resident inputs (or
+    shapes that don't split evenly) keep the sharding-destination path."""
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    devices = list(mesh.devices.flat)
+    n = len(devices)
+
+    def put(x):
+        if isinstance(x, np.ndarray) and x.ndim and x.shape[0] % n == 0:
+            parts = np.split(x, n, axis=0)
+            shards = [jax.device_put(p, d) for p, d in zip(parts, devices)]
+            return jax.make_array_from_single_device_arrays(
+                x.shape, sharding, shards)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -474,9 +474,18 @@ class DeviceCachedLoop:
     def _build_train_step(self) -> None:
         t = self.trainer
         self._step_optimizer = t.optimizer
-        self._train_step = make_cached_train_step(
-            t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
-            self._augment, masks=self._masks, cache_sharded=self.sharded)
+        if C.get(t.config, "GRAD_ALLREDUCE_DTYPE", None):
+            # explicit-collectives variant: gradient all-reduce in the
+            # configured dtype (bf16 halves ICI bytes on a pod) — see
+            # cmrtpu/train/manual_collectives.py for the semantics deltas
+            from cmrtpu.train.manual_collectives import make_manual_train_step
+            self._train_step = make_manual_train_step(
+                t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
+                self._augment, masks=self._masks, cache_sharded=self.sharded)
+        else:
+            self._train_step = make_cached_train_step(
+                t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
+                self._augment, masks=self._masks, cache_sharded=self.sharded)
 
     def _epoch_indices(self, n: int, shuffle: bool) -> np.ndarray:
         idxs = self.rng.permutation(n) if shuffle else np.arange(n)
