@@ -114,14 +114,17 @@ def main():
         float(np.asarray(jax.device_get(logs["loss"])))
         return steps * batch / (time.perf_counter() - t0)
 
-    def measure_streaming(steps=16, warmup=3):
+    def measure_streaming(steps=20, warmup=3):
         """slices/sec of the PACKED host-streaming path: bf16/uint8 batches
-        prefetched host->HBM (double buffered), stochastic stage fused into
-        the train step (cmrtpu/train/streaming.py). This is the fallback for
-        datasets beyond the sharded HBM cache — tracked so regressions on
-        the host link are visible to the driver."""
+        from a numpy-only producer thread, device placement put-ahead on the
+        main thread (the production StreamedLoop design,
+        cmrtpu/train/streaming.py), stochastic stage fused into the train
+        step. This is the fallback for datasets beyond the sharded HBM
+        cache — tracked so regressions on the host link are visible to the
+        driver."""
         import ml_dtypes
-        from cmrtpu.parallel.prefetch import prefetch_to_device
+        from cmrtpu.parallel.mesh import shard_batch
+        from cmrtpu.parallel.prefetch import numpy_prefetch
         from cmrtpu.train.device_cache import make_cached_train_step
         step = make_cached_train_step(trainer.model, trainer.optimizer,
                                       trainer.loss_fn, trainer.metrics,
@@ -130,22 +133,30 @@ def main():
         local_b = batch // n_dev
         idxs = jax.device_put(
             np.tile(np.arange(local_b, dtype=np.int32), n_dev), idx_sharding)
-        x_pack = x_cache.astype(ml_dtypes.bfloat16)
-        y_pack = y_cache.astype(np.uint8)
+        x_pack = np.ascontiguousarray(x_cache.astype(ml_dtypes.bfloat16))
+        y_pack = np.ascontiguousarray(y_cache.astype(np.uint8))
 
         def host_batches(n):
+            host_rng = np.random.default_rng(7)
             for _ in range(n):
-                sel = rng.integers(0, n_cache, batch)
+                sel = host_rng.integers(0, n_cache, batch)
                 yield x_pack[sel], y_pack[sel]
 
+        def run(n, state):
+            pending = None
+            for host_batch in numpy_prefetch(host_batches(n)):
+                dev = shard_batch(host_batch, mesh)  # put-ahead (async)
+                if pending is not None:
+                    state, logs = step(state, *pending, idxs, trainer.rng)
+                pending = dev
+            state, logs = step(state, *pending, idxs, trainer.rng)
+            float(np.asarray(jax.device_get(logs["loss"])))
+            return state
+
         state = jax.device_put(jax.device_get(trainer.state))
-        for imgs, msks in prefetch_to_device(host_batches(warmup), mesh):
-            state, logs = step(state, imgs, msks, idxs, trainer.rng)
-        float(np.asarray(jax.device_get(logs["loss"])))
+        state = run(warmup, state)
         t0 = time.perf_counter()
-        for imgs, msks in prefetch_to_device(host_batches(steps), mesh):
-            state, logs = step(state, imgs, msks, idxs, trainer.rng)
-        float(np.asarray(jax.device_get(logs["loss"])))
+        run(steps, state)
         return steps * batch / (time.perf_counter() - t0)
 
     # flagship: the published Base experiment (augment, no smoothing)

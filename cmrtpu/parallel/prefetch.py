@@ -25,6 +25,65 @@ from cmrtpu.parallel.mesh import shard_batch
 _SENTINEL = object()
 
 
+def numpy_prefetch(data: Iterable, depth: int = 2) -> Iterator:
+    """Background-thread prefetch for HOST work only (decode / gather /
+    packing) — the producer must make NO jax calls. On the tunneled target
+    platform, jax dispatches from non-main threads serialize pathologically
+    against the main thread's step execution (measured 5x slowdown), so the
+    device placement stays on the consumer thread (see
+    cmrtpu/train/streaming.py's put-ahead loop). Exceptions propagate to
+    the consumer; sentinel delivery is deadlock-safe like
+    prefetch_to_device."""
+    if depth <= 0:
+        yield from data
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    err: list = []
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for batch in data:
+                if stop.is_set():
+                    return
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 - propagate to consumer
+            err.append(e)
+        finally:
+            while True:
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        stop.set()
+        while thread.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5)
+
+
 def prefetch_to_device(data: Iterable, mesh: Optional[Mesh],
                        depth: int = 2) -> Iterator:
     """Iterate ``data``, yielding device-resident (sharded) batches, with up

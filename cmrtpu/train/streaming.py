@@ -35,8 +35,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cmrtpu import config as C
-from cmrtpu.parallel.mesh import DATA_AXIS
-from cmrtpu.parallel.prefetch import prefetch_to_device
+from cmrtpu.parallel.mesh import DATA_AXIS, shard_batch
+from cmrtpu.parallel.prefetch import numpy_prefetch
 from cmrtpu.train.device_cache import (make_cached_eval_step,
                                        make_cached_train_step)
 
@@ -82,20 +82,51 @@ class StreamedLoop:
         for i in range(len(gen)):
             yield gen.raw_batch(i)
 
+    def _pipelined(self, gen, consume):
+        """Put-ahead pipeline: a numpy-only producer thread prepares packed
+        batches; the MAIN thread enqueues batch N+1's transfers before
+        dispatching the step on batch N. Two rules this encodes (both
+        measured on the target platform — see docs/ARCHITECTURE.md):
+
+          * jax dispatches from background threads serialize pathologically
+            against main-thread execution, so the device placement must NOT
+            live in the producer (the classic prefetch-thread design runs
+            5x SLOWER here);
+          * device_put only overlaps a step if enqueued BEFORE the step —
+            hence the one-batch put-ahead.
+
+        Returns accumulated per-key scalar sums and the batch count."""
+        sums: Dict[str, float] = {}
+        count = 0
+        pending = None
+        for host_batch in numpy_prefetch(self._batches(gen),
+                                         depth=self._depth):
+            dev_batch = shard_batch(host_batch, self.mesh)  # async enqueue
+            if pending is not None:
+                logs = consume(pending)
+                for key, value in jax.device_get(logs).items():
+                    sums[key] = sums.get(key, 0.0) + float(value)
+                count += 1
+            pending = dev_batch
+        if pending is not None:
+            logs = consume(pending)
+            for key, value in jax.device_get(logs).items():
+                sums[key] = sums.get(key, 0.0) + float(value)
+            count += 1
+        return sums, count
+
     def run_train_epoch(self) -> Dict[str, float]:
         t = self.trainer
         if self._step_optimizer is not t.optimizer:
             self._build_train_step()  # optimizer swapped mid-training
-        sums: Dict[str, float] = {}
-        count = 0
-        for imgs, msks in prefetch_to_device(self._batches(self.train_gen),
-                                             self.mesh, depth=self._depth):
+
+        def consume(batch):
+            imgs, msks = batch
             t.state, logs = self._train_step(t.state, imgs, msks,
                                              self._idxs, t.rng)
-            logs = jax.device_get(logs)
-            for key, value in logs.items():
-                sums[key] = sums.get(key, 0.0) + float(value)
-            count += 1
+            return logs
+
+        sums, count = self._pipelined(self.train_gen, consume)
         if hasattr(self.train_gen, "on_epoch_end"):
             self.train_gen.on_epoch_end()
         return {k: v / max(count, 1) for k, v in sums.items()}
@@ -107,13 +138,10 @@ class StreamedLoop:
                 t.model, t.loss_fn, t.metrics, t.config, t.mesh,
                 masks=bool(getattr(self.val_gen, "masks", True)),
                 cache_sharded=True)
-        sums: Dict[str, float] = {}
-        count = 0
-        for imgs, msks in prefetch_to_device(self._batches(self.val_gen),
-                                             self.mesh, depth=self._depth):
-            logs = jax.device_get(self._eval_step(t.state, imgs, msks,
-                                                  self._idxs))
-            for key, value in logs.items():
-                sums[key] = sums.get(key, 0.0) + float(value)
-            count += 1
+
+        def consume(batch):
+            imgs, msks = batch
+            return self._eval_step(t.state, imgs, msks, self._idxs)
+
+        sums, count = self._pipelined(self.val_gen, consume)
         return {k: v / max(count, 1) for k, v in sums.items()}
