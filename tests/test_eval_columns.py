@@ -2,6 +2,7 @@
 inter-observer, original ventricle masks) present, df_eval.csv must carry
 every column the reference documents (ref: README.md:196-236)."""
 
+import glob
 import os
 
 import numpy as np
@@ -199,3 +200,21 @@ def test_evaluate_cv_save_light_variant(full_exp):
     df2 = evaluate_cv_save(exp, data)
     assert "ant_dist_io" not in df2.columns
     assert "ant_dist_pred" in df2.columns
+
+
+def test_evaluate_cv_save_empty_sources_raises(full_exp, tmp_path):
+    """When even the pred source is skipped (pred/gt counts differ), the
+    failure must name the cause instead of surfacing as pd.concat([])'s
+    ValueError far from it."""
+    import shutil
+    from cmrtpu.eval.evaluate import evaluate_cv_save
+    exp, data = full_exp
+    broken = str(tmp_path / "broken_exp")
+    shutil.copytree(exp, broken)
+    # delete one gt mask: pred/gt counts now differ -> every source skipped
+    gt_files = sorted(glob.glob(os.path.join(broken, "*/*/gt/*msk.nrrd"))) or \
+        sorted(glob.glob(os.path.join(broken, "*/gt/*msk.nrrd")))
+    assert gt_files
+    os.remove(gt_files[0])
+    with pytest.raises(FileNotFoundError, match="file counts differ"):
+        evaluate_cv_save(broken, data)

@@ -84,3 +84,26 @@ def test_export_with_folded_bn(tmp_path):
     served = np.asarray(fn({"params": params, "batch_stats": {}}, x))
     live = np.asarray(trainer.predict(x))
     np.testing.assert_allclose(served, live, atol=1e-5)
+
+
+def test_export_cli_smoke(tmp_path, monkeypatch, capsys):
+    """The export CLI reads a fold dir's config + model and writes the
+    serving artifact."""
+    import json
+    import os
+    from cmrtpu.cli import export as cli_export
+    from cmrtpu.predict.export import load_exported
+
+    trainer = Trainer(CFG)
+    fold_dir = tmp_path / "f0"
+    (fold_dir / "config").mkdir(parents=True)
+    json.dump(CFG, open(fold_dir / "config" / "config.json", "w"))
+    ckpt.save_weights(str(fold_dir / "model"), trainer.state.params,
+                      trainer.state.batch_stats)
+    out = str(tmp_path / "served")
+    monkeypatch.setattr("sys.argv", ["export", "-exp", str(fold_dir),
+                                     "-out", out, "--batch", "2"])
+    cli_export.main()
+    assert "exported serving artifact" in capsys.readouterr().out
+    fn, meta = load_exported(out)
+    assert meta["x_shape"][0] == 2

@@ -34,9 +34,23 @@ def test_template_config_trains(path):
     trainer = Trainer(cfg)
     rng = np.random.default_rng(0)
     x = rng.normal(size=(4, 32, 32, 1)).astype(np.float32)
-    y = np.zeros((4, 32, 32, len(cfg["MASK_VALUES"])), np.float32)
-    y[:, 8:11, 8:11, 0] = 1.0
-    y[:, 20:23, 20:23, 1] = 1.0
+    heads = cfg.get("HEADS") or ()
+    if heads:
+        # multi-head target: concatenated per-head channels in spec order
+        # (binary channels for sigmoid heads, one-hot for softmax heads)
+        parts = []
+        for name, channels, act in heads:
+            if act == "softmax":
+                labels = rng.integers(0, channels, (4, 32, 32))
+                parts.append(np.eye(channels, dtype=np.float32)[labels])
+            else:
+                parts.append((rng.random((4, 32, 32, channels)) > 0.95)
+                             .astype(np.float32))
+        y = np.concatenate(parts, axis=-1)
+    else:
+        y = np.zeros((4, 32, 32, len(cfg["MASK_VALUES"])), np.float32)
+        y[:, 8:11, 8:11, 0] = 1.0
+        y[:, 20:23, 20:23, 1] = 1.0
     trainer.state, logs = trainer.train_step(trainer.state, x, y, trainer.rng)
     assert np.isfinite(float(np.asarray(logs["loss"])))
 
