@@ -107,3 +107,26 @@ def test_export_cli_smoke(tmp_path, monkeypatch, capsys):
     assert "exported serving artifact" in capsys.readouterr().out
     fn, meta = load_exported(out)
     assert meta["x_shape"][0] == 2
+
+
+def test_export_multihead_model(tmp_path):
+    """Multi-head models export and serve: the artifact's callable returns
+    the per-head dict."""
+    from cmrtpu.predict.export import export_model, load_exported, \
+        load_exported_weights
+
+    cfg = dict(CFG, HEADS=[["rvip", 2, "sigmoid"], ["seg", 4, "softmax"]])
+    trainer = Trainer(cfg)
+    model_dir = str(tmp_path / "model")
+    ckpt.save_weights(model_dir, trainer.state.params,
+                      trainer.state.batch_stats)
+    out = str(tmp_path / "exported_mh")
+    export_model(cfg, model_dir, out, batch=2)
+    fn, meta = load_exported(out)
+    params, batch_stats = load_exported_weights(out)
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    served = fn({"params": params, "batch_stats": batch_stats}, x)
+    assert set(served) == {"rvip", "seg"}
+    assert np.asarray(served["rvip"]).shape == (2, 32, 32, 2)
+    np.testing.assert_allclose(np.asarray(served["seg"]).sum(-1), 1.0,
+                               atol=1e-5)

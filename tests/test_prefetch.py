@@ -86,3 +86,53 @@ def test_sentinel_delivered_when_queue_full():
         time.sleep(0.05)
         out.append(item[0])
     assert out == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# numpy_prefetch: host-only background prefetch (no jax in the producer —
+# jax dispatches from threads serialize against main-thread execution on
+# the target platform; see cmrtpu/train/streaming.py)
+# ---------------------------------------------------------------------------
+
+def test_numpy_prefetch_order_and_content():
+    from cmrtpu.parallel.prefetch import numpy_prefetch
+
+    out = list(numpy_prefetch(iter(range(7)), depth=2))
+    assert out == list(range(7))
+    assert list(numpy_prefetch(iter([]), depth=2)) == []
+    assert list(numpy_prefetch(iter(range(3)), depth=0)) == [0, 1, 2]
+
+
+def test_numpy_prefetch_propagates_producer_exception():
+    from cmrtpu.parallel.prefetch import numpy_prefetch
+
+    def bad():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    got = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for item in numpy_prefetch(bad(), depth=2):
+            got.append(item)
+    assert got == [1, 2]
+
+
+def test_numpy_prefetch_consumer_early_exit_stops_producer():
+    from cmrtpu.parallel.prefetch import numpy_prefetch
+
+    produced = []
+
+    def slow():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    it = numpy_prefetch(slow(), depth=2)
+    for item in it:
+        if item == 3:
+            break
+    it.close()
+    time.sleep(0.2)
+    # producer stopped shortly after the consumer left (bounded by depth)
+    assert len(produced) < 100

@@ -24,8 +24,10 @@ def test_template_config_trains(path):
     cfg = C.normalise_config(json.load(open(path)))
     # shrink geometry/model so the step runs in seconds on CPU while keeping
     # every behavioural switch (loss, optimizer, GAUS/SIGMA, HIST_MATCHING,
-    # augmentations, BN settings) from the template
-    cfg.update(DIM=[32, 32], DEPTH=2, FILTERS=4, BATCHSIZE=4,
+    # augmentations, BN settings, 2D-vs-3D rank) from the template
+    ndims = len(cfg["DIM"])
+    dim = [4, 16, 16] if ndims == 3 else [32, 32]
+    cfg.update(DIM=dim, DEPTH=2, FILTERS=4, BATCHSIZE=4,
                MIXED_PRECISION=False, EPOCHS=1)
     model = build_model(cfg)
     variables = init_variables(model, cfg, jax.random.PRNGKey(0))
@@ -33,7 +35,7 @@ def test_template_config_trains(path):
 
     trainer = Trainer(cfg)
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(4, 32, 32, 1)).astype(np.float32)
+    x = rng.normal(size=(4, *dim, 1)).astype(np.float32)
     heads = cfg.get("HEADS") or ()
     if heads:
         # multi-head target: concatenated per-head channels in spec order
@@ -41,16 +43,15 @@ def test_template_config_trains(path):
         parts = []
         for name, channels, act in heads:
             if act == "softmax":
-                labels = rng.integers(0, channels, (4, 32, 32))
+                labels = rng.integers(0, channels, (4, *dim))
                 parts.append(np.eye(channels, dtype=np.float32)[labels])
             else:
-                parts.append((rng.random((4, 32, 32, channels)) > 0.95)
+                parts.append((rng.random((4, *dim, channels)) > 0.95)
                              .astype(np.float32))
         y = np.concatenate(parts, axis=-1)
     else:
-        y = np.zeros((4, 32, 32, len(cfg["MASK_VALUES"])), np.float32)
-        y[:, 8:11, 8:11, 0] = 1.0
-        y[:, 20:23, 20:23, 1] = 1.0
+        y = (rng.random((4, *dim, len(cfg["MASK_VALUES"]))) > 0.95
+             ).astype(np.float32)
     trainer.state, logs = trainer.train_step(trainer.state, x, y, trainer.rng)
     assert np.isfinite(float(np.asarray(logs["loss"])))
 
