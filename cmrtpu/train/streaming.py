@@ -28,6 +28,7 @@ shape.
 from __future__ import annotations
 
 import logging
+from collections import deque
 from typing import Dict, Optional
 
 import jax
@@ -66,10 +67,9 @@ class StreamedLoop:
         depth = int(C.get(cfg, "PREFETCH_DEPTH", 2))
         queue_size = C.get(cfg, "QUEUE_SIZE")
         self._depth = min(depth, int(queue_size)) if queue_size else depth
-        logging.info("streamed loop: packed batches (%s images, %s masks), "
-                     "prefetch depth %d",
-                     C.get(cfg, "STREAM_DTYPE", "bfloat16"),
-                     "uint8-packed" if True else "float32", self._depth)
+        logging.info("streamed loop: packed host batches (STREAM_DTYPE=%s, "
+                     "uint8 mask packing auto-detected), prefetch depth %d",
+                     C.get(cfg, "STREAM_DTYPE", "bfloat16"), self._depth)
 
     def _build_train_step(self) -> None:
         t = self.trainer
@@ -95,24 +95,36 @@ class StreamedLoop:
           * device_put only overlaps a step if enqueued BEFORE the step —
             hence the one-batch put-ahead.
 
+        Per-step logs are NOT fetched synchronously (a device_get after every
+        dispatch stalls the main thread for the whole step and defeats the
+        overlap); instead a bounded window of in-flight step logs provides
+        backpressure — fetching the OLDEST log once the window exceeds the
+        prefetch depth blocks exactly until that step has retired, keeping
+        at most ``depth`` batches of transfers + compute queued on device.
+
         Returns accumulated per-key scalar sums and the batch count."""
         sums: Dict[str, float] = {}
         count = 0
         pending = None
+        inflight: deque = deque()
+
+        def drain(limit: int) -> None:
+            nonlocal count
+            while len(inflight) > limit:
+                for key, value in jax.device_get(inflight.popleft()).items():
+                    sums[key] = sums.get(key, 0.0) + float(value)
+                count += 1
+
         for host_batch in numpy_prefetch(self._batches(gen),
                                          depth=self._depth):
             dev_batch = shard_batch(host_batch, self.mesh)  # async enqueue
             if pending is not None:
-                logs = consume(pending)
-                for key, value in jax.device_get(logs).items():
-                    sums[key] = sums.get(key, 0.0) + float(value)
-                count += 1
+                inflight.append(consume(pending))
+                drain(self._depth)
             pending = dev_batch
         if pending is not None:
-            logs = consume(pending)
-            for key, value in jax.device_get(logs).items():
-                sums[key] = sums.get(key, 0.0) + float(value)
-            count += 1
+            inflight.append(consume(pending))
+        drain(0)
         return sums, count
 
     def run_train_epoch(self) -> Dict[str, float]:
