@@ -115,48 +115,41 @@ def main():
         return steps * batch / (time.perf_counter() - t0)
 
     def measure_streaming(steps=20, warmup=3):
-        """slices/sec of the PACKED host-streaming path: bf16/uint8 batches
-        from a numpy-only producer thread, device placement put-ahead on the
-        main thread (the production StreamedLoop design,
-        cmrtpu/train/streaming.py), stochastic stage fused into the train
-        step. This is the fallback for datasets beyond the sharded HBM
-        cache — tracked so regressions on the host link are visible to the
-        driver."""
+        """slices/sec of the PACKED host-streaming path, measured through
+        the REAL production loop (cmrtpu/train/streaming.py StreamedLoop):
+        bf16/uint8 batches from a numpy-only producer thread, device
+        placement put-ahead on the main thread, stochastic stage fused into
+        the train step, bounded in-flight log window. This is the fallback
+        for datasets beyond the sharded HBM cache — tracked so regressions
+        on the host link are visible to the driver."""
         import ml_dtypes
-        from cmrtpu.parallel.mesh import shard_batch
-        from cmrtpu.parallel.prefetch import numpy_prefetch
-        from cmrtpu.train.device_cache import make_cached_train_step
-        step = make_cached_train_step(trainer.model, trainer.optimizer,
-                                      trainer.loss_fn, trainer.metrics,
-                                      trainer.config, mesh, augment=True,
-                                      cache_sharded=True)
-        local_b = batch // n_dev
-        idxs = jax.device_put(
-            np.tile(np.arange(local_b, dtype=np.int32), n_dev), idx_sharding)
+        from cmrtpu.train.streaming import StreamedLoop
         x_pack = np.ascontiguousarray(x_cache.astype(ml_dtypes.bfloat16))
         y_pack = np.ascontiguousarray(y_cache.astype(np.uint8))
 
-        def host_batches(n):
-            host_rng = np.random.default_rng(7)
-            for _ in range(n):
-                sel = host_rng.integers(0, n_cache, batch)
-                yield x_pack[sel], y_pack[sel]
+        class _PackedGen:
+            """Minimal generator contract StreamedLoop consumes: len() +
+            raw_batch() yielding packed (bf16, uint8) pairs."""
+            masks = True
 
-        def run(n, state):
-            pending = None
-            for host_batch in numpy_prefetch(host_batches(n)):
-                dev = shard_batch(host_batch, mesh)  # put-ahead (async)
-                if pending is not None:
-                    state, logs = step(state, *pending, idxs, trainer.rng)
-                pending = dev
-            state, logs = step(state, *pending, idxs, trainer.rng)
-            float(np.asarray(jax.device_get(logs["loss"])))
-            return state
+            def __init__(self, n_batches):
+                self.n_batches = n_batches
+                self.host_rng = np.random.default_rng(7)
 
-        state = jax.device_put(jax.device_get(trainer.state))
-        state = run(warmup, state)
+            def __len__(self):
+                return self.n_batches
+
+            def raw_batch(self, _):
+                sel = self.host_rng.integers(0, n_cache, batch)
+                return x_pack[sel], y_pack[sel]
+
+        stream_trainer = Trainer(trainer.config, mesh=mesh)
+        loop = StreamedLoop(stream_trainer, _PackedGen(warmup))
+        logs = loop.run_train_epoch()  # compile + warmup epoch
+        assert np.isfinite(logs["loss"])
+        loop.train_gen = _PackedGen(steps)
         t0 = time.perf_counter()
-        run(steps, state)
+        loop.run_train_epoch()  # run_train_epoch drains all step logs
         return steps * batch / (time.perf_counter() - t0)
 
     # flagship: the published Base experiment (augment, no smoothing)
