@@ -260,6 +260,15 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
                     xs.append(T.normalise_image(arr, C.get(cfg, "SCALER")))
             batch = np.stack(xs)[..., None]
             preds = predictor.predict(batch)
+            if isinstance(preds, dict):
+                # multi-head model: 4D inference tracks the landmark head —
+                # the first sigmoid head, same head that owns the ``_msk``
+                # contract in pred_fold (_head_outputs)
+                heads = C.get(cfg, "HEADS") or ()
+                name = next((str(h[0]) for h in heads
+                             if str(h[2]) != "softmax"), None)
+                preds = preds[name] if name in preds \
+                    else next(iter(preds.values()))
             flat = threshold_and_flatten(preds).reshape(t_dim, z_dim, *dim)
             cleaned = np.stack([np.asarray(jax.device_get(
                 clean_prediction_2d_cc(flat[t], (1, 2)))) for t in range(t_dim)])

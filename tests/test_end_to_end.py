@@ -196,3 +196,29 @@ def test_cli_train_smoke(synthetic_root, tmp_path, monkeypatch):
     assert runs
     assert os.path.isfile(os.path.join(runs[0], "config", "config.json"))
     assert os.path.isfile(os.path.join(runs[0], "model_summary.txt"))
+
+
+def test_predict_4d_on_2d_cv(trained_exp, synthetic_root):
+    """4D inference driver (ref: src/models/predict_4d_on_seg.py:23-113):
+    the trained 2D fold predicts a full 4D cine, per-t CC-filtered, and
+    writes one 4D nrrd per test patient file."""
+    from cmrtpu.predict.predictor import predict_4d_on_2d_cv
+
+    df = pd.read_csv(os.path.join(synthetic_root, "df_kfold.csv"))
+    patient = sorted(df[(df["fold"] == 0) &
+                        (df["modality"] == "test")]["patient"].unique())[0]
+    rng = np.random.default_rng(11)
+    vol4d = rng.normal(300, 60, size=(2, 4, 36, 34)).astype(np.float32)
+    vol4d[:, :, 9:12, 7:10] += 400
+    vol4d[:, :, 19:22, 8:11] += 400
+    f4d = os.path.join(synthetic_root, "original", patient,
+                       f"{patient}_4d.nii.gz")
+    write_image(MedicalImage(array=vol4d, spacing=(1.4, 1.4, 8.0, 1.0)), f4d)
+
+    predict_4d_on_2d_cv(trained_exp, synthetic_root)
+    out = glob.glob(os.path.join(trained_exp, "f0", "pred_4d", "*_pred.nrrd"))
+    assert len(out) == 1 and patient in out[0]
+    pred = read_image(out[0])
+    # [t, z, DIM] in the preprocessed grid, flat labels from the 2ch head
+    assert pred.array.shape == (2, 4, 32, 32)
+    assert set(np.unique(pred.array).astype(int)) <= {0, 1, 2}
