@@ -72,9 +72,10 @@ _ACDC_STRUCTURES = {1: "rv", 2: "myo", 3: "lv"}
 
 def _append_seg_dice_columns(df_eval: pd.DataFrame, suffix: str) -> None:
     """Per-structure hard dice between a seg head's pred and gt label masks,
-    one column per foreground label (named rv/myo/lv for the 3-label ACDC
-    case, l<k> otherwise). Missing files yield NaN rows, never missing
-    columns."""
+    one column per foreground label — named rv/myo/lv only when the gt
+    labels are EXACTLY the 3-label ACDC set {1,2,3} (a 2-label landmark-
+    style head must not inherit anatomically wrong rv/myo names), l<k>
+    otherwise. Missing files yield NaN rows, never missing columns."""
     from cmrtpu.train.losses import dice_numpy
 
     pred_col = [_sibling_file(f, suffix) for f in df_eval["files_pred"]]
@@ -90,7 +91,7 @@ def _append_seg_dice_columns(df_eval: pd.DataFrame, suffix: str) -> None:
             labels |= set(np.unique(arrays[(pf, gf)][1]).astype(int)) - {0}
     labels = sorted(labels)
     names = {l: _ACDC_STRUCTURES[l] for l in labels} \
-        if set(labels) <= set(_ACDC_STRUCTURES) else {l: f"l{l}" for l in labels}
+        if set(labels) == set(_ACDC_STRUCTURES) else {l: f"l{l}" for l in labels}
     for label in labels:
         df_eval[f"{suffix}_dice_{names[label]}"] = [
             dice_numpy(arrays[(pf, gf)][1] == label,

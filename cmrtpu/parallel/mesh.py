@@ -111,13 +111,16 @@ def shard_batch(batch, mesh: Mesh):
     misattributed to the interconnect itself. Device-resident inputs (or
     shapes that don't split evenly) keep the sharding-destination path."""
     sharding = batch_sharding(mesh)
-    devices = list(mesh.devices.flat)
-    n = len(devices)
+    n_data = mesh.shape[DATA_AXIS]
 
     def put(x):
-        if isinstance(x, np.ndarray) and x.ndim and x.shape[0] % n == 0:
-            parts = np.split(x, n, axis=0)
-            shards = [jax.device_put(p, d) for p, d in zip(parts, devices)]
+        if isinstance(x, np.ndarray) and x.ndim and x.shape[0] % n_data == 0:
+            # the sharding's own device->index map keeps this correct on 2D
+            # (data x model) meshes too: model-axis replicas receive the same
+            # contiguous axis-0 slice, one plain put per device
+            idx_map = sharding.addressable_devices_indices_map(x.shape)
+            shards = [jax.device_put(x[idx], d)
+                      for d, idx in idx_map.items()]
             return jax.make_array_from_single_device_arrays(
                 x.shape, sharding, shards)
         return jax.device_put(x, sharding)

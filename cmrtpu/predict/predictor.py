@@ -119,6 +119,13 @@ def _head_outputs(cfg: Dict, preds, gts: np.ndarray):
             suffix, msk_taken = "msk", True
         outputs.append((suffix, flatten_head(pred_h, act),
                         flatten_head(gt_h, act), label_values))
+    if not msk_taken:
+        logging.warning(
+            "HEADS=%s has no sigmoid head: no _msk.nrrd is written, so the "
+            "landmark evaluation (which globs *msk.nrrd) will find no "
+            "predictions — add a sigmoid landmark head or evaluate the "
+            "per-head _<name>.nrrd families directly",
+            [h[0] for h in heads])
     return outputs
 
 
@@ -260,18 +267,29 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
                     xs.append(T.normalise_image(arr, C.get(cfg, "SCALER")))
             batch = np.stack(xs)[..., None]
             preds = predictor.predict(batch)
+            act, cc_labels = "sigmoid", (1, 2)
             if isinstance(preds, dict):
                 # multi-head model: 4D inference tracks the landmark head —
                 # the first sigmoid head, same head that owns the ``_msk``
-                # contract in pred_fold (_head_outputs)
-                heads = C.get(cfg, "HEADS") or ()
-                name = next((str(h[0]) for h in heads
-                             if str(h[2]) != "softmax"), None)
+                # contract in pred_fold (_head_outputs). With no sigmoid
+                # head, fall back to the first head's argmax labels.
+                heads = [tuple(h) for h in (C.get(cfg, "HEADS") or ())]
+                head = next((h for h in heads if str(h[2]) != "softmax"),
+                            None)
+                if head is None and heads:
+                    head = heads[0]
+                    act = str(head[2])
+                    cc_labels = tuple(range(1, int(head[1])))
+                    logging.warning(
+                        "predict_4d_on_2d_cv: HEADS has no sigmoid landmark "
+                        "head; using head %r (argmax labels)", head[0])
+                name = str(head[0]) if head else None
                 preds = preds[name] if name in preds \
                     else next(iter(preds.values()))
-            flat = threshold_and_flatten(preds).reshape(t_dim, z_dim, *dim)
+            flat = flatten_head(preds, act).reshape(t_dim, z_dim, *dim)
             cleaned = np.stack([np.asarray(jax.device_get(
-                clean_prediction_2d_cc(flat[t], (1, 2)))) for t in range(t_dim)])
+                clean_prediction_2d_cc(flat[t], cc_labels)))
+                for t in range(t_dim)])
             out = MedicalImage(array=cleaned.astype(np.uint8),
                                spacing=(spacing[0], spacing[1],
                                         vol.spacing[2] if vol.ndim > 2 else 10.0,

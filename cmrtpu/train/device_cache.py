@@ -59,12 +59,22 @@ def cache_nbytes(*arrays: np.ndarray) -> int:
 
 def _uint8_packable(y: np.ndarray) -> bool:
     """True when a float mask packs losslessly to uint8 (exact small
-    non-negative integers only — the same test upload_cache applies)."""
+    non-negative integers only — the same test upload_cache applies).
+
+    Chunked with early exit: a whole-array ``astype`` round-trip would
+    allocate ~2x the (multi-GB) mask cache in transient host RAM just to
+    answer the admission question."""
     if not (np.issubdtype(y.dtype, np.floating) and y.size):
         return False
     if float(y.min()) < 0 or float(y.max()) > 255:
         return False
-    return bool(np.array_equal(y.astype(np.uint8).astype(y.dtype), y))
+    flat = np.ravel(y)
+    step = 1 << 24  # 16M elements (~64 MB f32) of temporaries per chunk
+    for i in range(0, flat.size, step):
+        c = flat[i:i + step]
+        if not np.array_equal(c.astype(np.uint8).astype(c.dtype), c):
+            return False
+    return True
 
 
 def _packed_nbytes(config: Optional[Dict], x: np.ndarray, y: np.ndarray) -> int:

@@ -28,6 +28,10 @@ ref: src/models/Unets.py:70-75):
     dice-family terms it does not (dice is nonlinear across examples) —
     which is exactly what keras MirroredStrategy optimizes for the
     reference's BceDice, so this variant is the closer multi-GPU parity.
+  * HIST_MATCHING (Var.1) matches each device's quota of batch rows
+    against random rows of its LOCAL cache view (shard-local references,
+    like the sharded-cache gather) — same expected 10% fraction, zero
+    extra collectives.
 
 On one chip the knob is a no-op in traffic terms; it exists so multi-chip
 deployments flip ONE config key instead of restructuring the step.
@@ -69,6 +73,17 @@ def make_manual_train_step(model, optimizer, loss_fn: Callable,
     reduce_dtype = str(C.get(cfg, "GRAD_ALLREDUCE_DTYPE",
                              "bfloat16")).lower()
     rd = jnp.bfloat16 if reduce_dtype in ("bfloat16", "bf16") else jnp.float32
+    hist_matching = bool(C.get(cfg, "HIST_MATCHING", False)) and augment
+    hist_prob = float(C.get(cfg, "HIST_MATCHING_PROB", 0.1))
+    hist_bins = int(C.get(cfg, "HIST_MATCHING_BINS", 2048))
+    if hist_matching:
+        from cmrtpu.pipeline.histmatch import (match_histograms_binned_jax,
+                                               match_histograms_jax)
+        if hist_bins > 0:
+            match_fn = lambda s, r: match_histograms_binned_jax(
+                s, r, bins=hist_bins, exclude_zeros=True)
+        else:
+            match_fn = match_histograms_jax
 
     def local_step(state: S.TrainState, dx, dy, ix, rng):
         # everything below sees LOCAL views: dx/dy are this device's cache
@@ -77,6 +92,20 @@ def make_manual_train_step(model, optimizer, loss_fn: Callable,
         axis = jax.lax.axis_index(DATA_AXIS)
         imgs = jnp.take(dx, ix, axis=0).astype(jnp.float32)
         msks = jnp.take(dy, ix, axis=0).astype(jnp.float32)
+        if hist_matching:
+            # Var.1 through the explicit-collectives step: the per-device
+            # quota of rows (batch rows are a uniform epoch draw) matches
+            # against random rows of the LOCAL cache view — the reference's
+            # random-other-image semantics (ref: Generators.py:352)
+            quota = int(round(hist_prob * ix.shape[0]))
+            if quota > 0:
+                hm_key = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.fold_in(rng, 0x415), state.step), axis)
+                ref_idx = jax.random.randint(hm_key, (quota,), 0,
+                                             dx.shape[0])
+                refs = jnp.take(dx, ref_idx, axis=0).astype(jnp.float32)
+                matched = jax.vmap(match_fn)(imgs[:quota], refs)
+                imgs = imgs.at[:quota].set(matched)
         if augment:
             aug_key = jax.random.fold_in(jax.random.fold_in(
                 jax.random.fold_in(rng, 0xA06), state.step), axis)

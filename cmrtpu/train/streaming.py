@@ -74,13 +74,30 @@ class StreamedLoop:
     def _build_train_step(self) -> None:
         t = self.trainer
         self._step_optimizer = t.optimizer
-        self._train_step = make_cached_train_step(
-            t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
-            self._augment, masks=self._masks, cache_sharded=True)
+        if C.get(t.config, "GRAD_ALLREDUCE_DTYPE", None):
+            # same routing as DeviceCachedLoop: a config that sets the
+            # explicit-collectives knob must not silently change semantics
+            # depending on which loop the cache-fit check picks
+            from cmrtpu.train.manual_collectives import make_manual_train_step
+            self._train_step = make_manual_train_step(
+                t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
+                self._augment, masks=self._masks, cache_sharded=True)
+        else:
+            self._train_step = make_cached_train_step(
+                t.model, t.optimizer, t.loss_fn, t.metrics, t.config, t.mesh,
+                self._augment, masks=self._masks, cache_sharded=True)
 
     def _batches(self, gen):
         for i in range(len(gen)):
-            yield gen.raw_batch(i)
+            imgs, msks = gen.raw_batch(i)
+            if imgs.shape[0] != self.batch:
+                # the fused step's identity-gather index vector is compiled
+                # for BATCHSIZE rows; jnp.take's clip mode would otherwise
+                # silently drop or duplicate rows on a mismatch
+                raise ValueError(
+                    f"raw_batch({i}) has {imgs.shape[0]} rows but the "
+                    f"streamed step is compiled for BATCHSIZE {self.batch}")
+            yield imgs, msks
 
     def _pipelined(self, gen, consume):
         """Put-ahead pipeline: a numpy-only producer thread prepares packed

@@ -244,7 +244,10 @@ class Trainer:
         from cmrtpu.train.streaming import StreamedLoop
 
         stream_key = (train_gen, val_gen)
-        if getattr(self, "_streamed_loop_key", None) is not stream_key:
+        # tuple equality (identity per element) — ``is not`` on a freshly
+        # built tuple could never hit, rebuilding the loop + recompiling the
+        # fused step on every fit_streamed call
+        if getattr(self, "_streamed_loop_key", None) != stream_key:
             self._streamed_loop = StreamedLoop(self, train_gen, val_gen)
             self._streamed_loop_key = stream_key
         loop = self._streamed_loop

@@ -146,3 +146,50 @@ def test_multihead_evaluate_cv_seg_dice_columns(trained_mh_exp, multihead_root):
     # gt-vs-gt is perfect by construction: the gt seg equals itself, so the
     # pred-vs-gt dice is a real number strictly below/equal 1
     assert os.path.isfile(os.path.join(trained_mh_exp, "df_eval.csv"))
+
+
+def test_seg_dice_columns_fall_back_for_non_acdc_labels(tmp_path):
+    """A 2-label extra head must get l1/l2 dice columns, NOT rv/myo —
+    anatomical names apply only when the gt labels are exactly the ACDC
+    {1,2,3} set."""
+    import pandas as pd
+
+    from cmrtpu.eval.evaluate import _append_seg_dice_columns
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for phase in ("ED", "ES"):
+        lab = (rng.integers(0, 3, size=(2, 8, 8))).astype(np.uint8)
+        pf = str(tmp_path / f"patient001_{phase}_ip.nrrd")
+        gf = str(tmp_path / f"patient001_{phase}_gt_ip.nrrd")
+        write_image(MedicalImage(array=lab, spacing=(1.4, 1.4, 8.0)), pf)
+        write_image(MedicalImage(array=lab, spacing=(1.4, 1.4, 8.0)), gf)
+        rows.append({"files_pred": pf.replace("_ip.nrrd", "_msk.nrrd"),
+                     "files_gt": gf.replace("_ip.nrrd", "_msk.nrrd")})
+        # the msk siblings only need to exist for _sibling_file resolution
+        write_image(MedicalImage(array=lab, spacing=(1.4, 1.4, 8.0)),
+                    rows[-1]["files_pred"])
+        write_image(MedicalImage(array=lab, spacing=(1.4, 1.4, 8.0)),
+                    rows[-1]["files_gt"])
+    df = pd.DataFrame(rows)
+    _append_seg_dice_columns(df, "ip")
+    assert {"ip_dice_l1", "ip_dice_l2"} <= set(df.columns)
+    assert not any(c.startswith("ip_dice_rv") for c in df.columns)
+    assert np.allclose(df["ip_dice_l1"], 1.0)  # pred == gt
+
+
+def test_head_outputs_warn_when_no_sigmoid_head(caplog):
+    """An all-softmax HEADS config writes no _msk.nrrd (the landmark eval
+    contract) — pred_fold must say so loudly instead of failing far away in
+    evaluate_cv's glob."""
+    import logging
+
+    from cmrtpu.predict.predictor import _head_outputs
+
+    cfg = {"HEADS": [["seg", 3, "softmax"]]}
+    preds = {"seg": np.zeros((2, 8, 8, 3), np.float32)}
+    gts = np.zeros((2, 8, 8, 3), np.float32)
+    with caplog.at_level(logging.WARNING):
+        outs = _head_outputs(cfg, preds, gts)
+    assert [o[0] for o in outs] == ["seg"]
+    assert any("no sigmoid head" in r.message for r in caplog.records)

@@ -250,3 +250,57 @@ def test_bf16_allreduce_training_converges():
     losses = [loop.run_train_epoch()["loss"] for _ in range(10)]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_shard_batch_respects_2d_mesh():
+    """shard_batch's per-device fast path must split over the DATA axis
+    only: on a 2D (data x model) mesh each model-axis replica holds the
+    same contiguous batch slice (a naive split over ALL devices produces
+    shard-shape mismatches)."""
+    from cmrtpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh({"MESH_SHAPE": [4, 2]}, devices=jax.devices()[:8])
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    out = shard_batch(x, mesh)
+    np.testing.assert_array_equal(np.asarray(out), x)
+    assert {s.data.shape for s in out.addressable_shards} == {(2, 3)}
+    # model-axis replicas of the same data coordinate hold identical rows
+    by_index = {}
+    for s in out.addressable_shards:
+        by_index.setdefault(s.index, []).append(np.asarray(s.data))
+    assert all(len(v) == 2 and np.array_equal(*v) for v in by_index.values())
+
+
+def test_manual_step_applies_hist_matching():
+    """HIST_MATCHING must ride the explicit-collectives step too (Var.1
+    configs with GRAD_ALLREDUCE_DTYPE set would otherwise silently train
+    without histogram matching): with prob 1.0 one step from the same state
+    lands on different parameters than with matching off."""
+    from cmrtpu.train.device_cache import upload_cache
+    from cmrtpu.train.manual_collectives import make_manual_train_step
+
+    cfg = dict(CFG, GRAD_ALLREDUCE_DTYPE="bfloat16",
+               HIST_MATCHING=True, HIST_MATCHING_PROB=1.0)
+    mesh = create_mesh(devices=jax.devices()[:8])
+    trainer = Trainer(cfg, mesh=mesh)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 32, 32)).astype(np.float32) + \
+        np.linspace(0, 4, 64)[:, None, None]  # distinct per-slice histograms
+    y = (rng.random((64, 32, 32)) > 0.9).astype(np.float32)
+    data_x, data_y = upload_cache(x, y, mesh)
+    idxs = jax.device_put(np.arange(16, dtype=np.int32),
+                          NamedSharding(mesh, P("data")))
+
+    state0 = jax.device_get(trainer.state)
+    outs = {}
+    for key, c in {"hist": cfg, "plain": dict(cfg, HIST_MATCHING=False)}.items():
+        step = make_manual_train_step(trainer.model, trainer.optimizer,
+                                      trainer.loss_fn, {}, c, mesh,
+                                      augment=True)
+        s, logs = step(jax.device_put(state0), data_x, data_y, idxs,
+                       trainer.rng)
+        assert np.isfinite(float(logs["loss"]))
+        outs[key] = np.concatenate([np.ravel(l) for l in
+                                    jax.tree_util.tree_leaves(
+                                        jax.device_get(s.params))])
+    assert not np.allclose(outs["hist"], outs["plain"])

@@ -99,3 +99,51 @@ def test_streamed_augmented_training_converges(gens):
     trainer = Trainer(cfg)
     hist = trainer.fit_streamed(train2, epochs=6)
     assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+def test_fit_streamed_reuses_loop_and_rejects_batch_mismatch(gens):
+    """Two guards on the streamed loop: (a) a second fit_streamed with the
+    same generators reuses the compiled loop (the memo used to compare a
+    fresh tuple with `is`, which could never hit — every call recompiled);
+    (b) a generator whose raw_batch rows differ from BATCHSIZE raises
+    instead of letting jnp.take's clip mode silently drop/duplicate rows."""
+    train, val, cfg = gens
+    trainer = Trainer(cfg)
+    trainer.fit_streamed(train, val, epochs=1)
+    loop = trainer._streamed_loop
+    trainer.fit_streamed(train, val, epochs=1)
+    assert trainer._streamed_loop is loop
+
+    class _Lying:
+        masks = True
+
+        def __len__(self):
+            return 1
+
+        def raw_batch(self, i):
+            x, y = train.raw_batch(i)
+            return x[:-1], y[:-1]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="BATCHSIZE"):
+        trainer.fit_streamed(_Lying(), epochs=1)
+
+
+def test_streamed_routes_grad_allreduce_dtype(gens, monkeypatch):
+    """GRAD_ALLREDUCE_DTYPE must select the explicit-collectives step in the
+    STREAMED loop too — a config must not change reduction semantics
+    depending on which loop the cache-fit check picks."""
+    from cmrtpu.train import manual_collectives as MC
+
+    train, val, cfg = gens
+    calls = []
+    orig = MC.make_manual_train_step
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(MC, "make_manual_train_step", spy)
+    trainer = Trainer(dict(cfg, GRAD_ALLREDUCE_DTYPE="bfloat16"))
+    logs = trainer.fit_streamed(train, epochs=1)
+    assert calls and np.isfinite(logs[-1]["loss"])
