@@ -268,17 +268,24 @@ class TensorBoardLogger(Callback):
 
 
 class HistoryCSV(Callback):
-    def __init__(self, path: str):
+    def __init__(self, path: str, append: bool = False):
         self.path = path
         self.keys: Optional[List[str]] = None
+        # append: a resumed fold keeps its prior epochs' rows (train_fold
+        # truncates the file to the resume epoch first)
+        self.append = append
 
     def on_epoch_end(self, trainer, epoch, logs):
         ensure_dir(os.path.dirname(os.path.abspath(self.path)))
         row = dict(logs, lr=trainer.get_lr())
         if self.keys is None:
-            self.keys = ["epoch"] + sorted(row)
-            with open(self.path, "w") as fh:
-                fh.write(",".join(self.keys) + "\n")
+            if self.append and os.path.isfile(self.path):
+                with open(self.path) as fh:
+                    self.keys = fh.readline().strip().split(",")
+            else:
+                self.keys = ["epoch"] + sorted(row)
+                with open(self.path, "w") as fh:
+                    fh.write(",".join(self.keys) + "\n")
         with open(self.path, "a") as fh:
             fh.write(",".join([str(epoch)] + [f"{row.get(k, float('nan')):.6g}"
                                               for k in self.keys[1:]]) + "\n")

@@ -24,6 +24,58 @@ from cmrtpu.train.trainer import Trainer
 from cmrtpu.utils.io_utils import console_and_file_logger, ensure_dir
 
 
+def _resume_fold(trainer: Trainer, cfg: Dict, train_gen,
+                 callbacks) -> int:
+    """Crash/preemption recovery — a capability the reference lacks
+    (``initial_epoch=0`` hard-coded, ref: train_model.py:101).
+
+    Restores the fold's full train state (params + optimizer + step, the
+    best-only checkpoint ModelCheckpoint wrote) and derives the epoch to
+    continue from as ``restored_step // steps_per_epoch``. history.csv is
+    truncated to those epochs (rows after the best checkpoint are stale) and
+    reloaded into ``trainer.history``; ModelCheckpoint's best is re-primed
+    from it so a worse post-resume epoch never overwrites the checkpoint.
+    Epochs between the best checkpoint and the crash are retrained;
+    plateau/early-stop patience counters restart (the restored optimizer
+    state preserves any already-reduced learning rate)."""
+    import math
+
+    from cmrtpu.train import callbacks as CB
+
+    model_path = C.get(cfg, "MODEL_PATH")
+    try:
+        restored_step = trainer.restore(model_path)
+    except Exception as e:
+        logging.warning("RESUME requested but no restorable train state "
+                        "under %s (%s); training from scratch", model_path, e)
+        return 0
+    steps_per_epoch = max(1, len(train_gen))
+    initial_epoch = int(restored_step) // steps_per_epoch
+    hist_path = os.path.join(cfg["EXP_PATH"], "history.csv")
+    rows = []
+    if os.path.isfile(hist_path) and initial_epoch > 0:
+        import pandas as pd
+        df = pd.read_csv(hist_path)
+        df = df[df["epoch"] < initial_epoch]
+        df.to_csv(hist_path, index=False)
+        rows = df.drop(columns=["epoch"]).to_dict("records")
+    trainer.history = rows
+    for cb in callbacks:
+        if isinstance(cb, CB.HistoryCSV):
+            cb.append = True
+        if isinstance(cb, CB.ModelCheckpoint):
+            # a checkpoint exists on disk: the "never improved" fallback in
+            # on_train_end must not overwrite it with a worse final state
+            cb._saved = True
+            vals = [r[cb.monitor] for r in rows
+                    if cb.monitor in r and not math.isnan(r[cb.monitor])]
+            if vals:
+                cb.best = min(vals) if cb.mode == "min" else max(vals)
+    logging.info("RESUME: restored step %d from %s -> continuing at epoch %d",
+                 restored_step, model_path, initial_epoch)
+    return initial_epoch
+
+
 def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
     t0 = time()
     fold = C.get(config, "FOLD", 0)
@@ -66,6 +118,10 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
     fold_cfg = dict(cfg)
     fold_cfg["EXP_PATH"] = fold_root  # per-fold artifacts under f<k>/
     callbacks = get_callbacks(fold_cfg, sample_batches=sample_batches)
+    initial_epoch = 0
+    if C.get(cfg, "RESUME", False):
+        initial_epoch = _resume_fold(trainer, fold_cfg, batch_generator,
+                                     callbacks)
     logging.info("start training")
     from cmrtpu.train.device_cache import cache_shards, fits_device_cache
     n_shards = cache_shards(cfg, trainer.mesh)
@@ -79,14 +135,15 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
         # capacity then scales with the chip count), fused per-step
         # gather+[hist-match]+augment+train
         trainer.fit_cached(batch_generator, val_gen=validation_generator,
-                           epochs=C.get(cfg, "EPOCHS", 100), callbacks=callbacks)
+                           epochs=C.get(cfg, "EPOCHS", 100),
+                           callbacks=callbacks, initial_epoch=initial_epoch)
     else:
         # packed host-streaming fallback: deterministic stage streamed in
         # storage dtypes (bf16/uint8, 4x fewer bytes over the host link),
         # stochastic stage fused into the train step on device
         trainer.fit_streamed(batch_generator, val_gen=validation_generator,
                              epochs=C.get(cfg, "EPOCHS", 100),
-                             callbacks=callbacks)
+                             callbacks=callbacks, initial_epoch=initial_epoch)
 
     try:
         from cmrtpu.predict.predictor import pred_fold

@@ -222,3 +222,48 @@ def test_predict_4d_on_2d_cv(trained_exp, synthetic_root):
     # [t, z, DIM] in the preprocessed grid, flat labels from the 2ch head
     assert pred.array.shape == (2, 4, 32, 32)
     assert set(np.unique(pred.array).astype(int)) <= {0, 1, 2}
+
+
+def test_train_fold_resume(synthetic_root, tmp_path_factory):
+    """RESUME: a second train_fold on the same run restores the fold's full
+    train state (params + optimizer + step) and CONTINUES the epoch count —
+    the capability the reference lacks (initial_epoch=0 hard-coded,
+    ref: src/models/train_model.py:101). history.csv ends up contiguous
+    over all epochs with the pre-crash rows preserved."""
+    from cmrtpu.train.fold import train_fold
+
+    exp_root = str(tmp_path_factory.mktemp("resume") / "run")
+    cfg = dict(CFG, EPOCHS=2, CC_FILTER=False)
+    cfg["EXP_PATH"] = exp_root
+    cfg["DATA_PATH_SAX"] = os.path.join(synthetic_root, "2D")
+    cfg["DF_FOLDS"] = os.path.join(synthetic_root, "df_kfold.csv")
+    cfg["DATA_PATH_ORIG"] = os.path.join(synthetic_root, "original")
+    cfg["FOLD"] = 0
+    t1 = train_fold(cfg, in_memory=True)
+    step1 = int(t1.state.step)
+    hist1 = pd.read_csv(os.path.join(exp_root, "f0", "history.csv"))
+    assert len(hist1) == 2
+
+    t2 = train_fold(dict(cfg, EPOCHS=4, RESUME=True), in_memory=True)
+    assert int(t2.state.step) > step1
+    hist2 = pd.read_csv(os.path.join(exp_root, "f0", "history.csv"))
+    assert hist2["epoch"].tolist() == list(range(4))
+    assert np.isfinite(hist2["loss"]).all()
+
+
+def test_train_fold_resume_without_checkpoint_starts_fresh(
+        synthetic_root, tmp_path_factory):
+    """RESUME on a run with no restorable state warns and trains from
+    scratch instead of crashing."""
+    from cmrtpu.train.fold import train_fold
+
+    exp_root = str(tmp_path_factory.mktemp("resume_fresh") / "run")
+    cfg = dict(CFG, EPOCHS=1, RESUME=True, CC_FILTER=False)
+    cfg["EXP_PATH"] = exp_root
+    cfg["DATA_PATH_SAX"] = os.path.join(synthetic_root, "2D")
+    cfg["DF_FOLDS"] = os.path.join(synthetic_root, "df_kfold.csv")
+    cfg["DATA_PATH_ORIG"] = os.path.join(synthetic_root, "original")
+    cfg["FOLD"] = 0
+    t = train_fold(cfg, in_memory=True)
+    hist = pd.read_csv(os.path.join(exp_root, "f0", "history.csv"))
+    assert len(hist) == 1 and np.isfinite(hist["loss"]).all()
