@@ -145,8 +145,13 @@ def main():
 
         stream_trainer = Trainer(trainer.config, mesh=mesh)
         loop = StreamedLoop(stream_trainer, _PackedGen(warmup))
-        logs = loop.run_train_epoch()  # compile + warmup epoch
+        logs = loop.run_train_epoch()  # compile epoch
         assert np.isfinite(logs["loss"])
+        # one full-length untimed epoch: the first post-compile epoch still
+        # pays one-off host costs (packed-array page faults, transfer-stream
+        # establishment) — measured ~120 vs ~320 slices/s steady state
+        loop.train_gen = _PackedGen(steps)
+        loop.run_train_epoch()
         loop.train_gen = _PackedGen(steps)
         t0 = time.perf_counter()
         loop.run_train_epoch()  # run_train_epoch drains all step logs

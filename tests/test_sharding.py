@@ -304,3 +304,45 @@ def test_manual_step_applies_hist_matching():
                                     jax.tree_util.tree_leaves(
                                         jax.device_get(s.params))])
     assert not np.allclose(outs["hist"], outs["plain"])
+
+
+def test_training_loops_on_2d_mesh():
+    """End-to-end smoke of BOTH training loops on a 2D (data x model) mesh
+    (MESH_SHAPE=[4,2], 'model' axis reserved for future tensor-parallel
+    configs): cached epoch + streamed epoch produce finite losses."""
+    import ml_dtypes
+
+    from cmrtpu.train.device_cache import DeviceCachedLoop
+    from cmrtpu.train.streaming import StreamedLoop
+
+    cfg = dict(CFG, DIM=[32, 32], MESH_SHAPE=[4, 2], MIXED_PRECISION=False)
+    mesh = create_mesh(cfg, devices=jax.devices()[:8])
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    trainer = Trainer(cfg, mesh=mesh)
+
+    class _Gen:
+        masks = True
+
+    g = _Gen()
+    rng = np.random.default_rng(0)
+    g._cache_x = rng.normal(size=(48, 32, 32)).astype(np.float32)
+    g._cache_y = np.zeros((48, 32, 32), np.float32)
+    g._cache_y[:, 8:12, 6:10] = 1.0
+    loop = DeviceCachedLoop(trainer, g)
+    assert np.isfinite(loop.run_train_epoch()["loss"])
+
+    xp = g._cache_x.astype(ml_dtypes.bfloat16)
+    yp = g._cache_y.astype(np.uint8)
+
+    class _PG:
+        masks = True
+
+        def __len__(self):
+            return 3
+
+        def raw_batch(self, i):
+            sel = np.arange(i * 16, (i + 1) * 16)
+            return xp[sel], yp[sel]
+
+    sl = StreamedLoop(Trainer(cfg, mesh=mesh), _PG())
+    assert np.isfinite(sl.run_train_epoch()["loss"])
