@@ -1,41 +1,64 @@
-# cmr-landmark-tpu — development targets (the reference's cookiecutter
-# Makefile analogue, ref: Makefile:1-60, with a working test target).
+# cmrtpu workflow targets — the working equivalent of the reference's
+# cookiecutter Makefile (ref: Makefile:1-59, whose requirement/test targets
+# reference files that do not exist). Variables:
+#   DATA  — data root (original/ + 2D/ + df_kfold.csv), default ./data
+#   CFG   — experiment config json, default exp/template_cfgs/example_config.json
+#   EXP   — experiment / run directory (predict + evaluate + resume targets)
 
-PY ?= python
-DATA_ROOT ?= data
-ACDC ?= $(DATA_ROOT)/original
-CFG ?= exp/template_cfgs/example_config.json
-EXP ?=
+.PHONY: test test-fast dataset train resume predict predict-4d evaluate \
+	bench dryrun demo clean
 
-.PHONY: test test-fast bench dataset train predict evaluate dryrun lint clean
+PYTHON ?= python
+DATA   ?= data
+CFG    ?= exp/template_cfgs/example_config.json
+EXP    ?=
 
+## Run the full test suite (CPU, virtual 8-device mesh via tests/conftest.py)
 test:
-	$(PY) -m pytest tests/ -q
+	$(PYTHON) -m pytest tests/ -q
 
+## Fail-fast suite for quick iteration
 test-fast:
-	$(PY) -m pytest tests/ -q -x -m "not slow"
+	$(PYTHON) -m pytest tests/ -x -q
 
-bench:
-	$(PY) bench.py
-
+## Slice 3D ACDC volumes + RVIP masks into the 2D training layout
 dataset:
-	$(PY) -m cmrtpu.cli.make_dataset -data_root $(DATA_ROOT) -acdc_data $(ACDC)
+	$(PYTHON) -m cmrtpu.cli.make_dataset -data_root $(DATA) -acdc_data $(DATA)/original
 
+## Train the configured folds (chained per-fold inference included)
 train:
-	$(PY) -m cmrtpu.cli.train -cfg $(CFG) -data $(DATA_ROOT)
+	$(PYTHON) -m cmrtpu.cli.train -cfg $(CFG) -data $(DATA)
 
+## Resume a crashed/preempted run: make resume EXP=exp/<EXP>/<ts>
+resume:
+	$(PYTHON) -m cmrtpu.cli.train -cfg $(CFG) -data $(DATA) -resume $(EXP)
+
+## Re-run inference for one fold dir: make predict EXP=exp/<EXP>/<ts>/f0
 predict:
-	$(PY) -m cmrtpu.cli.predict -exp $(EXP) -data $(DATA_ROOT)
+	$(PYTHON) -m cmrtpu.cli.predict -exp $(EXP) -data $(DATA)
 
+## Run the 4D (cine) inference driver over a finished CV: make predict-4d EXP=...
 predict-4d:
-	$(PY) -m cmrtpu.cli.predict_4d -exp $(EXP) -data $(DATA_ROOT)
+	$(PYTHON) -m cmrtpu.cli.predict_4d -exp $(EXP) -data $(DATA)
 
+## Build df_eval.csv over a finished CV: make evaluate EXP=exp/<EXP>/<ts>
 evaluate:
-	$(PY) -m cmrtpu.cli.evaluate_cv -exp $(EXP) -data $(DATA_ROOT)
+	$(PYTHON) -m cmrtpu.cli.evaluate_cv -exp $(EXP) -data $(DATA)
 
+## One-line JSON throughput benchmark (slices/sec on the available devices)
+bench:
+	$(PYTHON) bench.py
+
+## Compile-check the flagship step + the 8-device sharded micro-workflow
 dryrun:
-	$(PY) __graft_entry__.py
+	$(PYTHON) __graft_entry__.py
 
+## Synthetic end-to-end CV demo (dataset -> train -> predict -> evaluate)
+demo:
+	$(PYTHON) examples/full_cv_demo.py --root /tmp/cmrtpu_demo --patients 8 \
+		--epochs 10 --dim 64 --folds 0
+
+## Delete compiled Python artifacts (parity with the reference's clean)
 clean:
-	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true
-	rm -rf .pytest_cache
+	find . -type f -name "*.py[co]" -delete
+	find . -type d -name "__pycache__" -exec rm -rf {} +
