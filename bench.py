@@ -114,14 +114,19 @@ def main():
         float(np.asarray(jax.device_get(logs["loss"])))
         return steps * batch / (time.perf_counter() - t0)
 
-    def measure_streaming(steps=20, warmup=3):
+    def measure_streaming(steps=20, warmup=3, echo=1):
         """slices/sec of the PACKED host-streaming path, measured through
         the REAL production loop (cmrtpu/train/streaming.py StreamedLoop):
         bf16/uint8 batches from a numpy-only producer thread, device
         placement put-ahead on the main thread, stochastic stage fused into
         the train step, bounded in-flight log window. This is the fallback
         for datasets beyond the sharded HBM cache — tracked so regressions
-        on the host link are visible to the driver."""
+        on the host link are visible to the driver.
+
+        ``echo`` (STREAM_ECHO): k fused train steps per uploaded batch, each
+        with a fresh augmentation draw — fills the link-bound bubble with
+        gradient work, so reported slices/s counts steps*batch*echo trained
+        slices."""
         import ml_dtypes
         from cmrtpu.train.streaming import StreamedLoop
         x_pack = np.ascontiguousarray(x_cache.astype(ml_dtypes.bfloat16))
@@ -143,7 +148,8 @@ def main():
                 sel = self.host_rng.integers(0, n_cache, batch)
                 return x_pack[sel], y_pack[sel]
 
-        stream_trainer = Trainer(trainer.config, mesh=mesh)
+        stream_trainer = Trainer(dict(trainer.config, STREAM_ECHO=echo),
+                                 mesh=mesh)
         loop = StreamedLoop(stream_trainer, _PackedGen(warmup))
         logs = loop.run_train_epoch()  # compile epoch
         assert np.isfinite(logs["loss"])
@@ -155,7 +161,7 @@ def main():
         loop.train_gen = _PackedGen(steps)
         t0 = time.perf_counter()
         loop.run_train_epoch()  # run_train_epoch drains all step logs
-        return steps * batch / (time.perf_counter() - t0)
+        return steps * batch * echo / (time.perf_counter() - t0)
 
     # flagship: the published Base experiment (augment, no smoothing)
     slices_per_sec = measure({})
@@ -180,6 +186,10 @@ def main():
                                     steps=10),
         "cache_sharded": safe(measure_sharded),
         "host_streaming_packed": safe(measure_streaming),
+        # STREAM_ECHO=4: data echoing fills the link-bound path's bubble with
+        # extra gradient steps (fresh augmentation per echo) — trained
+        # slices/s, not uploaded slices/s
+        "host_streaming_echo4": safe(measure_streaming, steps=10, echo=4),
     }
 
     baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count

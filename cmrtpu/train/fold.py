@@ -24,6 +24,18 @@ from cmrtpu.train.trainer import Trainer
 from cmrtpu.utils.io_utils import console_and_file_logger, ensure_dir
 
 
+def _picks_device_cache(cfg: Dict, train_gen, mesh) -> bool:
+    """The fold's data-loop choice: device-cached whenever the (replicated
+    or sharded) deterministic cache fits the per-device HBM budget, packed
+    host streaming otherwise. Shared by train_fold and the resume epoch
+    math (the streamed loop's STREAM_ECHO multiplies steps per epoch)."""
+    from cmrtpu.train.device_cache import cache_shards, fits_device_cache
+    return (getattr(train_gen, "_cache_x", None) is not None
+            and fits_device_cache(cfg, train_gen._cache_x,
+                                  train_gen._cache_y,
+                                  n_shards=cache_shards(cfg, mesh)))
+
+
 def _resume_fold(trainer: Trainer, cfg: Dict, train_gen,
                  callbacks) -> int:
     """Crash/preemption recovery — a capability the reference lacks
@@ -50,6 +62,9 @@ def _resume_fold(trainer: Trainer, cfg: Dict, train_gen,
                         "under %s (%s); training from scratch", model_path, e)
         return 0
     steps_per_epoch = max(1, len(train_gen))
+    if not _picks_device_cache(cfg, train_gen, trainer.mesh):
+        # streamed loop: STREAM_ECHO runs k gradient steps per batch
+        steps_per_epoch *= max(1, int(C.get(cfg, "STREAM_ECHO", 1) or 1))
     initial_epoch = int(restored_step) // steps_per_epoch
     hist_path = os.path.join(cfg["EXP_PATH"], "history.csv")
     rows = []
@@ -123,13 +138,7 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
         initial_epoch = _resume_fold(trainer, fold_cfg, batch_generator,
                                      callbacks)
     logging.info("start training")
-    from cmrtpu.train.device_cache import cache_shards, fits_device_cache
-    n_shards = cache_shards(cfg, trainer.mesh)
-    cache_ok = (getattr(batch_generator, "_cache_x", None) is not None
-                and fits_device_cache(cfg, batch_generator._cache_x,
-                                      batch_generator._cache_y,
-                                      n_shards=n_shards))
-    if cache_ok:
+    if _picks_device_cache(cfg, batch_generator, trainer.mesh):
         # device-cached hot loop: dataset resident in HBM (replicated, or
         # example-sharded over the mesh under CACHE_SHARDED — aggregate
         # capacity then scales with the chip count), fused per-step

@@ -18,6 +18,18 @@ step and streams the deterministic stage's output in packed storage dtypes:
 no separate y channel tensor: the flat uint8 label map expands to channels
 on device), so the same interconnect sustains ~4x the slice rate.
 
+Even packed, the path stays LINK-bound: the chip finishes a fused step in
+~111 ms while the next batch needs ~370 ms on the wire. STREAM_ECHO=k fills
+that bubble with data echoing (Choi et al., arXiv:1907.05550): each uploaded
+batch is consumed by k consecutive train steps. Because the stochastic stage
+lives INSIDE the step and its RNG folds in ``state.step``, every echo sees a
+DIFFERENT augmentation draw (and dropout mask) of the same raw examples —
+echoing multiplies gradient-step throughput toward the compute-bound rate at
+zero extra link traffic. The trade is sample freshness (k steps between
+fresh batches), which the paper and our quality loop both find benign at
+k<=4 when augmentation is on; with AUGMENT=False echoes differ only by
+dropout/optimizer state, so a warning is logged.
+
 Implementation note: the fused step IS ``make_cached_train_step(...,
 cache_sharded=True)`` where the "cache" is the current batch itself and the
 per-device gather is the identity over its local rows — one code path for
@@ -32,6 +44,7 @@ from collections import deque
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -62,14 +75,22 @@ class StreamedLoop:
             NamedSharding(self.mesh, P(DATA_AXIS)))
         self._augment = bool(C.get(cfg, "AUGMENT", False))
         self._masks = bool(getattr(train_gen, "masks", True))
+        self._echo = max(1, int(C.get(cfg, "STREAM_ECHO", 1) or 1))
+        if self._echo > 1 and not self._augment:
+            logging.warning(
+                "STREAM_ECHO=%d with AUGMENT=False: echoed steps repeat the "
+                "same finalized batch (only dropout varies) — echoing is "
+                "designed to pair with on-device augmentation", self._echo)
         self._build_train_step()
         self._eval_step = None
         depth = int(C.get(cfg, "PREFETCH_DEPTH", 2))
         queue_size = C.get(cfg, "QUEUE_SIZE")
         self._depth = min(depth, int(queue_size)) if queue_size else depth
         logging.info("streamed loop: packed host batches (STREAM_DTYPE=%s, "
-                     "uint8 mask packing auto-detected), prefetch depth %d",
-                     C.get(cfg, "STREAM_DTYPE", "bfloat16"), self._depth)
+                     "uint8 mask packing auto-detected), prefetch depth %d"
+                     "%s",
+                     C.get(cfg, "STREAM_DTYPE", "bfloat16"), self._depth,
+                     f", echo factor {self._echo}" if self._echo > 1 else "")
 
     def _build_train_step(self) -> None:
         t = self.trainer
@@ -150,10 +171,20 @@ class StreamedLoop:
             self._build_train_step()  # optimizer swapped mid-training
 
         def consume(batch):
+            # STREAM_ECHO: k gradient steps per uploaded batch. Each echo's
+            # augmentation/dropout RNG folds in state.step, so the k steps
+            # see k different stochastic draws of the same raw rows. One
+            # on-device mean keeps the log window at one object per batch.
             imgs, msks = batch
-            t.state, logs = self._train_step(t.state, imgs, msks,
-                                             self._idxs, t.rng)
-            return logs
+            echo_logs = []
+            for _ in range(self._echo):
+                t.state, logs = self._train_step(t.state, imgs, msks,
+                                                 self._idxs, t.rng)
+                echo_logs.append(logs)
+            if self._echo == 1:
+                return echo_logs[0]
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.mean(jnp.stack(xs)), *echo_logs)
 
         sums, count = self._pipelined(self.train_gen, consume)
         if hasattr(self.train_gen, "on_epoch_end"):

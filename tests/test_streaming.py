@@ -129,6 +129,42 @@ def test_fit_streamed_reuses_loop_and_rejects_batch_mismatch(gens):
         trainer.fit_streamed(_Lying(), epochs=1)
 
 
+def test_stream_echo_multiplies_steps_per_upload(gens):
+    """STREAM_ECHO=k runs k gradient steps per uploaded batch (data echoing:
+    the link-bound path's bubble-filler). Steps advance k-fold, each echo
+    draws fresh augmentation RNG (the step folds in state.step), and the
+    epoch still trains to finite loss."""
+    train, _, cfg = gens
+    cfg = dict(cfg, STREAM_ECHO=3, AUGMENT=True, AUGMENT_PROB=0.5,
+               RANDOMROTATE=True, SHUFFLE=True)
+    train2 = DataGenerator(train.images, train.labels, config=cfg)
+    trainer = Trainer(cfg)
+    hist = trainer.fit_streamed(train2, epochs=2)
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    assert int(trainer.state.step) == 2 * (12 // 4) * 3
+
+    # echo without augmentation still works but warns (dropout-only variety)
+    import logging
+
+    class _Catch(logging.Handler):
+        records = []
+
+        def emit(self, record):
+            self.records.append(record.getMessage())
+
+    handler = _Catch()
+    logging.getLogger().addHandler(handler)
+    try:
+        trainer2 = Trainer(dict(cfg, AUGMENT=False, STREAM_ECHO=2))
+        trainer2.fit_streamed(
+            DataGenerator(train.images, train.labels,
+                          config=dict(cfg, AUGMENT=False)), epochs=1)
+    finally:
+        logging.getLogger().removeHandler(handler)
+    assert any("STREAM_ECHO" in m for m in handler.records)
+    assert int(trainer2.state.step) == (12 // 4) * 2
+
+
 def test_streamed_routes_grad_allreduce_dtype(gens, monkeypatch):
     """GRAD_ALLREDUCE_DTYPE must select the explicit-collectives step in the
     STREAMED loop too — a config must not change reduction semantics
