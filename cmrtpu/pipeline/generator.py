@@ -370,11 +370,27 @@ class DataGenerator:
                                  "bfloat16")).lower()
         if stream_dtype in ("bfloat16", "bf16"):
             imgs_b = imgs_b.astype(ml_dtypes.bfloat16)
+        from cmrtpu.train.device_cache import _uint8_packable
         if self._raw_y_uint8 is None:
-            from cmrtpu.train.device_cache import _uint8_packable
+            # the packing decision is a dtype CONTRACT with the compiled
+            # streamed step, so it is made once (from the full cache when
+            # available, else the first-requested batch) and held for the
+            # generator's lifetime
             src = self._cache_y if self._cache_y is not None else msks_b
             self._raw_y_uint8 = _uint8_packable(np.asarray(src))
         if self._raw_y_uint8:
+            if self._cache_y is None and not _uint8_packable(msks_b):
+                # no cache to probe globally: a later batch that is NOT
+                # losslessly uint8-packable must fail loudly — silently
+                # truncating float/large-valued targets would corrupt
+                # training on exactly the beyond-RAM streaming path
+                raise ValueError(
+                    f"raw_batch({index}): mask values do not pack "
+                    "losslessly to uint8 but an earlier batch did — the "
+                    "dataset mixes exact-small-integer and float targets. "
+                    "Keep targets integer-valued, or use "
+                    "CACHE_IN_MEMORY=True so the packing decision sees "
+                    "the whole dataset")
             msks_b = msks_b.astype(np.uint8)
         return imgs_b, msks_b
 

@@ -267,7 +267,7 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
                     xs.append(T.normalise_image(arr, C.get(cfg, "SCALER")))
             batch = np.stack(xs)[..., None]
             preds = predictor.predict(batch)
-            act, cc_labels = "sigmoid", (1, 2)
+            act, cc_labels = "sigmoid", None
             if isinstance(preds, dict):
                 # multi-head model: 4D inference tracks the landmark head —
                 # the first sigmoid head, same head that owns the ``_msk``
@@ -276,16 +276,23 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
                 heads = [tuple(h) for h in (C.get(cfg, "HEADS") or ())]
                 head = next((h for h in heads if str(h[2]) != "softmax"),
                             None)
-                if head is None and heads:
+                if head is not None:
+                    # sigmoid threshold rule: channel c -> label c+1
+                    cc_labels = tuple(range(1, int(head[1]) + 1))
+                elif heads:
                     head = heads[0]
                     act = str(head[2])
-                    cc_labels = tuple(range(1, int(head[1])))
+                    cc_labels = tuple(range(1, int(head[1])))  # argmax; 0=bg
                     logging.warning(
                         "predict_4d_on_2d_cv: HEADS has no sigmoid landmark "
                         "head; using head %r (argmax labels)", head[0])
                 name = str(head[0]) if head else None
                 preds = preds[name] if name in preds \
                     else next(iter(preds.values()))
+            if cc_labels is None:
+                # single-head model: label values follow the channel count
+                # (same derivation as pred_fold's _head_outputs)
+                cc_labels = tuple(range(1, np.asarray(preds).shape[-1] + 1))
             flat = flatten_head(preds, act).reshape(t_dim, z_dim, *dim)
             cleaned = np.stack([np.asarray(jax.device_get(
                 clean_prediction_2d_cc(flat[t], cc_labels)))

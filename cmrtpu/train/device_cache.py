@@ -57,24 +57,47 @@ def cache_nbytes(*arrays: np.ndarray) -> int:
     return sum(int(a.nbytes) for a in arrays)
 
 
+_UINT8_MEMO: Dict = {}  # id-keyed, weakref-evicted (see _uint8_packable)
+
+
 def _uint8_packable(y: np.ndarray) -> bool:
     """True when a float mask packs losslessly to uint8 (exact small
     non-negative integers only — the same test upload_cache applies).
 
     Chunked with early exit: a whole-array ``astype`` round-trip would
     allocate ~2x the (multi-GB) mask cache in transient host RAM just to
-    answer the admission question."""
-    if not (np.issubdtype(y.dtype, np.floating) and y.size):
-        return False
-    if float(y.min()) < 0 or float(y.max()) > 255:
-        return False
-    flat = np.ravel(y)
-    step = 1 << 24  # 16M elements (~64 MB f32) of temporaries per chunk
-    for i in range(0, flat.size, step):
-        c = flat[i:i + step]
-        if not np.array_equal(c.astype(np.uint8).astype(c.dtype), c):
+    answer the admission question. Large arrays memoize the answer (the
+    cache-admission check and the upload-time pack would otherwise each
+    full-scan the same multi-GB array); a weakref finalizer evicts the
+    entry when the array dies, so recycled ids cannot alias."""
+    import weakref
+
+    key = (id(y), y.dtype.str, y.shape)
+    hit = _UINT8_MEMO.get(key)
+    if hit is not None:
+        return hit
+
+    def scan() -> bool:
+        if not (np.issubdtype(y.dtype, np.floating) and y.size):
             return False
-    return True
+        if float(y.min()) < 0 or float(y.max()) > 255:
+            return False
+        flat = np.ravel(y)
+        step = 1 << 24  # 16M elements (~64 MB f32) of temporaries per chunk
+        for i in range(0, flat.size, step):
+            c = flat[i:i + step]
+            if not np.array_equal(c.astype(np.uint8).astype(c.dtype), c):
+                return False
+        return True
+
+    result = scan()
+    if y.nbytes > (1 << 20):  # memoize only when a rescan is expensive
+        try:
+            weakref.finalize(y, _UINT8_MEMO.pop, key, None)
+            _UINT8_MEMO[key] = result
+        except TypeError:  # non-weakref-able array subclass
+            pass
+    return result
 
 
 def _packed_nbytes(config: Optional[Dict], x: np.ndarray, y: np.ndarray) -> int:
@@ -173,18 +196,51 @@ def _shard_map(fn, mesh: Mesh, in_specs, out_specs):
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
+def hist_quota(prob: float, batch: int):
+    """Static (candidate_count, gate_probability) for per-batch
+    hist-matching with the reference's EXPECTED fraction (ref:
+    Generators.py:350 matches each example w.p. ~prob; XLA needs static
+    shapes, so the count cannot be a per-step bernoulli draw). The
+    candidate count is ceil(prob*batch) — never rounding an expected
+    fraction below 1 to a silent zero (small per-device local batches on
+    wide meshes) — and each candidate is gated w.p. expect/count, making
+    the expected matched count exactly prob*batch."""
+    expect = float(prob) * int(batch)
+    if expect <= 0:
+        return 0, 1.0
+    count = int(np.ceil(expect))
+    return count, expect / count
+
+
+def _gated_match(match_fn, imgs, dx, key, quota: int, gate_p: float):
+    """Quantile-match the first ``quota`` rows of ``imgs`` against random
+    rows of ``dx``, each candidate gated w.p. ``gate_p`` (see hist_quota)."""
+    k_ref, k_gate = jax.random.split(key)
+    ref_idx = jax.random.randint(k_ref, (quota,), 0, dx.shape[0])
+    refs = jnp.take(dx, ref_idx, axis=0).astype(jnp.float32)
+    matched = jax.vmap(match_fn)(imgs[:quota], refs)
+    if gate_p < 1.0:
+        gate = jax.random.bernoulli(k_gate, gate_p, (quota,))
+        matched = jnp.where(
+            gate.reshape((quota,) + (1,) * (imgs.ndim - 1)),
+            matched, imgs[:quota])
+    return imgs.at[:quota].set(matched)
+
+
 def _sharded_gather(mesh: Mesh, data_x, data_y, idxs,
-                    hist_key=None, quota_local: int = 0, match_fn=None):
+                    hist_key=None, quota_local: int = 0, match_fn=None,
+                    gate_p: float = 1.0):
     """Communication-free batch gather from an example-sharded cache: each
     device takes its slice of the (data-sharded) LOCAL index vector from its
     LOCAL rows; the result leaves batch-sharded over 'data'. No collective
     is generated — pinned by tests/test_sharding.py's compiled-HLO check.
 
-    Optional shard-local hist-matching: each device quantile-matches the
-    first ``quota_local`` rows of its local batch (batch rows are a uniform
-    epoch draw, so this is a uniform example subset) against random rows of
-    its LOCAL cache shard — the reference's random-other-image semantics
-    (ref: Generators.py:352) in distribution, still with zero collectives."""
+    Optional shard-local hist-matching: each device quantile-matches
+    ``quota_local`` gated candidates of its local batch (batch rows are a
+    uniform epoch draw, so this is a uniform example subset) against random
+    rows of its LOCAL cache shard — the reference's random-other-image
+    semantics (ref: Generators.py:352) in distribution, still with zero
+    collectives."""
     spec = P(DATA_AXIS)
 
     def body(dx, dy, ix, key):
@@ -192,10 +248,7 @@ def _sharded_gather(mesh: Mesh, data_x, data_y, idxs,
         msks = jnp.take(dy, ix, axis=0).astype(jnp.float32)
         if quota_local > 0:
             k = jax.random.fold_in(key[0], jax.lax.axis_index(DATA_AXIS))
-            ref_idx = jax.random.randint(k, (quota_local,), 0, dx.shape[0])
-            refs = jnp.take(dx, ref_idx, axis=0).astype(jnp.float32)
-            matched = jax.vmap(match_fn)(imgs[:quota_local], refs)
-            imgs = imgs.at[:quota_local].set(matched)
+            imgs = _gated_match(match_fn, imgs, dx, k, quota_local, gate_p)
         return imgs, msks
 
     gather = _shard_map(body, mesh,
@@ -204,6 +257,7 @@ def _sharded_gather(mesh: Mesh, data_x, data_y, idxs,
     if hist_key is None:
         hist_key = jax.random.key(0)  # unused when quota_local == 0
     return gather(data_x, data_y, idxs, hist_key[None])
+
 
 
 def sharded_eval_plan(n_real: int, n_padded: int, n_shards: int,
@@ -285,38 +339,46 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
     def step_fn(state: S.TrainState, data_x, data_y, idxs, rng):
         # gather in storage dtype (bf16/uint8 caches move half the bytes),
         # then everything downstream computes in f32 as before.
-        # hist-matching uses a fixed per-batch quota instead of a
-        # per-example bernoulli: XLA needs static shapes, and matching the
+        # hist-matching uses a static per-batch candidate quota instead of
+        # a per-example bernoulli: XLA needs static shapes, and matching the
         # whole batch to select ~10% wastes 90% of the (sort-heavy) work —
-        # measured 2.7x slower end-to-end. round(prob*B) uniformly-chosen
-        # examples preserve the reference's expected fraction (the only
-        # thing its unseeded RNG guarantees, ref: Generators.py:350); only
-        # the per-batch count variance differs.
+        # measured 2.7x slower end-to-end. ceil(prob*B) uniformly-chosen
+        # candidates, each gated w.p. prob*B/ceil(prob*B) (hist_quota),
+        # preserve the reference's expected fraction EXACTLY (the only
+        # thing its unseeded RNG guarantees, ref: Generators.py:350) even
+        # when prob*B < 0.5 — a plain round() would silently disable Var.1
+        # for small per-device local batches on wide meshes.
         hm_key = jax.random.fold_in(
             jax.random.fold_in(rng, 0x415), state.step) if hist_matching \
             else None
         if cache_sharded:
             local_batch = idxs.shape[0] // int(mesh.shape[DATA_AXIS])
-            quota_local = int(round(hist_prob * local_batch)) \
-                if hist_matching else 0
+            quota_local, gate_p = hist_quota(hist_prob, local_batch) \
+                if hist_matching else (0, 1.0)
             imgs, msks = _sharded_gather(mesh, data_x, data_y, idxs,
                                          hist_key=hm_key,
                                          quota_local=quota_local,
-                                         match_fn=match_fn)
+                                         match_fn=match_fn, gate_p=gate_p)
         else:
             imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
             msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
         if hist_matching and not cache_sharded:
             k_gate, k_ref = jax.random.split(hm_key)
             batch = idxs.shape[0]
-            quota = int(round(hist_prob * batch))
+            quota, gate_p = hist_quota(hist_prob, batch)
             if quota > 0:
+                k_gate, k_bern = jax.random.split(k_gate)
                 sel = jax.random.permutation(k_gate, batch)[:quota]
                 ref_idx = jax.random.randint(k_ref, (quota,), 0,
                                              data_x.shape[0])
                 refs = jnp.take(data_x, ref_idx, axis=0).astype(jnp.float32)
                 matched = jax.vmap(match_fn)(
                     jnp.take(imgs, sel, axis=0), refs)
+                if gate_p < 1.0:
+                    gate = jax.random.bernoulli(k_bern, gate_p, (quota,))
+                    matched = jnp.where(
+                        gate.reshape((quota,) + (1,) * (imgs.ndim - 1)),
+                        matched, jnp.take(imgs, sel, axis=0))
                 imgs = imgs.at[sel].set(matched)
         if augment:
             # two-level fold with a constant tag: decorrelated from the

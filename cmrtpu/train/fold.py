@@ -28,12 +28,43 @@ def _picks_device_cache(cfg: Dict, train_gen, mesh) -> bool:
     """The fold's data-loop choice: device-cached whenever the (replicated
     or sharded) deterministic cache fits the per-device HBM budget, packed
     host streaming otherwise. Shared by train_fold and the resume epoch
-    math (the streamed loop's STREAM_ECHO multiplies steps per epoch)."""
+    math (the streamed loop's STREAM_ECHO multiplies steps per epoch).
+    Memoized per generator: the packability scan inside fits_device_cache
+    walks the whole (possibly multi-GB) mask cache."""
     from cmrtpu.train.device_cache import cache_shards, fits_device_cache
-    return (getattr(train_gen, "_cache_x", None) is not None
-            and fits_device_cache(cfg, train_gen._cache_x,
-                                  train_gen._cache_y,
-                                  n_shards=cache_shards(cfg, mesh)))
+    n_shards = cache_shards(cfg, mesh)
+    key = (str(C.get(cfg, "CACHE_DTYPE", "float32")),
+           float(C.get(cfg, "DEVICE_CACHE_LIMIT_GB", 8.0) or 8.0), n_shards)
+    memo = getattr(train_gen, "_picks_cache_memo", None)
+    if memo is not None and memo[0] == key:
+        return memo[1]
+    result = (getattr(train_gen, "_cache_x", None) is not None
+              and fits_device_cache(cfg, train_gen._cache_x,
+                                    train_gen._cache_y, n_shards=n_shards))
+    try:
+        train_gen._picks_cache_memo = (key, result)
+    except AttributeError:  # façade objects without attribute support
+        pass
+    return result
+
+
+def _steps_per_epoch(cfg: Dict, train_gen, mesh) -> int:
+    """Gradient steps one epoch advances, mirroring the actual loop choice:
+    replicated cache / generator both run floor(n/B); the example-sharded
+    cache runs (ceil(n/n_shards)) // (B/n_shards) over its wrap-padded local
+    rows; the streamed loop multiplies by STREAM_ECHO. Resume's
+    step->epoch derivation must match or the epoch counter drifts."""
+    batch = max(1, int(C.get(cfg, "BATCHSIZE", 32) or 1))
+    if _picks_device_cache(cfg, train_gen, mesh):
+        from cmrtpu.train.device_cache import cache_shards
+        n_shards = cache_shards(cfg, mesh)
+        n = train_gen._cache_x.shape[0]
+        if n_shards > 1 or bool(C.get(cfg, "CACHE_SHARDED", False)):
+            local_n = -(-n // n_shards)  # wrap-padded local rows
+            return max(1, local_n // max(1, batch // n_shards))
+        return max(1, n // batch)
+    echo = max(1, int(C.get(cfg, "STREAM_ECHO", 1) or 1))
+    return max(1, len(train_gen)) * echo
 
 
 def _resume_fold(trainer: Trainer, cfg: Dict, train_gen,
@@ -61,10 +92,7 @@ def _resume_fold(trainer: Trainer, cfg: Dict, train_gen,
         logging.warning("RESUME requested but no restorable train state "
                         "under %s (%s); training from scratch", model_path, e)
         return 0
-    steps_per_epoch = max(1, len(train_gen))
-    if not _picks_device_cache(cfg, train_gen, trainer.mesh):
-        # streamed loop: STREAM_ECHO runs k gradient steps per batch
-        steps_per_epoch *= max(1, int(C.get(cfg, "STREAM_ECHO", 1) or 1))
+    steps_per_epoch = _steps_per_epoch(cfg, train_gen, trainer.mesh)
     initial_epoch = int(restored_step) // steps_per_epoch
     hist_path = os.path.join(cfg["EXP_PATH"], "history.csv")
     rows = []
@@ -166,10 +194,37 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
     return trainer
 
 
+def _latest_run_dir(cfg: Dict) -> Optional[str]:
+    """Most recent timestamped run dir under EXPERIMENTS_ROOT/EXPERIMENT
+    (the exp/<EXP>/<YYYY-MM-DD_HH_MM>/ layout, ref: train_model.py:166-175),
+    or None when no prior run exists."""
+    import glob as _glob
+    root = os.path.join(C.get(cfg, "EXPERIMENTS_ROOT", "exp/"),
+                        str(C.get(cfg, "EXPERIMENT", "")))
+    runs = sorted(d for d in _glob.glob(os.path.join(root, "*"))
+                  if os.path.isdir(d))
+    return runs[-1] if runs else None
+
+
 def run_experiment(config: Dict, data_path: Optional[str] = None,
                    exp_path: Optional[str] = None) -> str:
     """Loop FOLDS calling train_fold (ref: main, train_model.py:135-206)."""
     cfg = C.normalise_config(config)
+    if exp_path is None and C.get(cfg, "RESUME", False):
+        # RESUME without an explicit run dir must re-enter the crashed run,
+        # not stamp a fresh timestamped dir (where no checkpoint exists and
+        # every fold would silently retrain from scratch): prefer the
+        # config's own EXP_PATH (a reloaded config/config.json carries it),
+        # else the latest run dir of this experiment.
+        prior = C.get(cfg, "EXP_PATH")
+        exp_path = prior if prior and os.path.isdir(prior) \
+            else _latest_run_dir(cfg)
+        if exp_path:
+            logging.info("RESUME: re-entering run dir %s", exp_path)
+        else:
+            logging.warning("RESUME requested but no prior run dir found "
+                            "under EXPERIMENTS_ROOT/EXPERIMENT; starting "
+                            "a fresh run")
     cfg["EXP_PATH"] = exp_path or C.timestamped_exp_path(cfg)
     if data_path:
         cfg["DATA_PATH_SAX"] = os.path.join(data_path, "2D")

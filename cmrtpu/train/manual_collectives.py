@@ -50,7 +50,7 @@ from cmrtpu.parallel.mesh import DATA_AXIS
 from cmrtpu.pipeline.augment import augment_batch_fn
 from cmrtpu.pipeline.generator import finalize_batch
 from cmrtpu.train import steps as S
-from cmrtpu.train.device_cache import _shard_map
+from cmrtpu.train.device_cache import _gated_match, _shard_map, hist_quota
 
 
 def _pcast_varying(x):
@@ -93,19 +93,19 @@ def make_manual_train_step(model, optimizer, loss_fn: Callable,
         imgs = jnp.take(dx, ix, axis=0).astype(jnp.float32)
         msks = jnp.take(dy, ix, axis=0).astype(jnp.float32)
         if hist_matching:
-            # Var.1 through the explicit-collectives step: the per-device
-            # quota of rows (batch rows are a uniform epoch draw) matches
-            # against random rows of the LOCAL cache view — the reference's
-            # random-other-image semantics (ref: Generators.py:352)
-            quota = int(round(hist_prob * ix.shape[0]))
+            # Var.1 through the explicit-collectives step: per-device gated
+            # candidates (batch rows are a uniform epoch draw) match against
+            # random rows of the LOCAL cache view — the reference's
+            # random-other-image semantics (ref: Generators.py:352).
+            # hist_quota's ceil+gate keeps the expected fraction exact even
+            # when prob*local_batch < 0.5 (a plain round() would silently
+            # disable Var.1 on wide meshes)
+            quota, gate_p = hist_quota(hist_prob, ix.shape[0])
             if quota > 0:
                 hm_key = jax.random.fold_in(jax.random.fold_in(
                     jax.random.fold_in(rng, 0x415), state.step), axis)
-                ref_idx = jax.random.randint(hm_key, (quota,), 0,
-                                             dx.shape[0])
-                refs = jnp.take(dx, ref_idx, axis=0).astype(jnp.float32)
-                matched = jax.vmap(match_fn)(imgs[:quota], refs)
-                imgs = imgs.at[:quota].set(matched)
+                imgs = _gated_match(match_fn, imgs, dx, hm_key, quota,
+                                    gate_p)
         if augment:
             aug_key = jax.random.fold_in(jax.random.fold_in(
                 jax.random.fold_in(rng, 0xA06), state.step), axis)

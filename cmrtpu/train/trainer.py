@@ -136,9 +136,17 @@ class Trainer:
             count += 1
         return {k: v / max(count, 1) for k, v in sums.items()}
 
-    def fit(self, train_data, val_data=None, epochs: Optional[int] = None,
-            callbacks: Optional[List[Callback]] = None,
-            initial_epoch: int = 0) -> List[Dict[str, float]]:
+    def _fit_loop(self, train_epoch: Callable[[], Dict[str, float]],
+                  eval_epoch: Optional[Callable[[], Dict[str, float]]],
+                  epochs: Optional[int], callbacks: Optional[List[Callback]],
+                  initial_epoch: int,
+                  after_epoch: Optional[Callable[[], None]] = None
+                  ) -> List[Dict[str, float]]:
+        """The ONE epoch/callback/early-stop driver behind fit, fit_cached
+        and fit_streamed — the loops differ only in how an epoch runs, and
+        the epoch protocol (callback ordering, val_ merging, epoch_time,
+        stop_training, crash-durable on_train_end) must not drift between
+        the three data paths."""
         epochs = epochs or C.get(self.config, "EPOCHS", 100)
         callbacks = callbacks or []
         self.stop_training = False
@@ -149,18 +157,19 @@ class Trainer:
                 t0 = time.time()
                 for cb in callbacks:
                     cb.on_epoch_begin(self, epoch)
-                logs = self._run_epoch(train_data, training=True)
-                if val_data is not None:
-                    val_logs = self._run_epoch(val_data, training=False)
-                    logs.update({f"val_{k}": v for k, v in val_logs.items()})
+                logs = train_epoch()
+                if eval_epoch is not None:
+                    logs.update({f"val_{k}": v
+                                 for k, v in eval_epoch().items()})
                 logs["epoch_time"] = time.time() - t0
                 self.history.append(logs)
                 for cb in callbacks:
                     cb.on_epoch_end(self, epoch, logs)
-                if hasattr(train_data, "on_epoch_end"):
-                    train_data.on_epoch_end()
+                if after_epoch is not None:
+                    after_epoch()
                 logging.info("epoch %d/%d %s", epoch + 1, epochs,
-                             " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())))
+                             " ".join(f"{k}={v:.4f}"
+                                      for k, v in sorted(logs.items())))
                 if self.stop_training:
                     break
         finally:
@@ -169,6 +178,16 @@ class Trainer:
             # fallback) checkpoint is lost with it
             self._end_callbacks(callbacks)
         return self.history
+
+    def fit(self, train_data, val_data=None, epochs: Optional[int] = None,
+            callbacks: Optional[List[Callback]] = None,
+            initial_epoch: int = 0) -> List[Dict[str, float]]:
+        return self._fit_loop(
+            lambda: self._run_epoch(train_data, training=True),
+            (lambda: self._run_epoch(val_data, training=False))
+            if val_data is not None else None,
+            epochs, callbacks, initial_epoch,
+            after_epoch=getattr(train_data, "on_epoch_end", None))
 
     def _end_callbacks(self, callbacks) -> None:
         """on_train_end for every callback. With an epoch-loop exception in
@@ -206,31 +225,10 @@ class Trainer:
             self._cached_loop = DeviceCachedLoop(self, train_gen, val_gen)
             self._cached_loop_key = cache_key
         loop = self._cached_loop
-        epochs = epochs or C.get(self.config, "EPOCHS", 100)
-        callbacks = callbacks or []
-        self.stop_training = False
-        for cb in callbacks:
-            cb.on_train_begin(self)
-        try:
-            for epoch in range(initial_epoch, epochs):
-                t0 = time.time()
-                for cb in callbacks:
-                    cb.on_epoch_begin(self, epoch)
-                logs = loop.run_train_epoch()
-                if loop.val:
-                    logs.update({f"val_{k}": v
-                                 for k, v in loop.run_eval_epoch().items()})
-                logs["epoch_time"] = time.time() - t0
-                self.history.append(logs)
-                for cb in callbacks:
-                    cb.on_epoch_end(self, epoch, logs)
-                logging.info("epoch %d/%d %s", epoch + 1, epochs,
-                             " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())))
-                if self.stop_training:
-                    break
-        finally:
-            self._end_callbacks(callbacks)
-        return self.history
+        return self._fit_loop(
+            loop.run_train_epoch,
+            loop.run_eval_epoch if loop.val else None,
+            epochs, callbacks, initial_epoch)
 
     def fit_streamed(self, train_gen, val_gen=None, epochs: Optional[int] = None,
                      callbacks: Optional[List[Callback]] = None,
@@ -251,32 +249,10 @@ class Trainer:
             self._streamed_loop = StreamedLoop(self, train_gen, val_gen)
             self._streamed_loop_key = stream_key
         loop = self._streamed_loop
-        epochs = epochs or C.get(self.config, "EPOCHS", 100)
-        callbacks = callbacks or []
-        self.stop_training = False
-        for cb in callbacks:
-            cb.on_train_begin(self)
-        try:
-            for epoch in range(initial_epoch, epochs):
-                t0 = time.time()
-                for cb in callbacks:
-                    cb.on_epoch_begin(self, epoch)
-                logs = loop.run_train_epoch()
-                if val_gen is not None:
-                    logs.update({f"val_{k}": v
-                                 for k, v in loop.run_eval_epoch().items()})
-                logs["epoch_time"] = time.time() - t0
-                self.history.append(logs)
-                for cb in callbacks:
-                    cb.on_epoch_end(self, epoch, logs)
-                logging.info("epoch %d/%d %s", epoch + 1, epochs,
-                             " ".join(f"{k}={v:.4f}"
-                                      for k, v in sorted(logs.items())))
-                if self.stop_training:
-                    break
-        finally:
-            self._end_callbacks(callbacks)
-        return self.history
+        return self._fit_loop(
+            loop.run_train_epoch,
+            loop.run_eval_epoch if val_gen is not None else None,
+            epochs, callbacks, initial_epoch)
 
     def predict(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x)

@@ -405,3 +405,33 @@ def test_fits_device_cache_scales_with_shards():
     tight = {"DEVICE_CACHE_LIMIT_GB": 1 / 512}  # 2 MiB per-device budget
     assert not fits_device_cache(tight, x, x)
     assert fits_device_cache(tight, x, x, n_shards=8)  # 16 MiB aggregate
+
+
+def test_hist_quota_preserves_expected_fraction():
+    """ceil+gate quota: the expected matched count is exactly prob*batch —
+    in particular NOT zero when prob*batch < 0.5 (small per-device local
+    batches on wide meshes used to round Var.1 away silently)."""
+    from cmrtpu.train.device_cache import hist_quota
+
+    count, gate = hist_quota(0.1, 2)       # the silent-disable case
+    assert count == 1 and np.isclose(count * gate, 0.2)
+    count, gate = hist_quota(0.1, 16)
+    assert count == 2 and np.isclose(count * gate, 1.6)
+    count, gate = hist_quota(0.25, 32)     # integer expectation: p == 1
+    assert (count, gate) == (8, 1.0)
+    assert hist_quota(0.0, 128) == (0, 1.0)
+    assert hist_quota(0.1, 0) == (0, 1.0)
+
+
+def test_uint8_packable_memoizes_large_arrays():
+    from cmrtpu.train import device_cache as DC
+
+    y = np.zeros((600, 600, 3), np.float32)  # > 1 MB -> memoized
+    key = (id(y), y.dtype.str, y.shape)
+    assert DC._uint8_packable(y) is True
+    assert DC._UINT8_MEMO.get(key) is True
+    # the memo is evicted when the array dies (no id-aliasing)
+    del y
+    import gc
+    gc.collect()
+    assert key not in DC._UINT8_MEMO

@@ -183,3 +183,33 @@ def test_streamed_routes_grad_allreduce_dtype(gens, monkeypatch):
     trainer = Trainer(dict(cfg, GRAD_ALLREDUCE_DTYPE="bfloat16"))
     logs = trainer.fit_streamed(train, epochs=1)
     assert calls and np.isfinite(logs[-1]["loss"])
+
+
+def test_raw_batch_mixed_packability_fails_loudly(tmp_path):
+    """Without an in-memory cache the uint8-pack decision is probed from the
+    first batch; a later batch with float-valued targets must raise instead
+    of being silently astype-truncated (corrupted training targets on the
+    exact beyond-RAM streaming path the packing exists for)."""
+    rng = np.random.default_rng(3)
+    xs, ys = [], []
+    for i in range(8):
+        img = rng.normal(size=(16, 16)).astype(np.float32)
+        msk = np.zeros((16, 16), np.float32)
+        if i < 4:
+            msk[4:6, 4:6] = 1.0          # exact small ints -> packable
+        else:
+            msk[4:6, 4:6] = 0.5          # fractional -> NOT packable
+        xp = str(tmp_path / f"p{i:03d}__t01_z0_img.nrrd")
+        yp = str(tmp_path / f"p{i:03d}__t01_z0_msk.nrrd")
+        write_image(MedicalImage(array=img, spacing=(1.0, 1.0)), xp)
+        write_image(MedicalImage(array=msk, spacing=(1.0, 1.0)), yp)
+        xs.append(xp)
+        ys.append(yp)
+    cfg = {"DIM": [16, 16], "BATCHSIZE": 4, "MASK_VALUES": [1],
+           "MASK_CLASSES": 1, "SEED": 0, "SHUFFLE": False, "RESAMPLE": False,
+           "CACHE_IN_MEMORY": False}
+    gen = DataGenerator(xs, ys, config=cfg)
+    imgs, msks = gen.raw_batch(0)        # probe fixes uint8 packing
+    assert msks.dtype == np.uint8
+    with pytest.raises(ValueError, match="uint8"):
+        gen.raw_batch(1)
