@@ -129,6 +129,26 @@ def _head_outputs(cfg: Dict, preds, gts: np.ndarray):
     return outputs
 
 
+def select_4d_landmark_head(cfg: Dict):
+    """Which head the 4D driver tracks: the first sigmoid head (the one that
+    owns the ``_msk`` landmark contract in ``_head_outputs``), else the first
+    head's argmax labels as a fallback. Returns ``(name, activation,
+    cc_label_values)``; name is None for single-head models (label values
+    then follow the output's channel count)."""
+    heads = [tuple(h) for h in (C.get(cfg, "HEADS") or ())]
+    if not heads:
+        return None, "sigmoid", None
+    head = next((h for h in heads if str(h[2]) != "softmax"), None)
+    if head is not None:
+        # sigmoid threshold rule: channel c -> label c+1
+        return str(head[0]), "sigmoid", tuple(range(1, int(head[1]) + 1))
+    head = heads[0]
+    logging.warning(
+        "predict_4d_on_2d_cv: HEADS has no sigmoid landmark head; using "
+        "head %r (argmax labels)", head[0])
+    return str(head[0]), str(head[2]), tuple(range(1, int(head[1])))  # 0=bg
+
+
 def pred_fold(config: Dict) -> bool:
     """Run inference for one fold (ref: pred_fold, predict_model.py:7-201)."""
     cfg = C.normalise_config(config)
@@ -267,26 +287,8 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
                     xs.append(T.normalise_image(arr, C.get(cfg, "SCALER")))
             batch = np.stack(xs)[..., None]
             preds = predictor.predict(batch)
-            act, cc_labels = "sigmoid", None
+            name, act, cc_labels = select_4d_landmark_head(cfg)
             if isinstance(preds, dict):
-                # multi-head model: 4D inference tracks the landmark head —
-                # the first sigmoid head, same head that owns the ``_msk``
-                # contract in pred_fold (_head_outputs). With no sigmoid
-                # head, fall back to the first head's argmax labels.
-                heads = [tuple(h) for h in (C.get(cfg, "HEADS") or ())]
-                head = next((h for h in heads if str(h[2]) != "softmax"),
-                            None)
-                if head is not None:
-                    # sigmoid threshold rule: channel c -> label c+1
-                    cc_labels = tuple(range(1, int(head[1]) + 1))
-                elif heads:
-                    head = heads[0]
-                    act = str(head[2])
-                    cc_labels = tuple(range(1, int(head[1])))  # argmax; 0=bg
-                    logging.warning(
-                        "predict_4d_on_2d_cv: HEADS has no sigmoid landmark "
-                        "head; using head %r (argmax labels)", head[0])
-                name = str(head[0]) if head else None
                 preds = preds[name] if name in preds \
                     else next(iter(preds.values()))
             if cc_labels is None:

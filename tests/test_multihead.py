@@ -193,3 +193,26 @@ def test_head_outputs_warn_when_no_sigmoid_head(caplog):
         outs = _head_outputs(cfg, preds, gts)
     assert [o[0] for o in outs] == ["seg"]
     assert any("no sigmoid head" in r.message for r in caplog.records)
+
+
+def test_select_4d_landmark_head():
+    """The 4D driver tracks the first sigmoid head with label values derived
+    from ITS channel count (a 3-channel landmark head yields labels 1..3,
+    not a hardcoded (1, 2)); all-softmax configs fall back to the first
+    head's argmax labels (0 = background)."""
+    from cmrtpu.predict.predictor import select_4d_landmark_head
+
+    # single-head model: labels derived later from the output channels
+    assert select_4d_landmark_head({}) == (None, "sigmoid", None)
+    # standard RVIP head
+    name, act, labels = select_4d_landmark_head(
+        {"HEADS": [["rvip", 2, "sigmoid"], ["sep", 4, "softmax"]]})
+    assert (name, act, labels) == ("rvip", "sigmoid", (1, 2))
+    # 3-channel sigmoid head: CC filter must cover label 3 too
+    name, act, labels = select_4d_landmark_head(
+        {"HEADS": [["sep", 4, "softmax"], ["lm3", 3, "sigmoid"]]})
+    assert (name, act, labels) == ("lm3", "sigmoid", (1, 2, 3))
+    # all-softmax: first head, argmax labels exclude background
+    name, act, labels = select_4d_landmark_head(
+        {"HEADS": [["seg", 4, "softmax"]]})
+    assert (name, act, labels) == ("seg", "softmax", (1, 2, 3))
