@@ -195,6 +195,37 @@ def test_head_outputs_warn_when_no_sigmoid_head(caplog):
     assert any("no sigmoid head" in r.message for r in caplog.records)
 
 
+def test_predict_4d_on_2d_cv_multihead(trained_mh_exp, multihead_root):
+    """The 4D driver end-to-end on a DICT-output (multi-head) model: it must
+    track the sigmoid landmark head's channels (not the concatenated stack)
+    and CC-filter with that head's label set, writing one 4D nrrd whose
+    labels are exactly the rvip head's {0, 1, 2}."""
+    import pandas as pd
+
+    from cmrtpu.predict.predictor import predict_4d_on_2d_cv
+
+    df = pd.read_csv(os.path.join(multihead_root, "df_kfold.csv"))
+    patient = sorted(df[(df["fold"] == 0) &
+                        (df["modality"] == "test")]["patient"].unique())[0]
+    rng = np.random.default_rng(13)
+    vol4d = rng.normal(300, 60, size=(2, 3, 36, 34)).astype(np.float32)
+    vol4d[:, :, 9:12, 7:10] += 400
+    vol4d[:, :, 19:22, 8:11] += 400
+    f4d = os.path.join(multihead_root, "original", patient,
+                       f"{patient}_4d.nii.gz")
+    write_image(MedicalImage(array=vol4d, spacing=(1.4, 1.4, 8.0, 1.0)), f4d)
+
+    predict_4d_on_2d_cv(trained_mh_exp, multihead_root)
+    out = glob.glob(os.path.join(trained_mh_exp, "f0", "pred_4d",
+                                 "*_pred.nrrd"))
+    assert len(out) == 1 and patient in out[0]
+    pred = read_image(out[0])
+    # [t, z, DIM]; labels from the 2-channel rvip head, NOT the seg head's
+    # 4-way argmax (which would produce label 3)
+    assert pred.array.shape == (2, 3, 32, 32)
+    assert set(np.unique(pred.array).astype(int)) <= {0, 1, 2}
+
+
 def test_select_4d_landmark_head():
     """The 4D driver tracks the first sigmoid head with label values derived
     from ITS channel count (a 3-channel landmark head yields labels 1..3,
