@@ -379,7 +379,8 @@ class DataGenerator:
             src = self._cache_y if self._cache_y is not None else msks_b
             self._raw_y_uint8 = _uint8_packable(np.asarray(src))
         if self._raw_y_uint8:
-            if self._cache_y is None and not _uint8_packable(msks_b):
+            if self._cache_y is None and not _uint8_packable(msks_b,
+                                                             memoize=False):
                 # no cache to probe globally: a later batch that is NOT
                 # losslessly uint8-packable must fail loudly — silently
                 # truncating float/large-valued targets would corrupt

@@ -263,6 +263,9 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
         pred_cfg = dict(cfg)
         pred_cfg.update(SHUFFLE=False, AUGMENT=False, BATCHSIZE=1,
                         HIST_MATCHING=False)
+        # constant per fold — selected once so the all-softmax fallback
+        # warning fires once, not once per 4D file
+        head_name, head_act, head_cc = select_4d_landmark_head(cfg)
         for f4d in fold_files:
             vol = read_image(f4d)
             nda = vol.array  # [t, z, y, x]
@@ -287,15 +290,15 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
                     xs.append(T.normalise_image(arr, C.get(cfg, "SCALER")))
             batch = np.stack(xs)[..., None]
             preds = predictor.predict(batch)
-            name, act, cc_labels = select_4d_landmark_head(cfg)
             if isinstance(preds, dict):
-                preds = preds[name] if name in preds \
+                preds = preds[head_name] if head_name in preds \
                     else next(iter(preds.values()))
+            cc_labels = head_cc
             if cc_labels is None:
                 # single-head model: label values follow the channel count
                 # (same derivation as pred_fold's _head_outputs)
                 cc_labels = tuple(range(1, np.asarray(preds).shape[-1] + 1))
-            flat = flatten_head(preds, act).reshape(t_dim, z_dim, *dim)
+            flat = flatten_head(preds, head_act).reshape(t_dim, z_dim, *dim)
             cleaned = np.stack([np.asarray(jax.device_get(
                 clean_prediction_2d_cc(flat[t], cc_labels)))
                 for t in range(t_dim)])

@@ -60,7 +60,7 @@ def cache_nbytes(*arrays: np.ndarray) -> int:
 _UINT8_MEMO: Dict = {}  # id-keyed, weakref-evicted (see _uint8_packable)
 
 
-def _uint8_packable(y: np.ndarray) -> bool:
+def _uint8_packable(y: np.ndarray, memoize: bool = True) -> bool:
     """True when a float mask packs losslessly to uint8 (exact small
     non-negative integers only — the same test upload_cache applies).
 
@@ -69,7 +69,9 @@ def _uint8_packable(y: np.ndarray) -> bool:
     answer the admission question. Large arrays memoize the answer (the
     cache-admission check and the upload-time pack would otherwise each
     full-scan the same multi-GB array); a weakref finalizer evicts the
-    entry when the array dies, so recycled ids cannot alias."""
+    entry when the array dies, so recycled ids cannot alias. Callers
+    scanning transient per-batch arrays (fresh id every call, zero future
+    hits) pass ``memoize=False`` to skip the dict/finalizer churn."""
     import weakref
 
     key = (id(y), y.dtype.str, y.shape)
@@ -91,7 +93,7 @@ def _uint8_packable(y: np.ndarray) -> bool:
         return True
 
     result = scan()
-    if y.nbytes > (1 << 20):  # memoize only when a rescan is expensive
+    if memoize and y.nbytes > (1 << 20):  # only when a rescan is expensive
         try:
             weakref.finalize(y, _UINT8_MEMO.pop, key, None)
             _UINT8_MEMO[key] = result
@@ -212,19 +214,26 @@ def hist_quota(prob: float, batch: int):
     return count, expect / count
 
 
-def _gated_match(match_fn, imgs, dx, key, quota: int, gate_p: float):
-    """Quantile-match the first ``quota`` rows of ``imgs`` against random
-    rows of ``dx``, each candidate gated w.p. ``gate_p`` (see hist_quota)."""
+def _gated_match(match_fn, imgs, dx, key, quota: int, gate_p: float,
+                 sel=None):
+    """Quantile-match ``quota`` rows of ``imgs`` — the first rows, or the
+    rows picked by index vector ``sel`` — against random rows of ``dx``,
+    each candidate gated w.p. ``gate_p`` (see hist_quota). The single home
+    of the expected-fraction gate math for both the sharded (first local
+    rows) and replicated (random permutation) cached paths."""
     k_ref, k_gate = jax.random.split(key)
     ref_idx = jax.random.randint(k_ref, (quota,), 0, dx.shape[0])
     refs = jnp.take(dx, ref_idx, axis=0).astype(jnp.float32)
-    matched = jax.vmap(match_fn)(imgs[:quota], refs)
+    cand = imgs[:quota] if sel is None else jnp.take(imgs, sel, axis=0)
+    matched = jax.vmap(match_fn)(cand, refs)
     if gate_p < 1.0:
         gate = jax.random.bernoulli(k_gate, gate_p, (quota,))
         matched = jnp.where(
             gate.reshape((quota,) + (1,) * (imgs.ndim - 1)),
-            matched, imgs[:quota])
-    return imgs.at[:quota].set(matched)
+            matched, cand)
+    if sel is None:
+        return imgs.at[:quota].set(matched)
+    return imgs.at[sel].set(matched)
 
 
 def _sharded_gather(mesh: Mesh, data_x, data_y, idxs,
@@ -363,23 +372,13 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
             imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
             msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
         if hist_matching and not cache_sharded:
-            k_gate, k_ref = jax.random.split(hm_key)
             batch = idxs.shape[0]
             quota, gate_p = hist_quota(hist_prob, batch)
             if quota > 0:
-                k_gate, k_bern = jax.random.split(k_gate)
-                sel = jax.random.permutation(k_gate, batch)[:quota]
-                ref_idx = jax.random.randint(k_ref, (quota,), 0,
-                                             data_x.shape[0])
-                refs = jnp.take(data_x, ref_idx, axis=0).astype(jnp.float32)
-                matched = jax.vmap(match_fn)(
-                    jnp.take(imgs, sel, axis=0), refs)
-                if gate_p < 1.0:
-                    gate = jax.random.bernoulli(k_bern, gate_p, (quota,))
-                    matched = jnp.where(
-                        gate.reshape((quota,) + (1,) * (imgs.ndim - 1)),
-                        matched, jnp.take(imgs, sel, axis=0))
-                imgs = imgs.at[sel].set(matched)
+                k_sel, k_gm = jax.random.split(hm_key)
+                sel = jax.random.permutation(k_sel, batch)[:quota]
+                imgs = _gated_match(match_fn, imgs, data_x, k_gm,
+                                    quota, gate_p, sel=sel)
         if augment:
             # two-level fold with a constant tag: decorrelated from the
             # dropout stream (which is fold_in(rng, step)) for every step

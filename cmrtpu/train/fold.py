@@ -216,7 +216,21 @@ def run_experiment(config: Dict, data_path: Optional[str] = None,
         # every fold would silently retrain from scratch): prefer the
         # config's own EXP_PATH (a reloaded config/config.json carries it),
         # else the latest run dir of this experiment.
+        # A config-carried EXP_PATH is only trusted when it lies under THIS
+        # experiment's root: configs copied from a finished run as templates
+        # carry the old experiment's path, and re-entering it would train
+        # into (and overwrite) another experiment's run dir.
+        root = os.path.realpath(
+            os.path.join(C.get(cfg, "EXPERIMENTS_ROOT", "exp/"),
+                         str(C.get(cfg, "EXPERIMENT", ""))))
         prior = C.get(cfg, "EXP_PATH")
+        if prior and os.path.isdir(prior) and \
+                not os.path.realpath(prior).startswith(root + os.sep):
+            logging.warning(
+                "RESUME: ignoring config EXP_PATH %s — it does not belong "
+                "to experiment %r (expected under %s); falling back to the "
+                "latest run dir", prior, C.get(cfg, "EXPERIMENT", ""), root)
+            prior = None
         exp_path = prior if prior and os.path.isdir(prior) \
             else _latest_run_dir(cfg)
         if exp_path:

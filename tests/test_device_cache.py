@@ -435,3 +435,35 @@ def test_uint8_packable_memoizes_large_arrays():
     import gc
     gc.collect()
     assert key not in DC._UINT8_MEMO
+
+    # transient per-batch guards opt out: no memo entry, no finalizer churn
+    y2 = np.zeros((600, 600, 3), np.float32)
+    key2 = (id(y2), y2.dtype.str, y2.shape)
+    assert DC._uint8_packable(y2, memoize=False) is True
+    assert key2 not in DC._UINT8_MEMO
+
+
+def test_gated_match_sel_rows_only():
+    """_gated_match(sel=...) replaces exactly the selected rows and leaves
+    every other row untouched (the replicated cached path's contract)."""
+    import jax
+    import jax.numpy as jnp
+    from cmrtpu.train.device_cache import _gated_match
+
+    imgs = jnp.arange(6 * 4, dtype=jnp.float32).reshape(6, 4)
+    dx = jnp.zeros((3, 4), jnp.float32)
+    sel = jnp.array([4, 1])
+    out = _gated_match(lambda a, b: a + 100.0, imgs, dx,
+                       jax.random.PRNGKey(0), quota=2, gate_p=1.0, sel=sel)
+    out = np.asarray(out)
+    base = np.asarray(imgs)
+    assert np.array_equal(out[[4, 1]], base[[4, 1]] + 100.0)
+    untouched = [0, 2, 3, 5]
+    assert np.array_equal(out[untouched], base[untouched])
+
+    # default (sel=None): first `quota` rows, as the sharded path expects
+    out2 = np.asarray(_gated_match(lambda a, b: a + 100.0, imgs, dx,
+                                   jax.random.PRNGKey(0), quota=2,
+                                   gate_p=1.0))
+    assert np.array_equal(out2[:2], base[:2] + 100.0)
+    assert np.array_equal(out2[2:], base[2:])

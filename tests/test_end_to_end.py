@@ -299,6 +299,14 @@ def test_run_experiment_resume_reenters_prior_run(tmp_path, monkeypatch):
     fresh = F.run_experiment(dict(cfg, EXPERIMENT="never-ran"))
     assert "never-ran" in fresh and seen == [fresh]
 
+    # a config copied from ANOTHER experiment carries a foreign EXP_PATH:
+    # it must be ignored (else fold B trains into experiment A's run dir)
+    foreign = tmp_path / "exp" / "other-exp" / "2026-01-03_00_00"
+    foreign.mkdir(parents=True)
+    seen.clear()
+    got = F.run_experiment(dict(cfg, EXP_PATH=str(foreign)))
+    assert got == str(new) and seen == [str(new)]
+
 
 def test_steps_per_epoch_matches_each_loop():
     """The resume epoch derivation must mirror the actual loop's step count:
