@@ -58,6 +58,10 @@ demo:
 	$(PYTHON) examples/full_cv_demo.py --root /tmp/cmrtpu_demo --patients 8 \
 		--epochs 10 --dim 64 --folds 0
 
+## Execute the 8 guided notebooks end-to-end (CPU, self-contained data)
+notebooks:
+	$(PYTHON) tools/run_notebooks.py
+
 ## Delete compiled Python artifacts (parity with the reference's clean)
 clean:
 	find . -type f -name "*.py[co]" -delete
