@@ -142,6 +142,36 @@ def generate_cohort(root, n_patients=100, hw=200, n_slices=8,
     print(f"cohort: {n_patients} patients written under {root}/original")
 
 
+def _write_seg_slices(root):
+    """Per-slice ventricle-mask targets for the softmax head: every 2D
+    ``_msk.nrrd`` (RVIP) slice gets a ``_seg.nrrd`` sibling cut from the
+    patient's ``*_gt.nii.gz`` volume, so the generator's default
+    HEAD_MASK_RULES ('msk' -> head name) resolves them directly."""
+    import glob
+    import re
+
+    from cmrtpu.io import MedicalImage, read_image, write_image
+
+    two_d = os.path.join(root, "2D")
+    pattern = re.compile(r"(patient\d+)__t(\d+)_z(\d+)_msk\.nrrd$")
+    vols = {}
+    written = 0
+    for msk_f in sorted(glob.glob(os.path.join(two_d, "*_msk.nrrd"))):
+        m = pattern.search(os.path.basename(msk_f))
+        if not m:
+            continue
+        pid, frame, z = m.group(1), m.group(2), int(m.group(3))
+        gt_f = os.path.join(root, "original", pid,
+                            f"{pid}_frame{frame}_gt.nii.gz")
+        if gt_f not in vols:
+            vols[gt_f] = read_image(gt_f)
+        gt = vols[gt_f]
+        write_image(MedicalImage(array=gt.array[z], spacing=gt.spacing[:2]),
+                    msk_f.replace("_msk.nrrd", "_seg.nrrd"))
+        written += 1
+    print(f"multihead: {written} per-slice _seg targets written")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--root", default="/tmp/cmrtpu_cv")
@@ -160,6 +190,11 @@ def main():
                         help="binary GT targets (the published Base arm)")
     parser.add_argument("--hist-matching", action="store_true",
                         help="enable the Var.1 histogram-matching arm")
+    parser.add_argument("--multihead", action="store_true",
+                        help="BASELINE config 4: RVIP sigmoid head + "
+                             "LV/MYO/RV softmax segmentation head (per-slice "
+                             "_seg targets are derived from the cohort's "
+                             "ventricle gt volumes)")
     args = parser.parse_args()
 
     # a fold trains on ~3/4 of the patients x 2 phases x 8 slices; the batch
@@ -176,6 +211,9 @@ def main():
     from cmrtpu.cli.make_dataset import main as make_dataset_main
     if not os.path.isdir(os.path.join(args.root, "2D")):
         make_dataset_main(args.root, os.path.join(args.root, "original"))
+
+    if args.multihead:
+        _write_seg_slices(args.root)
 
     config = {
         "EXPERIMENT": "full_cv", "EXPERIMENTS_ROOT": os.path.join(args.root, "exp/"),
@@ -194,6 +232,11 @@ def main():
         "EARLY_STOPPING_PATIENCE": args.epochs,
         "MONITOR_FUNCTION": "val_loss", "SAVE_MODEL_FUNCTION": "val_loss",
     }
+    if args.multihead:
+        # BASELINE config 4: first sigmoid head keeps the _msk landmark
+        # contract; the softmax head adds per-structure seg-dice columns
+        # (labels RV=1 MYO=2 LV=3 like ACDC -> 4 channels incl. background)
+        config["HEADS"] = [["rvip", 2, "sigmoid"], ["seg", 4, "softmax"]]
     from cmrtpu.train.fold import run_experiment
     exp_path = run_experiment(config, data_path=args.root)
 
@@ -207,7 +250,8 @@ def main():
               "mdists_ant_gtio", "mdists_inf_gtio",
               "mdists_ant_gtorig", "mdists_inf_gtorig",
               "tpr_ant_point_th15", "ppv_ant_point_th15",
-              "tpr_inf_point_th15", "ppv_inf_point_th15"):
+              "tpr_inf_point_th15", "ppv_inf_point_th15",
+              "seg_dice_rv", "seg_dice_myo", "seg_dice_lv"):
         if c in df:
             vals = df[c].astype(float)
             print(f"  {c:28s} {vals.mean():8.3f} +- {vals.std():.3f}")
@@ -217,6 +261,9 @@ def main():
     for c in ("mdists_ant_gtpred", "mdists_inf_gtpred"):
         if c in df:  # absent when every fold's chained prediction failed
             summary[f"{c}_mm"] = float(df[c].astype(float).mean())
+    for c in ("seg_dice_rv", "seg_dice_myo", "seg_dice_lv"):
+        if c in df:  # multihead arm only
+            summary[c] = float(df[c].astype(float).mean())
     with open(os.path.join(exp_path, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
 
