@@ -6,7 +6,7 @@
 #   EXP   — experiment / run directory (predict + evaluate + resume targets)
 
 .PHONY: test test-fast dataset train resume predict predict-4d evaluate \
-	bench dryrun demo clean
+	bench dryrun demo notebooks clean
 
 PYTHON ?= python
 DATA   ?= data

@@ -75,7 +75,11 @@ def _append_seg_dice_columns(df_eval: pd.DataFrame, suffix: str) -> None:
     one column per foreground label — named rv/myo/lv only when the gt
     labels are EXACTLY the 3-label ACDC set {1,2,3} (a 2-label landmark-
     style head must not inherit anatomically wrong rv/myo names), l<k>
-    otherwise. Missing files yield NaN rows, never missing columns."""
+    otherwise. Missing files yield NaN rows; when the gt family is missing
+    entirely the column set falls back to the labels predicted, so the
+    schema never silently loses the dice columns. One (pred, gt) pair is
+    resident at a time — a full-resolution CV's volumes must not all be
+    held in memory for a per-pair metric."""
     from cmrtpu.train.losses import dice_numpy
 
     pred_col = [_sibling_file(f, suffix) for f in df_eval["files_pred"]]
@@ -83,21 +87,32 @@ def _append_seg_dice_columns(df_eval: pd.DataFrame, suffix: str) -> None:
     df_eval[f"files_{suffix}_pred"] = pred_col
     df_eval[f"files_{suffix}_gt"] = gt_col
 
-    arrays = {}
-    labels = set()
+    # per row: None (missing files) or {label: dice} over the labels present
+    # in EITHER mask; a label absent from both masks of a pair scores
+    # dice_numpy's empty_score (1.0) without needing the arrays again
+    row_dices = []
+    gt_labels = set()
     for pf, gf in zip(pred_col, gt_col):
-        if pf and gf:
-            arrays[(pf, gf)] = (read_image(pf).array, read_image(gf).array)
-            labels |= set(np.unique(arrays[(pf, gf)][1]).astype(int)) - {0}
+        if not (pf and gf):
+            row_dices.append(None)
+            continue
+        pred = read_image(pf).array
+        gt = read_image(gf).array
+        present = (set(np.unique(gt).astype(int))
+                   | set(np.unique(pred).astype(int))) - {0}
+        row_dices.append({l: dice_numpy(gt == l, pred == l)
+                          for l in present})
+        gt_labels |= set(np.unique(gt).astype(int)) - {0}
+    labels = gt_labels
+    if not labels:  # gt family absent: keep the schema from the predictions
+        labels = {l for d in row_dices if d for l in d}
     labels = sorted(labels)
     names = {l: _ACDC_STRUCTURES[l] for l in labels} \
         if set(labels) == set(_ACDC_STRUCTURES) else {l: f"l{l}" for l in labels}
     for label in labels:
         df_eval[f"{suffix}_dice_{names[label]}"] = [
-            dice_numpy(arrays[(pf, gf)][1] == label,
-                       arrays[(pf, gf)][0] == label)
-            if (pf, gf) in arrays else np.nan
-            for pf, gf in zip(pred_col, gt_col)]
+            np.nan if d is None else d.get(label, 1.0)
+            for d in row_dices]
 
 
 # filename sorting rules (ref: evaluate_cv.py:222-225)

@@ -26,6 +26,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import logging
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -217,8 +218,12 @@ class DataGenerator:
         if self.masks and self.heads:
             msks = []
             for rule in self.head_mask_rules:
+                # rule applies to the FILENAME only: a 'msk' substring in a
+                # directory or patient component must not be rewritten
+                # (e.g. /data/cmr_msk_cohort/..._msk.nrrd)
+                head, base = os.path.split(self.labels[idx])
                 path = self.labels[idx] if rule is None \
-                    else self.labels[idx].replace(rule[0], rule[1])
+                    else os.path.join(head, base.replace(rule[0], rule[1]))
                 msks.append(read_image(path))
         elif self.masks:
             msks = [read_image(self.labels[idx])]

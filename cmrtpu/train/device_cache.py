@@ -481,8 +481,8 @@ class DeviceCachedLoop:
             C.get(cfg, "CACHE_SHARDED", False))
         if self.sharded:
             assert self.batch % self.n_shards == 0, (
-                f"BATCHSIZE {self.batch} must divide the data-mesh size "
-                f"{self.n_shards} for a sharded cache")
+                f"BATCHSIZE {self.batch} must be a multiple of the data-mesh "
+                f"size {self.n_shards} for a sharded cache")
             self.local_batch = self.batch // self.n_shards
             self.x_train, self.y_train, self._n_train_padded = \
                 upload_cache_sharded(train_gen._cache_x, train_gen._cache_y,

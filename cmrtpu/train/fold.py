@@ -119,10 +119,47 @@ def _resume_fold(trainer: Trainer, cfg: Dict, train_gen,
     return initial_epoch
 
 
-def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
+_FOLD_COMPLETE = "fold_complete.json"
+
+
+def _fold_complete_path(cfg: Dict) -> str:
+    return os.path.join(cfg.get("FOLD_PATH", cfg["EXP_PATH"]), _FOLD_COMPLETE)
+
+
+def _fold_already_complete(cfg: Dict) -> bool:
+    """True when this fold's completion marker exists and the resumed run
+    does not ask for MORE epochs than the completed run targeted. A resumed
+    CV must only retrain the fold that crashed — re-entering a finished fold
+    would retrain it from its best epoch and overwrite its checkpoint,
+    history tail and chained predictions. Raising EPOCHS beyond the
+    completed target is the explicit train-longer request and re-enters."""
+    import json as _json
+
+    path = _fold_complete_path(cfg)
+    if not os.path.isfile(path):
+        return False
+    try:
+        with open(path) as fh:
+            marker = _json.load(fh)
+        target = int(marker.get("epochs_target", 0))
+    except (ValueError, OSError):
+        return True  # unreadable marker: the fold did finish — stay safe
+    return int(C.get(cfg, "EPOCHS", 100) or 100) <= target
+
+
+def train_fold(config: Dict, in_memory: bool = True) -> Optional[Trainer]:
+    """Train one fold. Returns the Trainer — or None when RESUME found the
+    fold's completion marker and skipped it (a resumed CV must only retrain
+    the fold that crashed, not re-enter finished folds whose best
+    checkpoints, histories and chained predictions it would overwrite)."""
     t0 = time()
     fold = C.get(config, "FOLD", 0)
     cfg = C.set_experiment_paths(C.normalise_config(config), fold=fold)
+
+    if C.get(cfg, "RESUME", False) and _fold_already_complete(cfg):
+        logging.info("RESUME: fold %s already complete (%s) — skipping",
+                     fold, _fold_complete_path(cfg))
+        return None
 
     console_and_file_logger(path=cfg["EXP_PATH"], log_lvl=logging.INFO)
     cfg = C.init_config(cfg, save=True)
@@ -189,6 +226,15 @@ def train_fold(config: Dict, in_memory: bool = True) -> Trainer:
         pred_fold(pred_cfg)
     except Exception as e:  # chained inference is best-effort (ref :114-129)
         logging.error(e)
+
+    # completion marker: a later RESUME of the CV must not re-enter this
+    # fold (retraining from its best epoch would overwrite the finished
+    # checkpoint/history/predictions)
+    import json as _json
+    with open(_fold_complete_path(cfg), "w") as fh:
+        _json.dump({"fold": fold, "epochs_run": len(trainer.history),
+                    "epochs_target": int(C.get(cfg, "EPOCHS", 100) or 100),
+                    "finished_at": time()}, fh)
 
     logging.info("Fold %s finished after %0.3f sec", fold, time() - t0)
     return trainer

@@ -67,7 +67,8 @@ class StreamedLoop:
         self.batch = int(C.get(cfg, "BATCHSIZE", 32) or 0)
         n_shards = int(self.mesh.shape[DATA_AXIS])
         assert self.batch % n_shards == 0, (
-            f"BATCHSIZE {self.batch} must divide the data-mesh size")
+            f"BATCHSIZE {self.batch} must be a multiple of the data-mesh "
+            f"size {n_shards}")
         local_batch = self.batch // n_shards
         # identity local gather: row r of each device's batch shard
         self._idxs = jax.device_put(

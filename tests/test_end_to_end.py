@@ -251,6 +251,37 @@ def test_train_fold_resume(synthetic_root, tmp_path_factory):
     assert np.isfinite(hist2["loss"]).all()
 
 
+def test_train_fold_resume_skips_completed_fold(synthetic_root,
+                                                tmp_path_factory):
+    """A resumed CV must only retrain the fold that crashed: a fold whose
+    completion marker exists (and whose epoch target is not being raised)
+    is skipped, leaving its checkpoint/history/predictions untouched."""
+    from cmrtpu.train.fold import train_fold
+
+    exp_root = str(tmp_path_factory.mktemp("resume_skip") / "run")
+    cfg = dict(CFG, EPOCHS=2, CC_FILTER=False)
+    cfg["EXP_PATH"] = exp_root
+    cfg["DATA_PATH_SAX"] = os.path.join(synthetic_root, "2D")
+    cfg["DF_FOLDS"] = os.path.join(synthetic_root, "df_kfold.csv")
+    cfg["DATA_PATH_ORIG"] = os.path.join(synthetic_root, "original")
+    cfg["FOLD"] = 0
+    assert train_fold(cfg, in_memory=True) is not None
+    marker = os.path.join(exp_root, "f0", "fold_complete.json")
+    assert os.path.isfile(marker)
+    hist_before = pd.read_csv(os.path.join(exp_root, "f0", "history.csv"))
+
+    # same epoch target -> the fold is complete, resume must skip it
+    assert train_fold(dict(cfg, RESUME=True), in_memory=True) is None
+    hist_after = pd.read_csv(os.path.join(exp_root, "f0", "history.csv"))
+    pd.testing.assert_frame_equal(hist_before, hist_after)
+
+    # a RAISED epoch target is the explicit train-longer request: re-enter
+    assert train_fold(dict(cfg, RESUME=True, EPOCHS=3),
+                      in_memory=True) is not None
+    hist_ext = pd.read_csv(os.path.join(exp_root, "f0", "history.csv"))
+    assert hist_ext["epoch"].tolist() == [0, 1, 2]
+
+
 def test_train_fold_resume_without_checkpoint_starts_fresh(
         synthetic_root, tmp_path_factory):
     """RESUME on a run with no restorable state warns and trains from
