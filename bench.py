@@ -37,24 +37,51 @@ def main():
     # emit the JSON line with value 0 and an error field, then exit.
     init_done = threading.Event()
     init_timeout = float(os.environ.get("CMRTPU_BENCH_INIT_TIMEOUT_S", "900"))
+    # partial-result ledger the deadline watchdog can flush: the TPU tunnel
+    # has been observed to wedge MID-RUN (main thread parked on a futex, the
+    # conn-read thread blocked in tcp_recvmsg) — a hang inside one variant
+    # must not cost the driver the rows already measured
+    partial = {"value": 0.0, "vs_baseline": 0.0,
+               "variants_slices_per_sec": {}}
 
-    def _watchdog():
+    def _emit(error=None):
+        record = {
+            "metric": "SAX slices/sec (end-to-end device-cached train: "
+                      "gather+augment+mask-channels+fwd+bwd+adam, "
+                      "224x224 2D U-Net)",
+            "value": partial["value"],
+            "unit": "slices/sec",
+            "vs_baseline": partial["vs_baseline"],
+            "variants_slices_per_sec": partial["variants_slices_per_sec"],
+        }
+        if error:
+            record["error"] = error
+        if os.environ.get("CMRTPU_BENCH_SMOKE", "") not in ("", "0"):
+            record["smoke"] = True  # structural drive, not a measurement
+        print(json.dumps(record), flush=True)
+
+    def _init_watchdog():
         if not init_done.wait(init_timeout):
-            print(json.dumps({
-                "metric": "SAX slices/sec (end-to-end device-cached train: "
-                          "gather+augment+mask-channels+fwd+bwd+adam, "
-                          "224x224 2D U-Net)",
-                "value": 0.0,
-                "unit": "slices/sec",
-                "vs_baseline": 0.0,
-                "error": "accelerator backend failed to initialize within "
-                         f"{init_timeout:.0f}s (TPU tunnel outage?) — no "
-                         "measurement was taken; this is an infrastructure "
-                         "failure, not a throughput regression",
-            }), flush=True)
+            _emit("accelerator backend failed to initialize within "
+                  f"{init_timeout:.0f}s (TPU tunnel outage?) — no "
+                  "measurement was taken; this is an infrastructure "
+                  "failure, not a throughput regression")
             os._exit(17)
 
-    threading.Thread(target=_watchdog, daemon=True).start()
+    threading.Thread(target=_init_watchdog, daemon=True).start()
+
+    deadline_s = float(os.environ.get("CMRTPU_BENCH_DEADLINE_S", "2700"))
+    done = threading.Event()
+
+    def _deadline_watchdog():
+        if not done.wait(deadline_s):
+            _emit(f"benchmark exceeded the {deadline_s:.0f}s deadline "
+                  "(mid-run TPU tunnel wedge?) — reporting the rows "
+                  "measured so far; missing variants are an infrastructure "
+                  "failure, not regressions")
+            os._exit(18)
+
+    threading.Thread(target=_deadline_watchdog, daemon=True).start()
 
     import jax
 
@@ -65,8 +92,16 @@ def main():
 
     n_dev = len(jax.devices())
     init_done.set()
-    batch = 128 * n_dev  # measured per-chip sweet spot (b32:352 .. b128:1202)
-    config = {"DIM": [224, 224], "DEPTH": 4, "FILTERS": 32, "MASK_CLASSES": 2,
+    # CMRTPU_BENCH_SMOKE=1: tiny shapes/steps so the full bench structure
+    # (every variant row, the partial ledger, both watchdogs) can be driven
+    # off-TPU in minutes; numbers are meaningless and the JSON is stamped
+    # "smoke" so the record cannot be mistaken for a measurement
+    smoke = os.environ.get("CMRTPU_BENCH_SMOKE", "") not in ("", "0")
+    hw = 64 if smoke else 224
+    batch = (8 if smoke else 128) * n_dev  # measured per-chip sweet spot
+    def st(n):  # per-variant timed-step count (tiny in smoke mode)
+        return 2 if smoke else n
+    config = {"DIM": [hw, hw], "DEPTH": 4, "FILTERS": 32, "MASK_CLASSES": 2,
               "BATCHSIZE": batch, "MIXED_PRECISION": True,
               "USE_UPSAMPLE": False,  # transpose-conv decoder variant
               "MASK_VALUES": [1, 2], "SCALER": "MinMax",
@@ -78,17 +113,18 @@ def main():
 
     # synthetic deterministic-preprocessed cache, resident in HBM
     rng = np.random.default_rng(0)
-    n_cache = max(4 * batch, 512)
-    x_cache = rng.normal(size=(n_cache, 224, 224)).astype(np.float32)
-    y_cache = np.zeros((n_cache, 224, 224), np.float32)
-    y_cache[:, 60:64, 60:64] = 1.0
-    y_cache[:, 160:164, 160:164] = 2.0
+    n_cache = max(4 * batch, 64 if smoke else 512)
+    x_cache = rng.normal(size=(n_cache, hw, hw)).astype(np.float32)
+    y_cache = np.zeros((n_cache, hw, hw), np.float32)
+    a, b = int(hw * 0.27), int(hw * 0.71)  # 60/160 at 224
+    y_cache[:, a:a + 4, a:a + 4] = 1.0
+    y_cache[:, b:b + 4, b:b + 4] = 2.0
     data_x, data_y = upload_cache(x_cache, y_cache, mesh)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     idx_sharding = NamedSharding(mesh, P("data"))
 
-    def measure(cfg_overrides, steps=20, warmup=3):
+    def measure(cfg_overrides, steps=st(20), warmup=st(3)):
         """slices/sec of the fused cached step under a config variant."""
         cfg = dict(trainer.config, **cfg_overrides)
         step = make_cached_train_step(trainer.model, trainer.optimizer,
@@ -115,7 +151,7 @@ def main():
         float(np.asarray(jax.device_get(logs["loss"])))
         return steps * batch / (time.perf_counter() - t0)
 
-    def measure_sharded(steps=10, warmup=3):
+    def measure_sharded(steps=st(10), warmup=st(3)):
         """slices/sec of the CACHE_SHARDED fused step (example-sharded HBM
         cache, shard-local gather). On one chip this is the same math with
         shard_map plumbing; on a pod it is the capacity-scaling path."""
@@ -144,7 +180,7 @@ def main():
         float(np.asarray(jax.device_get(logs["loss"])))
         return steps * batch / (time.perf_counter() - t0)
 
-    def measure_streaming(steps=20, warmup=3, echo=1):
+    def measure_streaming(steps=st(20), warmup=st(3), echo=1):
         """slices/sec of the PACKED host-streaming path, measured through
         the REAL production loop (cmrtpu/train/streaming.py StreamedLoop):
         bf16/uint8 batches from a numpy-only producer thread, device
@@ -193,44 +229,90 @@ def main():
         loop.run_train_epoch()  # run_train_epoch drains all step logs
         return steps * batch * echo / (time.perf_counter() - t0)
 
+    def measure_cine(steps=st(10), warmup=st(3)):
+        """slices/sec of the 2D+t cine config (BASELINE config 3): a 3D
+        U-Net over temporal SAX stacks (len(DIM)==3, t-preserving pooling
+        M_POOL=[1,2,2]) through the same fused cached step — the
+        augmentation draw broadcasts across t (ReplayCompose parity).
+        Reported in SLICES (volumes x frames) for comparability."""
+        t_frames = 4 if smoke else 8
+        vol_batch = (2 if smoke else 16) * n_dev  # 16 vols/chip = 128 slices
+        cfg = {"DIM": [t_frames, hw, hw], "F_SIZE": [3, 3, 3],
+               "M_POOL": [1, 2, 2], "DEPTH": 4, "FILTERS": 32,
+               "MASK_CLASSES": 2, "MASK_VALUES": [1, 2],
+               "BATCHSIZE": vol_batch, "MIXED_PRECISION": True,
+               "USE_UPSAMPLE": False, "SCALER": "MinMax",
+               "AUGMENT": True, "AUGMENT_PROB": 0.8, "RANDOMROTATE": True,
+               "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True,
+               "LEARNING_RATE": 1e-4, "SEED": 0}
+        cine_trainer = Trainer(cfg, mesh=mesh)
+        n_vols = max(2 * vol_batch, 64)
+        xv = rng.normal(size=(n_vols, t_frames, hw, hw)).astype(np.float32)
+        yv = np.zeros((n_vols, t_frames, hw, hw), np.float32)
+        yv[:, :, a:a + 4, a:a + 4] = 1.0
+        yv[:, :, b:b + 4, b:b + 4] = 2.0
+        dx, dy = upload_cache(xv, yv, mesh)
+        step = make_cached_train_step(cine_trainer.model,
+                                      cine_trainer.optimizer,
+                                      cine_trainer.loss_fn,
+                                      cine_trainer.metrics,
+                                      cfg, mesh, augment=True)
+        state = jax.device_put(jax.device_get(cine_trainer.state))
+
+        def one(state):
+            idxs = jax.device_put(
+                rng.integers(0, n_vols, vol_batch).astype(np.int32),
+                idx_sharding)
+            return step(state, dx, dy, idxs, cine_trainer.rng)
+
+        for _ in range(warmup):
+            state, logs = one(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, logs = one(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        return steps * vol_batch * t_frames / (time.perf_counter() - t0)
+
+    baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count
+
     # flagship: the published Base experiment (augment, no smoothing)
     slices_per_sec = measure({})
+    partial["value"] = round(slices_per_sec, 1)
+    partial["vs_baseline"] = round(slices_per_sec / baseline, 3)
 
-    def safe(fn, *a, **kw):
+    def safe(name, fn, *a, **kw):
         """A broken variant measurement must not cost the driver the
-        headline metric — record the error string instead."""
+        headline metric — record the error string instead. Results land in
+        the partial ledger as they complete so a mid-run hang still reports
+        everything measured before it."""
         try:
-            return round(fn(*a, **kw), 1)
+            result = round(fn(*a, **kw), 1)
         except Exception as e:  # pragma: no cover - hardware-path failures
-            return f"error: {type(e).__name__}: {e}"
+            result = f"error: {type(e).__name__}: {e}"
+        partial["variants_slices_per_sec"][name] = result
 
     # published variants riding the same fused step: Var.1 (hist-matching,
     # ref: Generators.py:350-358), Var.2/Var.3 (Gaussian sigma=2/4 GT
     # heatmaps, ref: Generators.py:385-391)
-    variants = {
-        "hist_matching (Var.1)": safe(measure, {"HIST_MATCHING": True},
-                                      steps=10),
-        "gaus_sigma2 (Var.2)": safe(measure, {"GAUS": True, "SIGMA": 2},
-                                    steps=10),
-        "gaus_sigma4 (Var.3)": safe(measure, {"GAUS": True, "SIGMA": 4},
-                                    steps=10),
-        "cache_sharded": safe(measure_sharded),
-        "host_streaming_packed": safe(measure_streaming),
-        # STREAM_ECHO=4: data echoing fills the link-bound path's bubble with
-        # extra gradient steps (fresh augmentation per echo) — trained
-        # slices/s, not uploaded slices/s
-        "host_streaming_echo4": safe(measure_streaming, steps=10, echo=4),
-    }
+    safe("hist_matching (Var.1)", measure, {"HIST_MATCHING": True},
+         steps=st(10))
+    safe("gaus_sigma2 (Var.2)", measure, {"GAUS": True, "SIGMA": 2},
+         steps=st(10))
+    safe("gaus_sigma4 (Var.3)", measure, {"GAUS": True, "SIGMA": 4},
+         steps=st(10))
+    safe("cache_sharded", measure_sharded)
+    # BASELINE config 3: 2D+t cine volume batching through a 3D U-Net
+    # (t-preserving pooling), slices = volumes x frames
+    safe("cine_2dt (config 3)", measure_cine)
+    safe("host_streaming_packed", measure_streaming)
+    # STREAM_ECHO=4: data echoing fills the link-bound path's bubble with
+    # extra gradient steps (fresh augmentation per echo) — trained
+    # slices/s, not uploaded slices/s
+    safe("host_streaming_echo4", measure_streaming, steps=st(10), echo=4)
 
-    baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count
-    print(json.dumps({
-        "metric": "SAX slices/sec (end-to-end device-cached train: gather+"
-                  "augment+mask-channels+fwd+bwd+adam, 224x224 2D U-Net)",
-        "value": round(slices_per_sec, 1),
-        "unit": "slices/sec",
-        "vs_baseline": round(slices_per_sec / baseline, 3),
-        "variants_slices_per_sec": variants,
-    }))
+    done.set()
+    _emit()
 
 
 if __name__ == "__main__":
