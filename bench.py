@@ -274,6 +274,30 @@ def main():
         float(np.asarray(jax.device_get(logs["loss"])))
         return steps * vol_batch * t_frames / (time.perf_counter() - t0)
 
+    def measure_serving(steps=st(20), warmup=st(3)):
+        """slices/sec of the serving path: the jitted inference forward
+        (train=False, BN in inference mode) on a device-resident batch —
+        what a deployed predictor sustains per chip (the export artifact
+        runs the same program, cmrtpu/predict/export.py)."""
+        serve_batch = (16 if smoke else 256) * n_dev  # serving sweet spot
+        x = jax.device_put(
+            rng.normal(size=(serve_batch, hw, hw, 1)).astype(np.float32),
+            NamedSharding(mesh, P("data")))
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        # sync on a scalar probe, not the whole output — pulling the full
+        # prediction tensor through the tunneled link (~50 MB/s) would
+        # dominate the measurement
+        fwd = jax.jit(lambda v, x: trainer.model.apply(v, x, train=False))
+        for _ in range(warmup):
+            preds = fwd(variables, x)
+        float(jax.device_get(preds[0, 0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            preds = fwd(variables, x)
+        float(jax.device_get(preds[0, 0, 0, 0]))
+        return steps * serve_batch / (time.perf_counter() - t0)
+
     baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count
 
     # flagship: the published Base experiment (augment, no smoothing)
@@ -305,6 +329,8 @@ def main():
     # BASELINE config 3: 2D+t cine volume batching through a 3D U-Net
     # (t-preserving pooling), slices = volumes x frames
     safe("cine_2dt (config 3)", measure_cine)
+    # serving: jitted inference forward per chip (deployment rate)
+    safe("serving_forward", measure_serving)
     safe("host_streaming_packed", measure_streaming)
     # STREAM_ECHO=4: data echoing fills the link-bound path's bubble with
     # extra gradient steps (fresh augmentation per echo) — trained
