@@ -14,9 +14,11 @@ whole stack receives one consistent warp — pinned by tests/test_cine.py;
 this demo shows the config trains to sub-pixel quality, not just that the
 loss decreases.
 
-CPU (~3 min at the defaults) or TPU (seconds):
+Measured (12 patients, 48², t=6, CPU ~10 min): 600 epochs → held-out CoM
+0.50 mm mean / argmax 0.86 mm, 31/36 landmarks detected; 250 epochs →
+1.35 mm / 2.0 mm.
 
-    python examples/cine_quality_demo.py --patients 16 --epochs 200
+    python examples/cine_quality_demo.py --patients 12 --epochs 600
 """
 
 import argparse
