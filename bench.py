@@ -15,9 +15,10 @@ the number of chips actually present.
 
 Measured context (one v5e chip, 224x224, depth-4/32-filter U-Net, batch 128
 per chip, transpose-conv decoder): bare train step 1202 slices/s; device-
-cached loop incl. augmentation ~1090; host-streaming pipeline only ~160
-(per-step uploads collapse to 25-50 MB/s on this interconnect — hence the
-cache-resident design).
+cached loop incl. augmentation ~1151; naive host-streaming only ~160 with
+the packed put-ahead loop reaching ~350 and STREAM_ECHO=4 ~940 trained
+slices/s (per-step uploads collapse to 25-60 MB/s on this interconnect —
+hence the cache-resident design).
 """
 
 import json
