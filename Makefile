@@ -6,7 +6,7 @@
 #   EXP   — experiment / run directory (predict + evaluate + resume targets)
 
 .PHONY: test test-fast dataset train resume predict predict-4d evaluate \
-	bench dryrun demo notebooks clean
+	bench dryrun demo demo-cine notebooks clean
 
 PYTHON ?= python
 DATA   ?= data
@@ -57,6 +57,10 @@ dryrun:
 demo:
 	$(PYTHON) examples/full_cv_demo.py --root /tmp/cmrtpu_demo --patients 8 \
 		--epochs 10 --dim 64 --folds 0
+
+## Cine (2D+t) quality loop: held-out per-frame mm localisation
+demo-cine:
+	$(PYTHON) examples/cine_quality_demo.py --patients 12 --epochs 600
 
 ## Execute the 8 guided notebooks end-to-end (CPU, self-contained data)
 notebooks:
