@@ -139,9 +139,21 @@ def export_model(config: Dict, model_path: str, out_dir: str,
     from cmrtpu.train.checkpoint import save_weights
     os.replace(save_weights(out_dir, params, batch_stats),
                os.path.join(out_dir, WEIGHTS))
+    # the full config rides along (callables by name, init_config-style, ref:
+    # src/utils/Utils_io.py:163-213) so a serving process can preprocess
+    # inputs (SPACING/SCALER/RESAMPLE/DIM) and route heads (HEADS) from the
+    # artifact alone — see cmrtpu/predict/serving.py
+    safe_cfg = {}
+    for k, v in cfg.items():
+        try:
+            json.dumps(v)
+            safe_cfg[k] = v
+        except TypeError:
+            safe_cfg[k] = getattr(v, "__name__", str(v))
     with open(os.path.join(out_dir, META), "w") as fh:
         json.dump({"x_shape": list(x_shape), "dim": list(dim),
-                   "mask_classes": int(C.get(cfg, "MASK_CLASSES", 2))}, fh)
+                   "mask_classes": int(C.get(cfg, "MASK_CLASSES", 2)),
+                   "config": safe_cfg}, fh)
     return out_dir
 
 

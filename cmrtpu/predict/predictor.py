@@ -149,6 +149,35 @@ def select_4d_landmark_head(cfg: Dict):
     return str(head[0]), str(head[2]), tuple(range(1, int(head[1])))  # 0=bg
 
 
+def preprocess_model_input(slices: np.ndarray, slice_spacing,
+                           cfg: Dict) -> np.ndarray:
+    """Deterministic inference-time preprocessing for a stack of raw 2D
+    slices: per slice resample (if RESAMPLE) -> quantile clip -> normalise ->
+    pad/crop to DIM -> re-normalise — the generator's fix+finalize chain
+    without targets (ref: src/data/Generators.py:283-344). ``slices`` is
+    [N, y, x]; ``slice_spacing`` the in-plane (x, y) spacing shared by all
+    slices. Returns the model-ready [N, H, W, 1] float32 batch."""
+    from cmrtpu.pipeline import transforms as T
+
+    cfg = C.normalise_config(cfg)
+    dim = tuple(C.get(cfg, "DIM"))
+    target_spacing = list(reversed(C.get(cfg, "SPACING")))
+    scaler = C.get(cfg, "SCALER")
+    resample = bool(C.get(cfg, "RESAMPLE", False))
+    xs = []
+    for nda in slices:
+        img2d = MedicalImage(array=np.asarray(nda), spacing=slice_spacing)
+        if resample:
+            new_size = T.calc_resampled_size(img2d.size, img2d.spacing,
+                                             target_spacing)
+            img2d = R.resample_image(img2d, new_size, target_spacing,
+                                     R.LINEAR)
+        arr = T.normalise_image(T.clip_quantile(img2d.array, 0.999), scaler)
+        arr = T.pad_and_crop(arr.astype(np.float32), dim)
+        xs.append(T.normalise_image(arr, scaler))
+    return np.stack(xs)[..., None]
+
+
 def pred_fold(config: Dict) -> bool:
     """Run inference for one fold (ref: pred_fold, predict_model.py:7-201)."""
     cfg = C.normalise_config(config)
@@ -272,23 +301,11 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
             t_dim, z_dim = nda.shape[0], nda.shape[1]
             # preprocess the t x z slices directly (equivalent to sliceable(),
             # ref: Generators.py:401-424, but batched for throughput)
-            from cmrtpu.pipeline import transforms as T
             dim = tuple(C.get(cfg, "DIM"))
             spacing = list(reversed(C.get(cfg, "SPACING")))
-            xs = []
-            for t in range(t_dim):
-                for z in range(z_dim):
-                    img2d = MedicalImage(array=nda[t, z],
-                                         spacing=vol.spacing[:2])
-                    if C.get(cfg, "RESAMPLE", False):
-                        new_size = T.calc_resampled_size(img2d.size, img2d.spacing,
-                                                         spacing)
-                        img2d = R.resample_image(img2d, new_size, spacing, R.LINEAR)
-                    arr = T.normalise_image(T.clip_quantile(img2d.array, 0.999),
-                                            C.get(cfg, "SCALER"))
-                    arr = T.pad_and_crop(arr.astype(np.float32), dim)
-                    xs.append(T.normalise_image(arr, C.get(cfg, "SCALER")))
-            batch = np.stack(xs)[..., None]
+            batch = preprocess_model_input(
+                nda.reshape(t_dim * z_dim, *nda.shape[2:]),
+                vol.spacing[:2], cfg)
             preds = predictor.predict(batch)
             if isinstance(preds, dict):
                 preds = preds[head_name] if head_name in preds \

@@ -1,0 +1,287 @@
+"""Production batch serving: a restore-once engine that streams CMR studies
+through a fixed-shape compiled forward, writing predictions back in ORIGINAL
+image geometry, with per-stage latency accounting and an idempotent
+directory-watch driver.
+
+The reference's serving story ends at re-running ``predict_model.py`` per
+experiment — every invocation pays the full graph rebuild + weight load
+(ref: src/models/predict_model.py:75-76, :204-255). A TPU deployment wants
+the opposite shape: initialise ONCE (deserialize the jax.export artifact or
+restore a checkpoint, compile the fixed-batch forward, warm it), then keep
+the chip fed with bucket-padded batches while the host does IO. This module
+provides that:
+
+  * ``ServingEngine`` — loads either a serving artifact
+    (``cmrtpu/predict/export.py``; no model code needed, config embedded in
+    the export META) or a live checkpoint (config + model dir). Studies go
+    through the deterministic preprocessing chain
+    (``preprocess_model_input``), the compiled forward in fixed-size chunks
+    (one XLA program for every study shape), per-head threshold/argmax
+    flattening, optional on-device connected-component filtering, and the
+    inverse-preprocess into the study's own geometry.
+  * ``serve_directory`` — worklist/watch driver: processes every matching
+    study in a directory exactly once (crash-safe ``<stem>.done.json``
+    markers that double as the latency record), optionally polling for new
+    arrivals; per-study stats stream to a JSONL ledger.
+
+Single-chip by design: serving parallelism on a pod is one engine process
+per chip fed from a shared worklist — the markers make that coordination
+free (rename-once semantics), no collective is involved.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from cmrtpu import config as C
+from cmrtpu.io import MedicalImage, read_image, write_image
+from cmrtpu.ops import resample as R
+from cmrtpu.predict.postprocess import undo_generator_steps
+from cmrtpu.predict.predictor import (_head_outputs, preprocess_model_input)
+from cmrtpu.utils.io_utils import ensure_dir
+
+
+def _flat_pred_heads(cfg: Dict, preds):
+    """[(suffix, pred_flat, label_values), ...] for serve-time predictions.
+
+    Reuses the predict-path head contract (``_head_outputs``: first sigmoid
+    head owns the ``msk`` suffix, softmax heads argmax) by passing the
+    predictions themselves where that helper expects ground truth — the gt
+    outputs are discarded; only the channel bookkeeping is shared."""
+    if isinstance(preds, dict):
+        heads = tuple(tuple(h) for h in C.get(cfg, "HEADS", ()) or ())
+        gts = np.concatenate([np.asarray(preds[str(h[0])]) for h in heads],
+                             axis=-1)
+    else:
+        gts = preds
+    return [(suffix, pred_flat, label_values)
+            for suffix, pred_flat, _gt, label_values
+            in _head_outputs(cfg, preds, gts)]
+
+
+class ServingEngine:
+    """Restore-once inference engine over a serving artifact or checkpoint.
+
+    ``artifact_dir``: a ``cmrtpu.cli.export`` output — the exported forward
+    runs without model code and the embedded config drives preprocessing.
+    ``config``+``model_path``: live fallback (graph rebuild, reference-style).
+    ``warmup``: compile/prime the forward at init so the first study does not
+    pay it (the artifact's fixed batch makes this a single compilation)."""
+
+    def __init__(self, artifact_dir: Optional[str] = None,
+                 config: Optional[Dict] = None,
+                 model_path: Optional[str] = None, warmup: bool = True):
+        t0 = time.perf_counter()
+        if artifact_dir:
+            from cmrtpu.predict.export import (load_exported,
+                                               load_exported_weights)
+            fn, meta = load_exported(artifact_dir)
+            cfg = meta.get("config") or config
+            if cfg is None:
+                raise ValueError(
+                    f"artifact {artifact_dir} predates config-embedding "
+                    "exports — pass the training config explicitly")
+            self.config = C.normalise_config(dict(cfg, **(config or {})))
+            params, batch_stats = load_exported_weights(artifact_dir)
+            variables = {"params": params, "batch_stats": batch_stats or {}}
+            self.batch = int(meta["x_shape"][0])
+            self._forward = lambda x: fn(variables, x)
+        else:
+            if config is None:
+                raise ValueError("need an artifact_dir or a config")
+            from cmrtpu.predict.predictor import Predictor
+            predictor = Predictor(config, model_path)
+            self.config = predictor.config
+            self.batch = max(int(C.get(self.config, "BATCHSIZE", 8) or 8), 1)
+            self._forward = predictor._forward
+        self._dim = tuple(C.get(self.config, "DIM"))
+        self._cc = bool(C.get(self.config, "CC_FILTER", False))
+        if warmup:
+            x = np.zeros((self.batch, *self._dim,
+                          int(C.get(self.config, "IMG_CHANNELS", 1))),
+                         np.float32)
+            import jax
+            jax.device_get(self._forward(x))
+        self.init_s = time.perf_counter() - t0
+        self._totals = {"studies": 0, "slices": 0, "total_s": 0.0}
+        logging.info("serving engine ready in %.1fs (batch=%d, source=%s)",
+                     self.init_s, self.batch,
+                     artifact_dir or model_path or "config")
+
+    def predict_slices(self, x: np.ndarray):
+        """Forward a [N, H, W, C] batch through the fixed-shape program in
+        ``self.batch``-row chunks (last chunk zero-padded) — one compiled
+        executable regardless of study size."""
+        import jax
+        n = x.shape[0]
+        outs: List = []
+        for start in range(0, n, self.batch):
+            chunk = x[start:start + self.batch]
+            pad = self.batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *x.shape[1:]), x.dtype)])
+            outs.append(jax.device_get(self._forward(chunk)))
+        joined = jax.tree_util.tree_map(
+            lambda *cs: np.concatenate([np.asarray(c) for c in cs])[:n],
+            *outs)
+        return joined
+
+    def process_study(self, path: str, out_dir: str) -> Dict:
+        """One study end-to-end: read -> preprocess -> forward -> flatten
+        heads (+ optional CC filter) -> inverse-preprocess -> write
+        ``<stem>_<suffix>_pred.nrrd`` per head. Returns the latency record."""
+        from cmrtpu.ops.connected_components import clean_prediction_2d_cc
+
+        stats: Dict = {"file": os.path.basename(path)}
+        t0 = time.perf_counter()
+        img = read_image(path)
+        nda = img.array
+        squeeze_2d = nda.ndim == 2
+        if squeeze_2d:  # single slice -> z-stack of one
+            nda = nda[None]
+        if nda.ndim != 3:
+            raise ValueError(
+                f"{path}: serving handles 2D/3D studies, got shape "
+                f"{nda.shape} (slice 4D cine with cmrtpu.cli.predict_4d)")
+        stats["read_s"] = round(time.perf_counter() - t0, 4)
+
+        t1 = time.perf_counter()
+        x = preprocess_model_input(nda, img.spacing[:2], self.config)
+        stats["preprocess_s"] = round(time.perf_counter() - t1, 4)
+
+        t2 = time.perf_counter()
+        preds = self.predict_slices(x)
+        stats["forward_s"] = round(time.perf_counter() - t2, 4)
+
+        t3 = time.perf_counter()
+        stem = os.path.basename(path).split(".")[0]
+        outputs = []
+        if squeeze_2d:
+            # promote the single slice to a z-stack of one: 10 mm slice
+            # thickness is the reference's config-spacing fallback
+            # (ref: src/models/predict_model.py:174-181)
+            orig = MedicalImage(array=nda,
+                                spacing=tuple(img.spacing[:2]) + (10.0,),
+                                origin=tuple(img.origin[:2]) + (0.0,),
+                                metadata=dict(img.metadata))
+        else:
+            orig = MedicalImage(array=nda, spacing=img.spacing,
+                                origin=img.origin, direction=img.direction,
+                                metadata=dict(img.metadata))
+        for suffix, flat, label_values in _flat_pred_heads(self.config,
+                                                           preds):
+            if self._cc:
+                import jax
+                flat = np.asarray(jax.device_get(
+                    clean_prediction_2d_cc(flat, label_values)))
+            out_img = undo_generator_steps(flat.astype(np.uint8),
+                                           self.config, R.NEAREST, orig)
+            if squeeze_2d:
+                out_img = MedicalImage(
+                    array=out_img.array[0], spacing=out_img.spacing[:2],
+                    origin=out_img.origin[:2],
+                    metadata=dict(out_img.metadata))
+            name = f"{stem}_{suffix}_pred.nrrd"
+            write_image(out_img, os.path.join(out_dir, name))
+            outputs.append(name)
+        stats["post_write_s"] = round(time.perf_counter() - t3, 4)
+
+        stats["slices"] = int(x.shape[0])
+        stats["outputs"] = outputs
+        stats["total_s"] = round(time.perf_counter() - t0, 4)
+        stats["slices_per_s"] = round(stats["slices"] / stats["total_s"], 1)
+        self._totals["studies"] += 1
+        self._totals["slices"] += stats["slices"]
+        self._totals["total_s"] += stats["total_s"]
+        return stats
+
+    def totals(self) -> Dict:
+        t = dict(self._totals)
+        t["slices_per_s"] = round(t["slices"] / t["total_s"], 1) \
+            if t["total_s"] else 0.0
+        return t
+
+
+DEFAULT_PATTERNS = ("*.nii.gz", "*.nii", "*.nrrd")
+
+
+def _worklist(in_dir: str, patterns: Sequence[str]) -> List[str]:
+    files: List[str] = []
+    for pat in patterns:
+        files.extend(glob.glob(os.path.join(in_dir, pat)))
+    # never re-ingest our own outputs when in_dir == out_dir
+    return sorted(f for f in set(files) if not f.endswith("_pred.nrrd"))
+
+
+def serve_directory(engine: ServingEngine, in_dir: str, out_dir: str,
+                    patterns: Sequence[str] = DEFAULT_PATTERNS,
+                    watch: bool = False, poll_s: float = 2.0,
+                    settle_s: float = 1.0,
+                    stats_path: Optional[str] = None,
+                    max_studies: Optional[int] = None,
+                    stop_after_idle_polls: Optional[int] = None) -> Dict:
+    """Process every matching study in ``in_dir`` exactly once.
+
+    Idempotent and crash-safe: a study is claimed by atomically creating
+    ``<stem>.done.json`` in ``out_dir`` (O_EXCL) BEFORE processing and the
+    marker is filled with the latency record after — a crashed claim leaves
+    an empty marker to sweep, never a double-processed study; concurrent
+    engine processes sharing a worklist coordinate through the same markers.
+    ``watch=True`` keeps polling every ``poll_s`` for new arrivals (files
+    modified less than ``settle_s`` ago are deferred one poll — half-written
+    uploads); ``stop_after_idle_polls`` bounds watch mode for tests/drains.
+    Returns the aggregate throughput record."""
+    ensure_dir(out_dir)
+    stats_fh = open(stats_path, "a") if stats_path else None
+    idle_polls = 0
+    try:
+        while True:
+            did_work = False
+            for path in _worklist(in_dir, patterns):
+                if max_studies and engine._totals["studies"] >= max_studies:
+                    break
+                stem = os.path.basename(path).split(".")[0]
+                marker = os.path.join(out_dir, f"{stem}.done.json")
+                if watch and time.time() - os.path.getmtime(path) < settle_s:
+                    continue  # still being written — next poll
+                try:
+                    fd = os.open(marker,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    continue  # processed (or claimed) already
+                with os.fdopen(fd, "w") as fh:
+                    try:
+                        record = engine.process_study(path, out_dir)
+                    except Exception as e:
+                        record = {"file": os.path.basename(path),
+                                  "error": f"{type(e).__name__}: {e}"}
+                        logging.exception("serving failed on %s", path)
+                    json.dump(record, fh)
+                if stats_fh:
+                    stats_fh.write(json.dumps(record) + "\n")
+                    stats_fh.flush()
+                did_work = True
+                logging.info("served %s: %s", path,
+                             record.get("slices_per_s", record.get("error")))
+            if max_studies and engine._totals["studies"] >= max_studies:
+                break
+            if not watch:
+                break
+            idle_polls = 0 if did_work else idle_polls + 1
+            if stop_after_idle_polls and idle_polls >= stop_after_idle_polls:
+                break
+            time.sleep(poll_s)
+    finally:
+        if stats_fh:
+            stats_fh.close()
+    totals = engine.totals()
+    logging.info("serve_directory done: %s", totals)
+    return totals

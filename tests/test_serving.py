@@ -1,0 +1,165 @@
+"""Production serving engine + directory watcher (cmrtpu/predict/serving.py).
+
+The reference has no serving entry point (its closest analog re-runs
+predict_model.py per experiment, ref: src/models/predict_model.py:204-255);
+these tests pin the restore-once engine: artifact and live restores agree,
+outputs land in the study's original geometry, markers make re-runs and
+watch mode idempotent, and latency records are complete.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cmrtpu.io import MedicalImage, read_image, write_image
+from cmrtpu.predict.serving import (ServingEngine, _flat_pred_heads,
+                                    serve_directory)
+from cmrtpu.train import checkpoint as ckpt
+from cmrtpu.train.trainer import Trainer
+
+CFG = {"DIM": [32, 32], "DEPTH": 2, "FILTERS": 4, "MASK_CLASSES": 2,
+       "MASK_VALUES": [1, 2], "BATCHSIZE": 4, "MIXED_PRECISION": False,
+       "SPACING": [1.0, 1.0], "RESAMPLE": True, "SCALER": "MinMax",
+       "LEARNING_RATE": 1e-3, "SEED": 11}
+
+
+def _study(path: str, z: int = 3, seed: int = 0) -> MedicalImage:
+    rng = np.random.default_rng(seed)
+    img = MedicalImage(array=rng.normal(size=(z, 24, 28)).astype(np.float32),
+                       spacing=(1.5, 1.5, 8.0), origin=(3.0, -2.0, 10.0))
+    write_image(img, path)
+    return img
+
+
+@pytest.fixture(scope="module")
+def fold_dir(tmp_path_factory):
+    """A 'trained' fold: tiny config + saved weights."""
+    d = tmp_path_factory.mktemp("fold")
+    trainer = Trainer(CFG)
+    model_dir = str(d / "model")
+    ckpt.save_weights(model_dir, trainer.state.params,
+                      trainer.state.batch_stats)
+    return str(d)
+
+
+def test_serve_directory_once(fold_dir, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    studies = {f"study{i:02d}": _study(str(in_dir / f"study{i:02d}.nrrd"),
+                                       z=2 + i, seed=i) for i in range(2)}
+
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    stats_path = str(tmp_path / "stats.jsonl")
+    totals = serve_directory(engine, str(in_dir), str(out_dir),
+                             stats_path=stats_path)
+
+    assert totals["studies"] == 2
+    assert totals["slices"] == 2 + 3
+    assert totals["slices_per_s"] > 0
+    for stem, src in studies.items():
+        out = read_image(str(out_dir / f"{stem}_msk_pred.nrrd"))
+        # original geometry restored despite the 1.5mm->1.0mm model spacing
+        assert out.array.shape == src.array.shape
+        assert out.spacing == pytest.approx(src.spacing)
+        assert out.origin == pytest.approx(src.origin)
+        assert set(np.unique(out.array)) <= {0, 1, 2}
+        marker = json.loads((out_dir / f"{stem}.done.json").read_text())
+        assert marker["slices"] == src.array.shape[0]
+        assert marker["outputs"] == [f"{stem}_msk_pred.nrrd"]
+        for key in ("read_s", "preprocess_s", "forward_s", "post_write_s",
+                    "total_s", "slices_per_s"):
+            assert key in marker
+    with open(stats_path) as fh:
+        assert len(fh.readlines()) == 2
+
+    # idempotence: a second pass (fresh engine totals) processes nothing new
+    totals2 = serve_directory(engine, str(in_dir), str(out_dir))
+    assert totals2["studies"] == 2  # unchanged engine totals — no new work
+    assert len(glob.glob(str(out_dir / "*_pred.nrrd"))) == 2
+
+
+def test_artifact_and_live_engines_agree(fold_dir, tmp_path):
+    from cmrtpu.predict.export import export_model
+
+    artifact = str(tmp_path / "artifact")
+    export_model(CFG, os.path.join(fold_dir, "model"), artifact, batch=4)
+    # the embedded config makes the artifact self-contained for serving
+    meta = json.loads(open(os.path.join(artifact, "export.json")).read())
+    assert meta["config"]["SPACING"] == [1.0, 1.0]
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _study(str(in_dir / "s.nrrd"), z=5, seed=3)
+
+    served = ServingEngine(artifact_dir=artifact)
+    live = ServingEngine(config=CFG,
+                         model_path=os.path.join(fold_dir, "model"))
+    out_a, out_b = tmp_path / "out_a", tmp_path / "out_b"
+    served.process_study(str(in_dir / "s.nrrd"), str(out_a.mkdir() or out_a))
+    live.process_study(str(in_dir / "s.nrrd"), str(out_b.mkdir() or out_b))
+    a = read_image(str(out_a / "s_msk_pred.nrrd"))
+    b = read_image(str(out_b / "s_msk_pred.nrrd"))
+    np.testing.assert_array_equal(a.array, b.array)
+    # chunking: z=5 through a fixed batch of 4 pads the second chunk
+    assert a.array.shape[0] == 5
+
+
+def test_watch_mode_drains_and_stops(fold_dir, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _study(str(in_dir / "w.nrrd"), z=2, seed=5)
+    os.utime(str(in_dir / "w.nrrd"), (0, 0))  # old mtime — settled
+
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    totals = serve_directory(engine, str(in_dir), str(out_dir), watch=True,
+                             poll_s=0.01, stop_after_idle_polls=2)
+    assert totals["studies"] == 1
+    assert (out_dir / "w_msk_pred.nrrd").exists()
+
+
+def test_single_slice_2d_study(fold_dir, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    img = MedicalImage(
+        array=np.random.default_rng(1).normal(size=(24, 28)).astype(np.float32),
+        spacing=(1.5, 1.5))
+    write_image(img, str(in_dir / "flat.nrrd"))
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    serve_directory(engine, str(in_dir), str(out_dir))
+    out = read_image(str(out_dir / "flat_msk_pred.nrrd"))
+    assert out.array.shape == img.array.shape
+    assert out.spacing[:2] == pytest.approx(img.spacing[:2])
+
+
+def test_flat_pred_heads_multihead_suffixes():
+    cfg = {"HEADS": [["rvip", 2, "sigmoid"], ["sep", 3, "softmax"]]}
+    rng = np.random.default_rng(0)
+    preds = {"rvip": rng.random((2, 8, 8, 2)),
+             "sep": rng.random((2, 8, 8, 3))}
+    outs = _flat_pred_heads(cfg, preds)
+    assert [o[0] for o in outs] == ["msk", "sep"]
+    msk, sep = outs[0][1], outs[1][1]
+    assert set(np.unique(msk)) <= {0, 1, 2}          # sigmoid 0.5 -> {1,2}
+    assert set(np.unique(sep)) <= {0, 1, 2}          # argmax, 0 = background
+    assert outs[0][2] == (1, 2) and outs[1][2] == (1, 2)
+
+
+def test_failed_study_records_error_and_continues(fold_dir, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    (in_dir / "broken.nrrd").write_bytes(b"not an image")
+    _study(str(in_dir / "good.nrrd"), z=2, seed=9)
+
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    totals = serve_directory(engine, str(in_dir), str(out_dir))
+    assert totals["studies"] == 1  # the good one
+    marker = json.loads((out_dir / "broken.done.json").read_text())
+    assert "error" in marker
+    assert (out_dir / "good_msk_pred.nrrd").exists()
