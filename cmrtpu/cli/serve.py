@@ -31,6 +31,10 @@ def main():
                      help="serving artifact dir (cmrtpu.cli.export output)")
     src.add_argument("-exp", action="store",
                      help="trained fold dir (config/config.json + model/)")
+    src.add_argument("-ensemble", action="store",
+                     help="timestamped experiment root (exp/<EXP>/<ts>): "
+                          "serve ALL fold checkpoints as one vmapped "
+                          "average-probability ensemble")
     parser.add_argument("-in", dest="in_dir", action="store", required=True,
                         help="directory of input studies (nii/nii.gz/nrrd)")
     parser.add_argument("-out", dest="out_dir", action="store", required=True,
@@ -51,6 +55,8 @@ def main():
 
     if args.artifact:
         engine = ServingEngine(artifact_dir=args.artifact)
+    elif args.ensemble:
+        engine = ServingEngine(ensemble_root=args.ensemble)
     else:
         cfg_path = os.path.join(args.exp, "config", "config.json")
         with open(cfg_path, encoding="utf-8") as fh:

@@ -49,11 +49,13 @@ class EnsemblePredictor:
             return self.model.apply({"params": params,
                                      "batch_stats": batch_stats}, x, train=False)
 
-        # one compiled program: vmap over the stacked member axis
+        # one compiled program: vmap over the stacked member axis; the mean
+        # is tree-mapped so multi-head (dict-output) models ensemble too
         self._forward = jax.jit(
-            lambda x: jnp.mean(
+            lambda x: jax.tree_util.tree_map(
+                lambda a: jnp.mean(a, axis=0),
                 jax.vmap(member_forward, in_axes=(0, 0, None))(
-                    self._params, self._batch_stats, x), axis=0))
+                    self._params, self._batch_stats, x)))
 
     @classmethod
     def from_exp_root(cls, exp_root: str, config: Optional[Dict] = None

@@ -71,15 +71,28 @@ class ServingEngine:
 
     ``artifact_dir``: a ``cmrtpu.cli.export`` output — the exported forward
     runs without model code and the embedded config drives preprocessing.
+    ``ensemble_root``: a timestamped experiment root (exp/<EXP>/<ts>) — all
+    fold checkpoints serve as ONE vmapped average-probability ensemble
+    (BASELINE config 5, cmrtpu/predict/ensemble.py).
     ``config``+``model_path``: live fallback (graph rebuild, reference-style).
     ``warmup``: compile/prime the forward at init so the first study does not
     pay it (the artifact's fixed batch makes this a single compilation)."""
 
     def __init__(self, artifact_dir: Optional[str] = None,
                  config: Optional[Dict] = None,
-                 model_path: Optional[str] = None, warmup: bool = True):
+                 model_path: Optional[str] = None, warmup: bool = True,
+                 ensemble_root: Optional[str] = None):
         t0 = time.perf_counter()
-        if artifact_dir:
+        if artifact_dir and ensemble_root:
+            raise ValueError("pass an artifact_dir OR an ensemble_root")
+        if ensemble_root:
+            from cmrtpu.predict.ensemble import EnsemblePredictor
+            ens = EnsemblePredictor.from_exp_root(ensemble_root, config)
+            self.config = ens.config
+            self.batch = max(int(C.get(self.config, "BATCHSIZE", 8) or 8), 1)
+            self._forward = ens._forward
+            self.n_members = ens.n_members
+        elif artifact_dir:
             from cmrtpu.predict.export import (load_exported,
                                                load_exported_weights)
             fn, meta = load_exported(artifact_dir)
@@ -113,7 +126,7 @@ class ServingEngine:
         self._totals = {"studies": 0, "slices": 0, "total_s": 0.0}
         logging.info("serving engine ready in %.1fs (batch=%d, source=%s)",
                      self.init_s, self.batch,
-                     artifact_dir or model_path or "config")
+                     artifact_dir or ensemble_root or model_path or "config")
 
     def predict_slices(self, x: np.ndarray):
         """Forward a [N, H, W, C] batch through the fixed-shape program in

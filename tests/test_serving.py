@@ -150,6 +150,43 @@ def test_flat_pred_heads_multihead_suffixes():
     assert outs[0][2] == (1, 2) and outs[1][2] == (1, 2)
 
 
+def test_ensemble_serving(tmp_path):
+    """An experiment root's fold checkpoints serve as ONE vmapped ensemble
+    whose output is the average member probability (BASELINE config 5)."""
+    import json as _json
+
+    from cmrtpu.predict.predictor import Predictor
+
+    exp_root = tmp_path / "exp" / "ts"
+    fold_model_dirs = []
+    for k in range(2):
+        trainer = Trainer(dict(CFG, SEED=100 + k))
+        d = exp_root / f"f{k}"
+        (d / "config").mkdir(parents=True)
+        (d / "config" / "config.json").write_text(_json.dumps(CFG))
+        ckpt.save_weights(str(d / "model"), trainer.state.params,
+                          trainer.state.batch_stats)
+        fold_model_dirs.append(str(d / "model"))
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _study(str(in_dir / "e.nrrd"), z=3, seed=7)
+
+    engine = ServingEngine(ensemble_root=str(exp_root))
+    assert engine.n_members == 2
+    totals = serve_directory(engine, str(in_dir), str(out_dir))
+    assert totals["studies"] == 1
+    out = read_image(str(out_dir / "e_msk_pred.nrrd"))
+    assert set(np.unique(out.array)) <= {0, 1, 2}
+
+    # the engine's forward IS the member-probability mean
+    x = np.random.default_rng(2).normal(size=(4, 32, 32, 1)).astype(np.float32)
+    members = [Predictor(CFG, model_path=d).predict(x)
+               for d in fold_model_dirs]
+    np.testing.assert_allclose(np.asarray(engine.predict_slices(x)),
+                               np.mean(members, axis=0), atol=1e-5)
+
+
 def test_failed_study_records_error_and_continues(fold_dir, tmp_path):
     in_dir, out_dir = tmp_path / "in", tmp_path / "out"
     in_dir.mkdir()
