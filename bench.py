@@ -181,7 +181,8 @@ def main():
         float(np.asarray(jax.device_get(logs["loss"])))
         return steps * batch / (time.perf_counter() - t0)
 
-    def measure_streaming(steps=st(20), warmup=st(3), echo=1):
+    def measure_streaming(steps=st(20), warmup=st(3), echo=1,
+                          dtype="bfloat16"):
         """slices/sec of the PACKED host-streaming path, measured through
         the REAL production loop (cmrtpu/train/streaming.py StreamedLoop):
         bf16/uint8 batches from a numpy-only producer thread, device
@@ -194,9 +195,16 @@ def main():
         with a fresh augmentation draw — fills the link-bound bubble with
         gradient work, so reported slices/s counts steps*batch*echo trained
         slices."""
-        import ml_dtypes
         from cmrtpu.train.streaming import StreamedLoop
-        x_pack = np.ascontiguousarray(x_cache.astype(ml_dtypes.bfloat16))
+        if dtype == "uint8":
+            # per-example affine quantization: 2x fewer image bytes than
+            # bf16 on the link-bound path (transparent through the
+            # affine-invariant scalers — see quantize_images_uint8)
+            from cmrtpu.train.device_cache import quantize_images_uint8
+            x_pack = quantize_images_uint8(x_cache)
+        else:
+            import ml_dtypes
+            x_pack = np.ascontiguousarray(x_cache.astype(ml_dtypes.bfloat16))
         y_pack = np.ascontiguousarray(y_cache.astype(np.uint8))
 
         class _PackedGen:
@@ -299,6 +307,37 @@ def main():
         float(jax.device_get(preds[0, 0, 0, 0]))
         return steps * serve_batch / (time.perf_counter() - t0)
 
+    def measure_serving_ensemble(members=4, steps=st(10), warmup=st(3)):
+        """slices/sec of the CV-ensemble serving path (BASELINE config 5):
+        K fold checkpoints stacked on a leading member axis, ONE vmapped
+        forward computing the average member probability per batch
+        (cmrtpu/predict/ensemble.py — what `cmrtpu.cli.serve -ensemble`
+        deploys)."""
+        import jax.numpy as jnp
+        serve_batch = (8 if smoke else 128) * n_dev
+        x = jax.device_put(
+            rng.normal(size=(serve_batch, hw, hw, 1)).astype(np.float32),
+            NamedSharding(mesh, P("data")))
+        stack = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a] * members),
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats})
+
+        def member_forward(variables, xx):
+            return trainer.model.apply(variables, xx, train=False)
+
+        fwd = jax.jit(lambda v, xx: jax.tree_util.tree_map(
+            lambda a: jnp.mean(a, axis=0),
+            jax.vmap(member_forward, in_axes=(0, None))(v, xx)))
+        for _ in range(warmup):
+            preds = fwd(stack, x)
+        float(jax.device_get(preds[0, 0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            preds = fwd(stack, x)
+        float(jax.device_get(preds[0, 0, 0, 0]))
+        return steps * serve_batch / (time.perf_counter() - t0)
+
     baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count
 
     # flagship: the published Base experiment (augment, no smoothing)
@@ -332,7 +371,12 @@ def main():
     safe("cine_2dt (config 3)", measure_cine)
     # serving: jitted inference forward per chip (deployment rate)
     safe("serving_forward", measure_serving)
+    # BASELINE config 5: 4-member vmapped CV-ensemble serving
+    safe("serving_ensemble4", measure_serving_ensemble)
     safe("host_streaming_packed", measure_streaming)
+    # STREAM_DTYPE='uint8': quantized images halve the link bytes again
+    safe("host_streaming_uint8", measure_streaming, steps=st(10),
+         dtype="uint8")
     # STREAM_ECHO=4: data echoing fills the link-bound path's bubble with
     # extra gradient steps (fresh augmentation per echo) — trained
     # slices/s, not uploaded slices/s

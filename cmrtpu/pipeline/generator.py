@@ -192,6 +192,7 @@ class DataGenerator:
 
         self._cache_x = self._cache_y = None  # padded, batch-gatherable cache
         self._raw_y_uint8 = None  # lazily-probed packability for raw_batch
+        self._warned_u8 = False   # one-shot STREAM_DTYPE=uint8 border check
         if self.in_memory and self.images:
             with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
                 self._cache = list(pool.map(self._fix_preprocessing,
@@ -370,11 +371,21 @@ class DataGenerator:
                 msks.append(self._pad_y(msk_nda))
             imgs_b = np.stack(imgs)
             msks_b = np.stack(msks)
-        import ml_dtypes
         stream_dtype = str(C.get(self.config, "STREAM_DTYPE",
                                  "bfloat16")).lower()
         if stream_dtype in ("bfloat16", "bf16"):
+            import ml_dtypes
             imgs_b = imgs_b.astype(ml_dtypes.bfloat16)
+        elif stream_dtype in ("uint8", "u8"):
+            # per-example affine quantization: 2x fewer image bytes than
+            # bf16 on the link-bound streaming path, transparent through
+            # the affine-invariant scalers (see quantize_images_uint8)
+            from cmrtpu.train.device_cache import (_warn_if_uint8_unsafe,
+                                                   quantize_images_uint8)
+            if not self._warned_u8:
+                _warn_if_uint8_unsafe(self.config, "STREAM_DTYPE")
+                self._warned_u8 = True
+            imgs_b = quantize_images_uint8(imgs_b)
         from cmrtpu.train.device_cache import _uint8_packable
         if self._raw_y_uint8 is None:
             # the packing decision is a dtype CONTRACT with the compiled

@@ -102,17 +102,51 @@ def _uint8_packable(y: np.ndarray, memoize: bool = True) -> bool:
     return result
 
 
+def quantize_images_uint8(imgs: np.ndarray) -> np.ndarray:
+    """Per-example affine quantization of float images to uint8 (4x smaller
+    than f32, 2x smaller than bf16). Semantically transparent through this
+    framework's preprocessing: every scaler in finalize_batch (MinMax /
+    Standard / Robust) is invariant under a per-example affine map, the
+    augmentation warps are linear in the values, and finalize re-normalises
+    AFTER the gather — so storing round((x-min)/(max-min)*255) changes the
+    training math only by the ~0.4%-of-range quantization noise (the same
+    order as bf16's 8-bit mantissa). Caveat: a constant-fill augmentation
+    border (BORDER_MODE=0) with BORDER_VALUE != 0 is NOT scale-invariant —
+    the packers warn on that combination."""
+    flat = imgs.reshape(imgs.shape[0], -1).astype(np.float32)
+    lo = flat.min(axis=1, keepdims=True)
+    span = np.maximum(flat.max(axis=1, keepdims=True) - lo,
+                      np.finfo(np.float32).tiny)
+    q = np.rint((flat - lo) / span * 255.0).astype(np.uint8)
+    return q.reshape(imgs.shape)
+
+
+def _warn_if_uint8_unsafe(config: Optional[Dict], knob: str) -> None:
+    cfg = config or {}
+    if (int(C.get(cfg, "BORDER_MODE", 4) or 4) == 0
+            and float(C.get(cfg, "BORDER_VALUE", 0) or 0) != 0.0):
+        logging.warning(
+            "%s='uint8' with a constant non-zero augmentation border "
+            "(BORDER_MODE=0, BORDER_VALUE=%s): the border constant is not "
+            "rescaled with the per-example quantization, so padded regions "
+            "shift intensity — use BORDER_VALUE=0 or a reflect border",
+            knob, C.get(cfg, "BORDER_VALUE"))
+
+
 def _packed_nbytes(config: Optional[Dict], x: np.ndarray, y: np.ndarray) -> int:
-    """Post-upload storage size: CACHE_DTYPE may halve the image cache and
-    small-integer masks pack to uint8 (mirrors upload_cache's casts). The
-    uint8 estimate is only taken when the pack is verified lossless —
-    otherwise a float-valued target (e.g. masks=False regression labels in
-    [0,255]) would be under-counted 4x and could admit a cache that OOMs HBM
-    instead of falling back to host streaming."""
+    """Post-upload storage size: CACHE_DTYPE may halve (bf16) or quarter
+    (uint8) the image cache and small-integer masks pack to uint8 (mirrors
+    upload_cache's casts). The mask-uint8 estimate is only taken when the
+    pack is verified lossless — otherwise a float-valued target (e.g.
+    masks=False regression labels in [0,255]) would be under-counted 4x and
+    could admit a cache that OOMs HBM instead of falling back to host
+    streaming."""
     x_bytes = int(x.nbytes)
-    if str(C.get(config or {}, "CACHE_DTYPE", "float32")).lower() in (
-            "bfloat16", "bf16"):
+    cache_dtype = str(C.get(config or {}, "CACHE_DTYPE", "float32")).lower()
+    if cache_dtype in ("bfloat16", "bf16"):
         x_bytes = x.size * 2
+    elif cache_dtype in ("uint8", "u8"):
+        x_bytes = x.size
     y_bytes = y.size if _uint8_packable(y) else int(y.nbytes)
     return x_bytes + y_bytes
 
@@ -154,6 +188,9 @@ def _pack_arrays(x: np.ndarray, y: np.ndarray, config: Optional[Dict]):
     if cache_dtype in ("bfloat16", "bf16"):
         import ml_dtypes
         x = x.astype(ml_dtypes.bfloat16)
+    elif cache_dtype in ("uint8", "u8"):
+        _warn_if_uint8_unsafe(config, "CACHE_DTYPE")
+        x = quantize_images_uint8(x)
     if _uint8_packable(y):
         y = y.astype(np.uint8)
     return x, y

@@ -298,6 +298,68 @@ def test_cache_dtype_bf16_and_uint8_mask_packing(gens):
     assert hist[-1]["loss"] < hist[0]["loss"]
 
 
+def test_cache_dtype_uint8_quantized_images(gens):
+    """CACHE_DTYPE='uint8' stores per-example affine-quantized images (4x
+    smaller than f32, 2x smaller than bf16). Every scaler in finalize_batch
+    is affine-invariant per example and finalize re-normalises AFTER the
+    gather, so the quantization must be transparent up to ~1/255-of-range
+    noise — pinned here against the float pipeline, then trained end-to-end."""
+    import jax.numpy as jnp
+    from cmrtpu.parallel.mesh import create_mesh
+    from cmrtpu.pipeline.generator import finalize_batch
+    from cmrtpu.train.device_cache import (_packed_nbytes,
+                                           quantize_images_uint8,
+                                           upload_cache)
+    train, val, cfg = gens
+    cfg = dict(cfg, CACHE_DTYPE="uint8", AUGMENT=False)
+    mesh = create_mesh(cfg)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(6, 24, 24)).astype(np.float32) * 37.0 + 5.0
+    y = np.zeros((6, 24, 24), np.float32)
+    y[:, 4:7, 4:7] = 1.0
+    dx, dy = upload_cache(x, y, mesh, config=cfg)
+    assert dx.dtype == jnp.uint8 and dy.dtype == jnp.uint8
+    assert _packed_nbytes(cfg, x, y) == x.size + y.size
+
+    # scaler invariance: the finalized batch from the quantized cache matches
+    # the float pipeline within quantization noise, for every scaler
+    q = quantize_images_uint8(x).astype(np.float32)
+    for scaler in ("MinMax", "Standard", "Robust"):
+        scfg = dict(cfg, SCALER=scaler)
+        xf, _ = finalize_batch(jnp.asarray(x), jnp.asarray(y), scfg)
+        xq, _ = finalize_batch(jnp.asarray(q), jnp.asarray(y), scfg)
+        scale = float(jnp.max(jnp.abs(xf)))
+        assert float(jnp.max(jnp.abs(xf - xq))) < 0.02 * max(scale, 1.0), \
+            scaler
+
+    # constant image: the tiny-span guard must not produce inf/nan
+    const = np.full((2, 4, 4), 3.25, np.float32)
+    assert np.all(quantize_images_uint8(const) == 0)
+
+    # the FULL stochastic stage commutes too: augmentation warps are linear
+    # in the values, so augment+finalize on the quantized batch (same PRNG
+    # key) stays within quantization noise of the float pipeline
+    import jax
+    from cmrtpu.pipeline.augment import augment_batch_fn
+    acfg = dict(cfg, AUGMENT=True, AUGMENT_PROB=1.0, RANDOMROTATE=True,
+                SHIFTSCALEROTATE=True, GRIDDISTORTION=True)
+    key = jax.random.key(5)
+    af, mf = augment_batch_fn(key, jnp.asarray(x), jnp.asarray(y), acfg)
+    aq, mq = augment_batch_fn(key, jnp.asarray(q), jnp.asarray(y), acfg)
+    xf, yf = finalize_batch(af, mf, acfg)
+    xq, yq = finalize_batch(aq, mq, acfg)
+    assert float(jnp.max(jnp.abs(xf - xq))) < 0.02
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yq))
+
+    # end-to-end: the cached loop trains on the quantized cache
+    train2 = DataGenerator(train.images, train.labels, config=cfg)
+    trainer = Trainer(cfg)
+    hist = trainer.fit_cached(train2, epochs=10)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
 def test_small_validation_set_still_yields_val_logs(gens, tmp_path):
     """n_val < BATCHSIZE floors to zero reference-semantics eval batches; the
     cached loop must shrink the eval batch instead of silently dropping every

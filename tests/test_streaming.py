@@ -59,6 +59,25 @@ def test_raw_batch_packs_storage_dtypes(gens):
     assert imgs2.dtype == np.float32
 
 
+def test_stream_dtype_uint8_quantizes_and_trains(gens):
+    """STREAM_DTYPE='uint8': per-example affine-quantized images halve the
+    link bytes again vs bf16; the fused step's post-gather re-normalisation
+    makes the quantization transparent (see quantize_images_uint8)."""
+    train, val, cfg = gens
+    u8cfg = dict(cfg, STREAM_DTYPE="uint8")
+    train_u8 = DataGenerator(train.images, train.labels, config=u8cfg)
+    imgs, msks = train_u8.raw_batch(0)
+    assert imgs.dtype == np.uint8 and msks.dtype == np.uint8
+    bf16, _ = DataGenerator(train.images, train.labels,
+                            config=cfg).raw_batch(0)
+    assert imgs.nbytes * 2 == bf16.nbytes
+
+    trainer = Trainer(u8cfg)
+    hist = trainer.fit_streamed(train_u8, epochs=8)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
 def test_fit_streamed_trains_and_logs(gens):
     train, val, cfg = gens
     trainer = Trainer(cfg)
