@@ -45,6 +45,16 @@ predict-4d:
 evaluate:
 	$(PYTHON) -m cmrtpu.cli.evaluate_cv -exp $(EXP) -data $(DATA)
 
+## Export a fold's forward pass for serving: make export EXP=exp/<EXP>/<ts>/f0 OUT=artifact
+export:
+	$(PYTHON) -m cmrtpu.cli.export -exp $(EXP) -out $(OUT)
+
+## Restore-once batch serving over a study directory:
+##   make serve ARTIFACT=artifact IN=incoming OUT_DIR=served
+serve:
+	$(PYTHON) -m cmrtpu.cli.serve -artifact $(ARTIFACT) -in $(IN) -out $(OUT_DIR) \
+		--stats $(OUT_DIR)/serving_stats.jsonl
+
 ## One-line JSON throughput benchmark (slices/sec on the available devices)
 bench:
 	$(PYTHON) bench.py

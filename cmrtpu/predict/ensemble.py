@@ -72,15 +72,18 @@ class EnsemblePredictor:
             config = C.load_config(cfg_files[0])
         return cls(config, fold_models)
 
-    def predict(self, x: np.ndarray) -> np.ndarray:
-        """Mean member probability for a [B, ...] batch."""
-        return np.asarray(jax.device_get(self._forward(jnp.asarray(x))))
+    def predict(self, x: np.ndarray):
+        """Mean member probability for a [B, ...] batch — [B, ..., C], or a
+        dict of per-head arrays for multi-head (HEADS) models."""
+        out = jax.device_get(self._forward(jnp.asarray(x)))
+        return jax.tree_util.tree_map(np.asarray, out)
 
-    def predict_members(self, x: np.ndarray) -> np.ndarray:
-        """Per-member probabilities [K, B, ...] (for disagreement analysis)."""
+    def predict_members(self, x: np.ndarray):
+        """Per-member probabilities [K, B, ...] (dict of them for multi-head
+        models) — for disagreement analysis."""
         def member_forward(params, batch_stats, xx):
             return self.model.apply({"params": params,
                                      "batch_stats": batch_stats}, xx, train=False)
         out = jax.vmap(member_forward, in_axes=(0, 0, None))(
             self._params, self._batch_stats, jnp.asarray(x))
-        return np.asarray(jax.device_get(out))
+        return jax.tree_util.tree_map(np.asarray, jax.device_get(out))

@@ -89,24 +89,30 @@ def flatten_head(channels: np.ndarray, activation: str) -> np.ndarray:
     return threshold_and_flatten(channels)
 
 
-def _head_outputs(cfg: Dict, preds, gts: np.ndarray):
+def _head_outputs(cfg: Dict, preds, gts: Optional[np.ndarray]):
     """Split multi-head predictions/targets into per-head flat label volumes.
 
     Returns [(file_suffix, pred_flat, gt_flat, label_values), ...] in HEADS
     spec order. The FIRST sigmoid head keeps the reference's ``msk`` suffix
     (so the landmark evaluation contract, ref: predict_model.py:184-186,
-    holds unchanged); every other head writes ``_<name>.nrrd``."""
+    holds unchanged); every other head writes ``_<name>.nrrd``.
+
+    ``gts=None`` (serve time — no targets exist): gt_flat is None and only
+    the prediction side is flattened."""
     heads = tuple(tuple(h) for h in C.get(cfg, "HEADS", ()) or ())
     if not heads:
-        label_values = tuple(range(1, gts.shape[-1] + 1))
+        n_channels = np.asarray(preds).shape[-1] if gts is None \
+            else gts.shape[-1]
+        label_values = tuple(range(1, n_channels + 1))
         return [("msk", threshold_and_flatten(preds),
-                 threshold_and_flatten(gts), label_values)]
+                 None if gts is None else threshold_and_flatten(gts),
+                 label_values)]
     outputs = []
     offset = 0
     msk_taken = False
     for name, channels, act in heads:
         channels = int(channels)
-        gt_h = gts[..., offset:offset + channels]
+        gt_h = None if gts is None else gts[..., offset:offset + channels]
         offset += channels
         pred_h = preds[name]
         if str(act) == "softmax":
@@ -118,7 +124,8 @@ def _head_outputs(cfg: Dict, preds, gts: np.ndarray):
         if str(act) != "softmax" and not msk_taken:
             suffix, msk_taken = "msk", True
         outputs.append((suffix, flatten_head(pred_h, act),
-                        flatten_head(gt_h, act), label_values))
+                        None if gt_h is None else flatten_head(gt_h, act),
+                        label_values))
     if not msk_taken:
         logging.warning(
             "HEADS=%s has no sigmoid head: no _msk.nrrd is written, so the "

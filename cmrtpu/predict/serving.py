@@ -49,21 +49,26 @@ from cmrtpu.utils.io_utils import ensure_dir
 
 
 def _flat_pred_heads(cfg: Dict, preds):
-    """[(suffix, pred_flat, label_values), ...] for serve-time predictions.
-
-    Reuses the predict-path head contract (``_head_outputs``: first sigmoid
-    head owns the ``msk`` suffix, softmax heads argmax) by passing the
-    predictions themselves where that helper expects ground truth — the gt
-    outputs are discarded; only the channel bookkeeping is shared."""
-    if isinstance(preds, dict):
-        heads = tuple(tuple(h) for h in C.get(cfg, "HEADS", ()) or ())
-        gts = np.concatenate([np.asarray(preds[str(h[0])]) for h in heads],
-                             axis=-1)
-    else:
-        gts = preds
+    """[(suffix, pred_flat, label_values), ...] for serve-time predictions —
+    the predict-path head contract (``_head_outputs``: first sigmoid head
+    owns the ``msk`` suffix, softmax heads argmax) without ground truth."""
     return [(suffix, pred_flat, label_values)
             for suffix, pred_flat, _gt, label_values
-            in _head_outputs(cfg, preds, gts)]
+            in _head_outputs(cfg, preds, None)]
+
+
+_IMAGE_EXTS = (".nii.gz", ".nii", ".nrrd")
+
+
+def _stem(path: str) -> str:
+    """Study identity: the basename with only the known image extension
+    stripped — NOT split('.')[0], which would collide dotted names (e.g.
+    DICOM-UID-style '1.2.840.1.nii.gz' and '1.2.840.2.nii.gz')."""
+    base = os.path.basename(path)
+    for ext in _IMAGE_EXTS:
+        if base.endswith(ext):
+            return base[: -len(ext)]
+    return os.path.splitext(base)[0]
 
 
 class ServingEngine:
@@ -175,7 +180,7 @@ class ServingEngine:
         stats["forward_s"] = round(time.perf_counter() - t2, 4)
 
         t3 = time.perf_counter()
-        stem = os.path.basename(path).split(".")[0]
+        stem = _stem(path)
         outputs = []
         if squeeze_2d:
             # promote the single slice to a z-stack of one: 10 mm slice
@@ -234,10 +239,28 @@ def _worklist(in_dir: str, patterns: Sequence[str]) -> List[str]:
     return sorted(f for f in set(files) if not f.endswith("_pred.nrrd"))
 
 
+def _claim(marker: str, stale_claim_s: float) -> Optional[int]:
+    """Atomically claim a study. Returns an open fd, or None if the study
+    is already served/claimed. An EMPTY marker older than ``stale_claim_s``
+    is a dead claim (hard-killed server mid-study) and is taken over."""
+    try:
+        return os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            st = os.stat(marker)
+            if st.st_size == 0 and time.time() - st.st_mtime > stale_claim_s:
+                logging.warning("reclaiming stale empty claim %s (a previous "
+                                "server died mid-study)", marker)
+                return os.open(marker, os.O_WRONLY | os.O_TRUNC)
+        except OSError:
+            pass
+        return None
+
+
 def serve_directory(engine: ServingEngine, in_dir: str, out_dir: str,
                     patterns: Sequence[str] = DEFAULT_PATTERNS,
                     watch: bool = False, poll_s: float = 2.0,
-                    settle_s: float = 1.0,
+                    settle_s: float = 1.0, stale_claim_s: float = 900.0,
                     stats_path: Optional[str] = None,
                     max_studies: Optional[int] = None,
                     stop_after_idle_polls: Optional[int] = None) -> Dict:
@@ -245,31 +268,39 @@ def serve_directory(engine: ServingEngine, in_dir: str, out_dir: str,
 
     Idempotent and crash-safe: a study is claimed by atomically creating
     ``<stem>.done.json`` in ``out_dir`` (O_EXCL) BEFORE processing and the
-    marker is filled with the latency record after — a crashed claim leaves
-    an empty marker to sweep, never a double-processed study; concurrent
-    engine processes sharing a worklist coordinate through the same markers.
-    ``watch=True`` keeps polling every ``poll_s`` for new arrivals (files
-    modified less than ``settle_s`` ago are deferred one poll — half-written
-    uploads); ``stop_after_idle_polls`` bounds watch mode for tests/drains.
-    Returns the aggregate throughput record."""
+    marker is filled with the latency record after. Concurrent engine
+    processes sharing a worklist coordinate through the same markers. An
+    interrupt (Ctrl-C/SIGTERM-as-exception) mid-study removes its own claim
+    so a restart re-serves the study; a HARD-killed server leaves an empty
+    marker, which is reclaimed once older than ``stale_claim_s``. Files
+    modified less than ``settle_s`` ago are deferred (half-written uploads)
+    in both watch and one-shot modes — a one-shot run simply leaves them
+    unclaimed for the next run. ``watch=True`` keeps polling every
+    ``poll_s`` for new arrivals; ``stop_after_idle_polls`` bounds watch mode
+    for tests/drains. ``max_studies`` bounds the studies ATTEMPTED by this
+    call (not the engine's lifetime count). Returns the aggregate
+    throughput record."""
     ensure_dir(out_dir)
     stats_fh = open(stats_path, "a") if stats_path else None
     idle_polls = 0
+    attempted = 0
     try:
         while True:
             did_work = False
+            deferred = 0
             for path in _worklist(in_dir, patterns):
-                if max_studies and engine._totals["studies"] >= max_studies:
+                if max_studies and attempted >= max_studies:
                     break
-                stem = os.path.basename(path).split(".")[0]
-                marker = os.path.join(out_dir, f"{stem}.done.json")
-                if watch and time.time() - os.path.getmtime(path) < settle_s:
-                    continue  # still being written — next poll
+                marker = os.path.join(out_dir, f"{_stem(path)}.done.json")
                 try:
-                    fd = os.open(marker,
-                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    continue  # processed (or claimed) already
+                    if time.time() - os.path.getmtime(path) < settle_s:
+                        deferred += 1
+                        continue  # still being written — defer
+                except OSError:
+                    continue  # vanished between glob and stat
+                fd = _claim(marker, stale_claim_s)
+                if fd is None:
+                    continue  # processed (or live-claimed) already
                 with os.fdopen(fd, "w") as fh:
                     try:
                         record = engine.process_study(path, out_dir)
@@ -277,16 +308,29 @@ def serve_directory(engine: ServingEngine, in_dir: str, out_dir: str,
                         record = {"file": os.path.basename(path),
                                   "error": f"{type(e).__name__}: {e}"}
                         logging.exception("serving failed on %s", path)
+                    except BaseException:
+                        # interrupt mid-study: release the claim so a
+                        # restart re-serves this study instead of skipping
+                        # it forever on an empty marker
+                        os.unlink(marker)
+                        raise
                     json.dump(record, fh)
+                attempted += 1
                 if stats_fh:
                     stats_fh.write(json.dumps(record) + "\n")
                     stats_fh.flush()
                 did_work = True
                 logging.info("served %s: %s", path,
                              record.get("slices_per_s", record.get("error")))
-            if max_studies and engine._totals["studies"] >= max_studies:
+            if max_studies and attempted >= max_studies:
                 break
             if not watch:
+                if deferred:
+                    logging.warning(
+                        "serve_directory: %d file(s) modified < %.1fs ago "
+                        "were deferred as possibly half-written and left "
+                        "unclaimed — re-run (or use --watch) to serve them",
+                        deferred, settle_s)
                 break
             idle_polls = 0 if did_work else idle_polls + 1
             if stop_after_idle_polls and idle_polls >= stop_after_idle_polls:

@@ -110,9 +110,14 @@ def quantize_images_uint8(imgs: np.ndarray) -> np.ndarray:
     augmentation warps are linear in the values, and finalize re-normalises
     AFTER the gather — so storing round((x-min)/(max-min)*255) changes the
     training math only by the ~0.4%-of-range quantization noise (the same
-    order as bf16's 8-bit mantissa). Caveat: a constant-fill augmentation
-    border (BORDER_MODE=0) with BORDER_VALUE != 0 is NOT scale-invariant —
-    the packers warn on that combination."""
+    order as bf16's 8-bit mantissa). Caveats: (1) a constant-fill
+    augmentation border (BORDER_MODE=0) with BORDER_VALUE != 0 is NOT
+    scale-invariant — the packers warn on that combination; (2) the
+    hist-matcher's pad-exclusion keys on exact zeros, which quantization
+    preserves only when 0 is the per-example minimum (true for the MinMax
+    deterministic stage, where pad_and_crop's zero borders ARE the min; a
+    Standard-scaled cache maps pad zeros to a mid-range bucket, so Var.1 +
+    SCALER='Standard' + uint8 includes borders in the match histograms)."""
     flat = imgs.reshape(imgs.shape[0], -1).astype(np.float32)
     lo = flat.min(axis=1, keepdims=True)
     span = np.maximum(flat.max(axis=1, keepdims=True) - lo,
@@ -123,14 +128,23 @@ def quantize_images_uint8(imgs: np.ndarray) -> np.ndarray:
 
 def _warn_if_uint8_unsafe(config: Optional[Dict], knob: str) -> None:
     cfg = config or {}
-    if (int(C.get(cfg, "BORDER_MODE", 4) or 4) == 0
-            and float(C.get(cfg, "BORDER_VALUE", 0) or 0) != 0.0):
+    mode = C.get(cfg, "BORDER_MODE", 4)
+    mode = 4 if mode is None else int(mode)  # NOT `or 4` — 0 is the case
+    if mode == 0 and float(C.get(cfg, "BORDER_VALUE", 0) or 0) != 0.0:
         logging.warning(
             "%s='uint8' with a constant non-zero augmentation border "
             "(BORDER_MODE=0, BORDER_VALUE=%s): the border constant is not "
             "rescaled with the per-example quantization, so padded regions "
             "shift intensity — use BORDER_VALUE=0 or a reflect border",
             knob, C.get(cfg, "BORDER_VALUE"))
+    if (bool(C.get(cfg, "HIST_MATCHING", False))
+            and str(C.get(cfg, "SCALER", "MinMax")).lower() == "standard"):
+        logging.warning(
+            "%s='uint8' with HIST_MATCHING and SCALER='Standard': pad zeros "
+            "are not the per-example minimum under Standard scaling, so "
+            "quantization maps them to a mid-range bucket and the matcher's "
+            "zero-exclusion stops masking the padded borders — the match "
+            "histograms include border pixels (MinMax is unaffected)", knob)
 
 
 def _packed_nbytes(config: Optional[Dict], x: np.ndarray, y: np.ndarray) -> int:

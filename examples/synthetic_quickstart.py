@@ -70,6 +70,10 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=250)
     parser.add_argument("--patients", type=int, default=10)
     parser.add_argument("--dim", type=int, default=64)
+    parser.add_argument("--cache-dtype", default="float32",
+                        help="device-cache storage dtype: float32 | "
+                             "bfloat16 | uint8 (per-example affine "
+                             "quantization; quality A/B knob)")
     args = parser.parse_args()
 
     generate_dataset(args.root, n_patients=args.patients, hw=args.dim)
@@ -86,6 +90,7 @@ def main() -> None:
         "USE_UPSAMPLE": False, "EARLY_STOPPING_PATIENCE": args.epochs,
         "MONITOR_FUNCTION": "val_loss", "SAVE_MODEL_FUNCTION": "val_loss",
         "GAUS": True, "SIGMA": 2,  # Var.2 heatmap targets: fast convergence
+        "CACHE_DTYPE": args.cache_dtype,
     }
     from cmrtpu.train.fold import run_experiment
     exp_path = run_experiment(config, data_path=args.root)

@@ -360,6 +360,32 @@ def test_cache_dtype_uint8_quantized_images(gens):
     assert hist[-1]["loss"] < hist[0]["loss"]
 
 
+def test_uint8_unsafe_combination_warnings(caplog):
+    """The two non-scale-invariant uint8 combinations must actually warn:
+    BORDER_MODE=0 is falsy, so a `or 4` default would silently eat the one
+    value the check exists for."""
+    import logging as _logging
+
+    from cmrtpu.train.device_cache import _warn_if_uint8_unsafe
+
+    with caplog.at_level(_logging.WARNING):
+        _warn_if_uint8_unsafe({"BORDER_MODE": 0, "BORDER_VALUE": 100.0},
+                              "CACHE_DTYPE")
+    assert any("constant non-zero augmentation border" in r.message
+               for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING):
+        _warn_if_uint8_unsafe({"HIST_MATCHING": True, "SCALER": "Standard"},
+                              "STREAM_DTYPE")
+    assert any("zero-exclusion" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING):
+        _warn_if_uint8_unsafe({"BORDER_MODE": 4, "BORDER_VALUE": 100.0,
+                               "HIST_MATCHING": True, "SCALER": "MinMax"},
+                              "CACHE_DTYPE")
+    assert not caplog.records  # reflect border + MinMax: both safe
+
+
 def test_small_validation_set_still_yields_val_logs(gens, tmp_path):
     """n_val < BATCHSIZE floors to zero reference-semantics eval batches; the
     cached loop must shrink the eval batch instead of silently dropping every

@@ -31,6 +31,7 @@ def _study(path: str, z: int = 3, seed: int = 0) -> MedicalImage:
     img = MedicalImage(array=rng.normal(size=(z, 24, 28)).astype(np.float32),
                        spacing=(1.5, 1.5, 8.0), origin=(3.0, -2.0, 10.0))
     write_image(img, path)
+    os.utime(path, (0, 0))  # settled (serve defers files younger than settle_s)
     return img
 
 
@@ -129,6 +130,7 @@ def test_single_slice_2d_study(fold_dir, tmp_path):
         array=np.random.default_rng(1).normal(size=(24, 28)).astype(np.float32),
         spacing=(1.5, 1.5))
     write_image(img, str(in_dir / "flat.nrrd"))
+    os.utime(str(in_dir / "flat.nrrd"), (0, 0))
     engine = ServingEngine(config=CFG,
                            model_path=os.path.join(fold_dir, "model"))
     serve_directory(engine, str(in_dir), str(out_dir))
@@ -187,10 +189,105 @@ def test_ensemble_serving(tmp_path):
                                np.mean(members, axis=0), atol=1e-5)
 
 
+def test_dotted_filenames_keep_distinct_identities(fold_dir, tmp_path):
+    """DICOM-UID-style dotted names must not collide to one stem (a split on
+    the first '.' would silently skip the second study and overwrite the
+    first's outputs)."""
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _study(str(in_dir / "1.2.840.a.nrrd"), z=2, seed=0)
+    _study(str(in_dir / "1.2.840.b.nrrd"), z=2, seed=1)
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    totals = serve_directory(engine, str(in_dir), str(out_dir))
+    assert totals["studies"] == 2
+    assert (out_dir / "1.2.840.a_msk_pred.nrrd").exists()
+    assert (out_dir / "1.2.840.b_msk_pred.nrrd").exists()
+
+
+def test_interrupt_releases_claim_and_stale_claims_are_reclaimed(
+        fold_dir, tmp_path, monkeypatch):
+    """Ctrl-C mid-study must not leave a claim that skips the study forever;
+    a hard-killed server's empty marker is reclaimed once stale."""
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    out_dir.mkdir()
+    _study(str(in_dir / "s.nrrd"), z=2, seed=0)
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+
+    # interrupt mid-study: the claim marker is removed on the way out
+    monkeypatch.setattr(engine, "process_study",
+                        lambda *a: (_ for _ in ()).throw(KeyboardInterrupt))
+    with pytest.raises(KeyboardInterrupt):
+        serve_directory(engine, str(in_dir), str(out_dir), settle_s=0)
+    assert not (out_dir / "s.done.json").exists()
+    monkeypatch.undo()
+
+    # hard-kill remnant: an EMPTY marker. Fresh -> respected (live claim);
+    # stale -> reclaimed and the study served.
+    marker = out_dir / "s.done.json"
+    marker.write_text("")
+    totals = serve_directory(engine, str(in_dir), str(out_dir), settle_s=0,
+                             stale_claim_s=3600)
+    assert totals["studies"] == 0  # fresh empty marker = live claim elsewhere
+    os.utime(str(marker), (0, 0))  # age it
+    totals = serve_directory(engine, str(in_dir), str(out_dir), settle_s=0,
+                             stale_claim_s=60)
+    assert totals["studies"] == 1
+    assert json.loads(marker.read_text())["slices"] == 2
+
+
+def test_max_studies_bounds_this_call_not_lifetime(fold_dir, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    for i in range(3):
+        _study(str(in_dir / f"s{i}.nrrd"), z=2, seed=i)
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    serve_directory(engine, str(in_dir), str(out_dir), settle_s=0,
+                    max_studies=2)
+    assert engine.totals()["studies"] == 2
+    # the engine already served 2; a new call with max_studies=1 must still
+    # attempt ONE more (per-call bound, not lifetime)
+    serve_directory(engine, str(in_dir), str(out_dir), settle_s=0,
+                    max_studies=1)
+    assert engine.totals()["studies"] == 3
+
+
+def test_ensemble_multihead_dict_predict():
+    """Multi-head ensembles return a dict of per-head mean probabilities
+    (np.asarray on a dict would mangle it into a 0-d object array)."""
+    import json as _json
+
+    from cmrtpu.predict.ensemble import EnsemblePredictor
+
+    cfg = dict(CFG, HEADS=[["rvip", 2, "sigmoid"], ["sep", 3, "softmax"]])
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        dirs = []
+        for k in range(2):
+            trainer = Trainer(dict(cfg, SEED=k))
+            md = os.path.join(d, f"f{k}", "model")
+            ckpt.save_weights(md, trainer.state.params,
+                              trainer.state.batch_stats)
+            dirs.append(md)
+        ens = EnsemblePredictor(cfg, dirs)
+        x = np.zeros((2, 32, 32, 1), np.float32)
+        out = ens.predict(x)
+        assert set(out) == {"rvip", "sep"}
+        assert out["rvip"].shape == (2, 32, 32, 2)
+        members = ens.predict_members(x)
+        assert members["sep"].shape == (2, 2, 32, 32, 3)
+        np.testing.assert_allclose(out["sep"], members["sep"].mean(axis=0),
+                                   atol=1e-6)
+
+
 def test_failed_study_records_error_and_continues(fold_dir, tmp_path):
     in_dir, out_dir = tmp_path / "in", tmp_path / "out"
     in_dir.mkdir()
     (in_dir / "broken.nrrd").write_bytes(b"not an image")
+    os.utime(str(in_dir / "broken.nrrd"), (0, 0))
     _study(str(in_dir / "good.nrrd"), z=2, seed=9)
 
     engine = ServingEngine(config=CFG,
