@@ -190,6 +190,12 @@ def main():
                         help="binary GT targets (the published Base arm)")
     parser.add_argument("--hist-matching", action="store_true",
                         help="enable the Var.1 histogram-matching arm")
+    parser.add_argument("--cache-dtype", default="float32",
+                        help="device-cache storage dtype: float32 | bfloat16 "
+                             "| uint8 (per-example affine quantization)")
+    parser.add_argument("--cache-sharded", action="store_true",
+                        help="example-shard the HBM cache over the data mesh "
+                             "axis (CACHE_SHARDED)")
     parser.add_argument("--multihead", action="store_true",
                         help="BASELINE config 4: RVIP sigmoid head + "
                              "LV/MYO/RV softmax segmentation head (per-slice "
@@ -231,6 +237,7 @@ def main():
         "SCALER": "MinMax", "CC_FILTER": True,
         "EARLY_STOPPING_PATIENCE": args.epochs,
         "MONITOR_FUNCTION": "val_loss", "SAVE_MODEL_FUNCTION": "val_loss",
+        "CACHE_DTYPE": args.cache_dtype, "CACHE_SHARDED": args.cache_sharded,
     }
     if args.multihead:
         # BASELINE config 4: first sigmoid head keeps the _msk landmark
