@@ -283,6 +283,37 @@ def test_ensemble_multihead_dict_predict():
                                    atol=1e-6)
 
 
+def test_serve_cli_end_to_end(fold_dir, tmp_path):
+    """The installed entry point (`python -m cmrtpu.cli.serve -exp ...`)
+    drives the whole chain in a fresh process: restore, serve a directory,
+    print the aggregate JSON."""
+    import subprocess
+    import sys
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _study(str(in_dir / "cli.nrrd"), z=2, seed=4)
+    cfg_dir = tmp_path / "fold" / "config"
+    cfg_dir.mkdir(parents=True)
+    (cfg_dir / "config.json").write_text(json.dumps(CFG))
+    os.symlink(os.path.join(fold_dir, "model"),
+               str(tmp_path / "fold" / "model"))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    out = subprocess.run(
+        [sys.executable, "-m", "cmrtpu.cli.serve", "-exp",
+         str(tmp_path / "fold"), "-in", str(in_dir), "-out", str(out_dir),
+         "--stats", str(tmp_path / "s.jsonl")],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stdout + out.stderr
+    totals = json.loads(out.stdout.strip().splitlines()[-1])
+    assert totals["studies"] == 1 and totals["slices"] == 2
+    assert (out_dir / "cli_msk_pred.nrrd").exists()
+
+
 def test_failed_study_records_error_and_continues(fold_dir, tmp_path):
     in_dir, out_dir = tmp_path / "in", tmp_path / "out"
     in_dir.mkdir()
