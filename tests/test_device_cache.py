@@ -360,6 +360,34 @@ def test_cache_dtype_uint8_quantized_images(gens):
     assert hist[-1]["loss"] < hist[0]["loss"]
 
 
+def test_knob_composition_sharded_uint8_hist_gaus(gens):
+    """Cross-knob insurance: CACHE_SHARDED + CACHE_DTYPE=uint8 +
+    HIST_MATCHING + GAUS heatmaps + augmentation all compose into ONE fused
+    step on the 8-device mesh (each knob is covered alone elsewhere;
+    breakage at the intersections — e.g. the shard-local gated matcher
+    reading a quantized cache — would be invisible without this)."""
+    import jax
+    from cmrtpu.parallel.mesh import create_mesh
+    from cmrtpu.train.device_cache import DeviceCachedLoop
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    train, val, cfg = gens
+    cfg = dict(cfg, BATCHSIZE=8, CACHE_SHARDED=True, CACHE_DTYPE="uint8",
+               HIST_MATCHING=True, GAUS=True, SIGMA=1, AUGMENT=True,
+               AUGMENT_PROB=0.8, RANDOMROTATE=True)
+    train2 = DataGenerator(train.images, train.labels, config=cfg)
+    mesh = create_mesh(cfg)
+    trainer = Trainer(cfg, mesh=mesh)
+    loop = DeviceCachedLoop(trainer, train2, val)
+    assert loop.sharded and loop.x_train.dtype == np.uint8
+    for _ in range(3):
+        logs = loop.run_train_epoch()
+        assert np.isfinite(logs["loss"]), logs
+    elogs = loop.run_eval_epoch()
+    assert np.isfinite(elogs["loss"])
+
+
 def test_uint8_unsafe_combination_warnings(caplog):
     """The two non-scale-invariant uint8 combinations must actually warn:
     BORDER_MODE=0 is falsy, so a `or 4` default would silently eat the one
