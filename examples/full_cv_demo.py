@@ -196,6 +196,10 @@ def main():
     parser.add_argument("--cache-sharded", action="store_true",
                         help="example-shard the HBM cache over the data mesh "
                              "axis (CACHE_SHARDED)")
+    parser.add_argument("--ws", action="store_true",
+                        help="normalization-free scaled-WS convs instead of "
+                             "BatchNorm (WEIGHT_STANDARDISATION; +16%% step "
+                             "throughput)")
     parser.add_argument("--multihead", action="store_true",
                         help="BASELINE config 4: RVIP sigmoid head + "
                              "LV/MYO/RV softmax segmentation head (per-slice "
@@ -238,6 +242,8 @@ def main():
         "EARLY_STOPPING_PATIENCE": args.epochs,
         "MONITOR_FUNCTION": "val_loss", "SAVE_MODEL_FUNCTION": "val_loss",
         "CACHE_DTYPE": args.cache_dtype, "CACHE_SHARDED": args.cache_sharded,
+        "WEIGHT_STANDARDISATION": args.ws,
+        "BATCH_NORMALISATION": not args.ws,
     }
     if args.multihead:
         # BASELINE config 4: first sigmoid head keeps the _msk landmark
