@@ -1,7 +1,7 @@
 """CLI: serving export — a trained fold to a portable StableHLO artifact.
 
 ``python -m cmrtpu.cli.export -exp <fold_dir> -out <dir> [--batch 8]
-[--fold-bn]``
+[--fold-bn] [--int8 --calib <study_dir>]``
 
 The reference's serving story is rebuild-the-graph-then-load_weights
 (ref: src/models/predict_model.py:75-76); this emits the jitted forward as
@@ -28,6 +28,15 @@ def main():
     parser.add_argument("--fold-bn", action="store_true",
                         help="fold frozen BatchNorm into conv weights "
                              "(BN_FIRST configs)")
+    parser.add_argument("--int8", action="store_true",
+                        help="export the post-training-quantized int8 twin "
+                             "(4x smaller weights; MXU int8 rate) — needs "
+                             "--calib")
+    parser.add_argument("--calib", action="store",
+                        help="directory of representative studies "
+                             "(.nii/.nii.gz/.nrrd) for int8 calibration")
+    parser.add_argument("--calib-slices", type=int, default=256,
+                        help="max calibration slices drawn from --calib")
     args = parser.parse_args()
     print(f"given parameters: {args}")
 
@@ -36,9 +45,25 @@ def main():
         config = json.load(fh)
     model_path = os.path.join(args.exp, "model")
 
+    int8_calib = None
+    if args.int8:
+        if not args.calib:
+            parser.error("--int8 needs --calib <dir of studies>")
+        import glob
+        paths = sorted(p for pat in ("*.nii.gz", "*.nii", "*.nrrd")
+                       for p in glob.glob(os.path.join(args.calib, pat))
+                       if not p.endswith("_pred.nrrd"))
+        if not paths:
+            parser.error(f"no studies found under {args.calib}")
+        from cmrtpu.predict.quantize import calibration_batches_from_studies
+        int8_calib = calibration_batches_from_studies(
+            paths, config, batch=args.batch, max_slices=args.calib_slices)
+    elif args.calib:
+        parser.error("--calib only applies with --int8")
+
     from cmrtpu.predict.export import export_model
     out = export_model(config, model_path, args.out, batch=args.batch,
-                       fold_bn=args.fold_bn)
+                       fold_bn=args.fold_bn, int8_calib=int8_calib)
     print(f"exported serving artifact to {out}")
 
 

@@ -79,24 +79,86 @@ class WSConv(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class QuantConv(nn.Module):
+    """Int8 post-training-quantized conv for serving.
+
+    Symmetric per-tensor activation quantization (``act_scale``, calibrated
+    offline — see cmrtpu/predict/quantize.py) and symmetric per-output-channel
+    weight quantization (``w_scale``): the MXU consumes the int8 operands at
+    2x its bf16 peak on v5e-class chips, the conv accumulates in int32, and
+    one fused epilogue rescales ``y * (act_scale * w_scale) + bias`` back to
+    the working dtype. Zero-point-free by design: SAME padding injects zeros
+    in quantized space, and symmetric quantization maps them to exactly 0.0 —
+    the same values nn.Conv pads with."""
+    features: int
+    f_size: Tuple[int, ...]
+    pad: str = "SAME"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        shape = (*self.f_size, x.shape[-1], self.features)
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              shape, jnp.int8)
+        w_scale = self.param("w_scale", nn.initializers.ones,
+                             (self.features,), jnp.float32)
+        act_scale = self.param("act_scale", nn.initializers.ones,
+                               (), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
+                     -127, 127).astype(jnp.int8)
+        rank = len(self.f_size)
+        spatial = "DHW"[-rank:]
+        spec = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel_q.shape, spec)
+        y = jax.lax.conv_general_dilated(
+            q, kernel_q, window_strides=(1,) * rank, padding=self.pad,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (act_scale * w_scale) + bias
+        return y.astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
     """Conv + BatchNorm + activation with the reference's ordering switch.
 
     ``ws=True`` swaps in the normalization-free scaled weight-standardized
     conv (see WSConv) — BatchNorm is dropped (the ordering switch becomes
-    moot) and the block is plain WSConv -> activation."""
+    moot) and the block is plain WSConv -> activation.
+
+    ``quant_mode`` drives the serving-time int8 path (cmrtpu/predict/
+    quantize.py): '' is the float path, 'calib' additionally sows the block
+    input's max-abs into the 'quant_calib' collection (calibration forward),
+    'int8' replaces the conv with QuantConv (BN, frozen at inference, stays
+    a float epilogue; XLA fuses it)."""
     filters: int
     f_size: Tuple[int, ...]
     activation: str = "relu"
     batch_norm: bool = True
     bn_first: bool = False
     ws: bool = False
+    quant_mode: str = ""
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = getattr(nn, self.activation)
+        if self.quant_mode == "calib":
+            self.sow("quant_calib", "amax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.float32(0.0),
+                     reduce_fn=jnp.maximum)
+        if self.quant_mode == "int8":
+            conv = QuantConv(self.filters, self.f_size, pad=self.pad,
+                             dtype=self.dtype)
+        elif self.ws:
+            conv = WSConv(self.filters, self.f_size, pad=self.pad,
+                          dtype=self.dtype)
+        else:
+            conv = nn.Conv(self.filters, self.f_size, padding=self.pad,
+                           kernel_init=_he_normal(), dtype=self.dtype,
+                           param_dtype=jnp.float32)
         if self.ws:
             # NF-style variance-preserving activation gain (Brock et al.
             # 2021 Tab.5): without BatchNorm re-standardizing every block,
@@ -107,12 +169,8 @@ class ConvBlock(nn.Module):
             # published constant (shallow nets tolerate the residual drift).
             gamma = {"relu": 1.7139, "gelu": 1.7015, "silu": 1.7881,
                      "elu": 1.2717}.get(self.activation, 1.0)
-            x = act(WSConv(self.filters, self.f_size, pad=self.pad,
-                           dtype=self.dtype)(x)) * gamma
+            x = act(conv(x)) * gamma
             return x.astype(self.dtype)
-        conv = nn.Conv(self.filters, self.f_size, padding=self.pad,
-                       kernel_init=_he_normal(), dtype=self.dtype,
-                       param_dtype=jnp.float32)
         bn = (lambda y: nn.BatchNorm(use_running_average=not train, momentum=0.99,
                                      epsilon=1e-3, dtype=jnp.float32)(y)
               ) if self.batch_norm else (lambda y: y)
@@ -136,6 +194,7 @@ class DownBlock(nn.Module):
     batch_norm: bool = True
     bn_first: bool = False
     ws: bool = False
+    quant_mode: str = ""
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -143,7 +202,7 @@ class DownBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
-                  ws=self.ws,
+                  ws=self.ws, quant_mode=self.quant_mode,
                   pad=self.pad, dtype=self.dtype)
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -177,6 +236,7 @@ class UpBlock(nn.Module):
     batch_norm: bool = True
     bn_first: bool = False
     ws: bool = False
+    quant_mode: str = ""
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -196,7 +256,7 @@ class UpBlock(nn.Module):
         x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
-                  ws=self.ws,
+                  ws=self.ws, quant_mode=self.quant_mode,
                   pad=self.pad, dtype=self.dtype)
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -219,6 +279,7 @@ class ConvEncoder(nn.Module):
     batch_norm: bool = True
     bn_first: bool = False
     ws: bool = False
+    quant_mode: str = ""
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -226,7 +287,7 @@ class ConvEncoder(nn.Module):
     def __call__(self, x, train: bool = True):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
-                  ws=self.ws,
+                  ws=self.ws, quant_mode=self.quant_mode,
                   pad=self.pad, dtype=self.dtype)
         x = x.astype(self.dtype)
         filters = self.filters
@@ -262,6 +323,7 @@ class ConvDecoder(nn.Module):
     batch_norm: bool = True
     bn_first: bool = False
     ws: bool = False
+    quant_mode: str = ""
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -269,7 +331,7 @@ class ConvDecoder(nn.Module):
     def __call__(self, encoding, skips, train: bool = True):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
-                  ws=self.ws,
+                  ws=self.ws, quant_mode=self.quant_mode,
                   pad=self.pad, dtype=self.dtype)
         x = encoding
         skips = list(skips)
@@ -301,6 +363,7 @@ class UNet(nn.Module):
     batch_norm: bool = True
     bn_first: bool = False
     ws: bool = False
+    quant_mode: str = ""
     use_upsample: bool = True
     pad: str = "SAME"
     supervision: bool = False
@@ -312,7 +375,7 @@ class UNet(nn.Module):
     def __call__(self, x, train: bool = True):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
-                  ws=self.ws,
+                  ws=self.ws, quant_mode=self.quant_mode,
                   pad=self.pad, dtype=self.dtype)
         # REMAT: recompute block activations in the backward pass instead of
         # storing them. Opt-in knob: at the 2D flagship size the extra FLOPs
@@ -389,6 +452,9 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
     act = {"elu": "elu", "relu": "relu", "gelu": "gelu", "leaky_relu": "leaky_relu"}.get(act, "relu")
     dtype = jnp.bfloat16 if C.get(config, "MIXED_PRECISION") else jnp.float32
     ws = bool(C.get(config, "WEIGHT_STANDARDISATION", False))
+    # serving-time int8 path: set by cmrtpu/predict/quantize.py on the
+    # quantized twin config; never used for training
+    quant_mode = "int8" if C.get(config, "QUANT_INT8", False) else ""
     batch_norm = C.get(config, "BATCH_NORMALISATION")
     if ws and batch_norm:
         import logging
@@ -406,6 +472,7 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
         batch_norm=batch_norm,
         bn_first=C.get(config, "BN_FIRST"),
         ws=ws,
+        quant_mode=quant_mode,
         use_upsample=bool(C.get(config, "USE_UPSAMPLE", True)),
         supervision=supervision,
         heads=heads,

@@ -87,13 +87,20 @@ def jax_device_get(tree):
 
 
 def export_model(config: Dict, model_path: str, out_dir: str,
-                 batch: int = 8, fold_bn: bool = False) -> str:
+                 batch: int = 8, fold_bn: bool = False,
+                 int8_calib=None) -> str:
     """Serialize the restored model's forward pass + weights into out_dir.
 
     ``fold_bn=True`` folds the frozen BatchNorm statistics into the conv
     weights before export (BN_FIRST configs only — see ``fold_batch_norm``):
     the serving artifact then runs one op less per block with bit-equal
-    outputs."""
+    outputs.
+
+    ``int8_calib``: an iterable of model-ready calibration batches — exports
+    the post-training-quantized int8 twin instead of the float model
+    (cmrtpu/predict/quantize.py; int8 weights are 4x smaller and the MXU
+    runs int8 pairs at 2x its bf16 peak). Composes with ``fold_bn``: BN is
+    folded first, then the BN-less model is calibrated and quantized."""
     import jax
     from jax import export as jex
 
@@ -107,6 +114,12 @@ def export_model(config: Dict, model_path: str, out_dir: str,
     if fold_bn:
         cfg, params = fold_batch_norm(cfg, params, batch_stats)
         batch_stats = {}
+        model = get_model(cfg)
+    if int8_calib is not None:
+        from cmrtpu.predict.quantize import quantize_model
+        cfg, qvars = quantize_model(
+            cfg, {"params": params, "batch_stats": batch_stats}, int8_calib)
+        params, batch_stats = qvars["params"], qvars["batch_stats"]
         model = get_model(cfg)
 
     dim = tuple(C.get(cfg, "DIM"))

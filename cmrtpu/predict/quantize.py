@@ -1,0 +1,196 @@
+"""Post-training int8 quantization (PTQ) for the serving path.
+
+The reference serves the float graph it trained (ref:
+src/models/predict_model.py:75-76) — there is no quantized deployment story.
+On TPU the MXU consumes int8 operand pairs at twice its bf16 peak
+(v5e-class), and int8 weights are 4x smaller than f32 in HBM, so a
+serving-only quantized twin is a real deployment lever. This module produces
+that twin OFFLINE from any trained checkpoint, in three steps:
+
+  1. **Calibrate** — run the float model over representative batches with
+     ``quant_mode='calib'``: every ConvBlock sows its input's max-abs into
+     the ``quant_calib`` collection (cmrtpu/models/unet.py ConvBlock), and
+     the per-block maxima are reduced across batches host-side.
+  2. **Quantize** — rewrite the parameter tree: each ConvBlock's conv kernel
+     becomes a symmetric per-output-channel int8 ``kernel_q`` + f32
+     ``w_scale``; the calibrated input max-abs becomes the per-tensor
+     ``act_scale``. WS (weight-standardized) kernels are quantized from
+     their EFFECTIVE kernel (standardization + gain applied), so the
+     quantized twin needs no standardization pass at serve time. Everything
+     outside the ConvBlock convs — BatchNorm affines/statistics, up-sampling
+     convs, heads — stays float: they are a tiny fraction of the FLOPs and
+     keeping them f32 protects the 0.5-threshold head semantics.
+  3. **Build the twin** — ``QUANT_INT8=True`` in the config makes
+     ``build_model`` construct the model with ``quant_mode='int8'``
+     (QuantConv blocks, cmrtpu/models/unet.py), which consumes the rewritten
+     tree directly. The twin rides every existing serving surface unchanged:
+     weights npz (int8 arrays round-trip through save_weights/load_weights),
+     jax.export artifacts, the Predictor, and the ServingEngine.
+
+Symmetric, zero-point-free by design: SAME padding injects zeros in
+quantized space and symmetric quantization maps them to exactly 0.0 — the
+same values the float conv pads with. Calibration uses max-abs (the exact
+range seen); pass more/representative batches rather than a percentile knob.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Tuple
+
+import numpy as np
+
+from cmrtpu import config as C
+
+AMAX_COLLECTION = "quant_calib"
+
+
+def _with_quant_mode(model, mode: str):
+    if not hasattr(model, "quant_mode"):
+        raise ValueError(
+            f"{type(model).__name__} has no quant_mode — int8 PTQ currently "
+            "covers the UNet family (plain MODEL_VARIANT)")
+    return model.clone(quant_mode=mode)
+
+
+def calibrate(model, variables, batches: Iterable[np.ndarray]) -> Dict[Tuple[str, ...], float]:
+    """Per-ConvBlock input max-abs over ``batches``.
+
+    ``batches`` yields model-ready inputs ([N, *DIM, C] float arrays, i.e.
+    the deterministic-preprocessing output — what the serving forward sees).
+    Returns ``{block_scope_tuple: amax}``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    calib = _with_quant_mode(model, "calib")
+    fwd = jax.jit(lambda v, x: calib.apply(v, x, train=False,
+                                           mutable=[AMAX_COLLECTION])[1])
+    amax: Dict[Tuple[str, ...], float] = {}
+    n = 0
+    for x in batches:
+        aux = fwd(variables, jnp.asarray(x, jnp.float32))
+        flat = traverse_util.flatten_dict(jax.device_get(aux[AMAX_COLLECTION]))
+        for key, val in flat.items():
+            scope = key[:-1]  # drop the trailing 'amax' leaf name
+            amax[scope] = max(amax.get(scope, 0.0), float(np.asarray(val)))
+        n += 1
+    if not n:
+        raise ValueError("calibration needs at least one batch")
+    if not amax:
+        raise ValueError("no ConvBlock sowed calibration statistics — is "
+                         "this a quant_mode-aware model?")
+    return amax
+
+
+def _effective_kernel(conv_name: str, subtree: Dict[str, np.ndarray]):
+    """(kernel, bias) as the float conv actually applies them.
+
+    For WSConv the stored kernel is standardized at call time
+    (cmrtpu/models/unet.py WSConv) — reproduce that math here so the
+    quantized twin bakes it in and skips it at serve time."""
+    kernel = np.asarray(subtree["kernel"], np.float64)
+    bias = np.asarray(subtree["bias"], np.float64)
+    if conv_name == "WSConv_0":
+        gain = np.asarray(subtree["gain"], np.float64)
+        axes = tuple(range(kernel.ndim - 1))
+        mean = kernel.mean(axis=axes, keepdims=True)
+        var = kernel.var(axis=axes, keepdims=True)
+        fan_in = float(np.prod(kernel.shape[:-1]))
+        kernel = (kernel - mean) * (
+            gain / np.sqrt(np.maximum(var * fan_in, 1e-4)))
+    return kernel, bias
+
+
+def quantize_variables(model, variables, amax: Dict[Tuple[str, ...], float]):
+    """Rewrite the float variable tree into the int8 twin's tree.
+
+    Every calibrated ConvBlock scope's ``Conv_0``/``WSConv_0`` subtree is
+    replaced by a ``QuantConv_0`` subtree (int8 kernel_q, per-channel f32
+    w_scale, scalar f32 act_scale, f32 bias); all other entries (BatchNorm,
+    up-sampling convs, heads, batch_stats) pass through unchanged."""
+    import jax
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(jax.device_get(variables["params"]))
+    flat = {k: np.asarray(v) for k, v in flat.items()}
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    replaced_prefixes = []
+    for scope, a in sorted(amax.items()):
+        conv_name = next(
+            (name for name in ("Conv_0", "WSConv_0")
+             if scope + (name, "kernel") in flat), None)
+        if conv_name is None:
+            raise KeyError(f"calibrated block {'/'.join(scope)} has no "
+                           "Conv_0/WSConv_0 kernel in the parameter tree")
+        subtree = {k[-1]: v for k, v in flat.items()
+                   if k[:-1] == scope + (conv_name,)}
+        kernel, bias = _effective_kernel(conv_name, subtree)
+        axes = tuple(range(kernel.ndim - 1))
+        w_scale = np.maximum(np.abs(kernel).max(axis=axes), 1e-12) / 127.0
+        kernel_q = np.clip(np.rint(kernel / w_scale), -127, 127
+                           ).astype(np.int8)
+        q = scope + ("QuantConv_0",)
+        out[q + ("kernel_q",)] = kernel_q
+        out[q + ("w_scale",)] = w_scale.astype(np.float32)
+        out[q + ("act_scale",)] = np.float32(max(a, 1e-12) / 127.0)
+        out[q + ("bias",)] = bias.astype(np.float32)
+        replaced_prefixes.append(scope + (conv_name,))
+    for key, val in flat.items():
+        if not any(key[:len(p)] == p for p in replaced_prefixes):
+            out[key] = val
+    return {"params": traverse_util.unflatten_dict(out),
+            "batch_stats": variables.get("batch_stats", {}) or {}}
+
+
+def quantize_model(config: Dict, variables,
+                   calib_batches: Iterable[np.ndarray]):
+    """Trained float (config, variables) -> int8 twin (config, variables).
+
+    The returned config carries ``QUANT_INT8=True`` — ``build_model`` /
+    ``get_model`` on it constructs the QuantConv twin that consumes the
+    returned variables. The float pair is untouched."""
+    from cmrtpu.models.hybrids import get_model
+
+    cfg = C.normalise_config(config)
+    model = get_model(cfg)
+    amax = calibrate(model, variables, calib_batches)
+    qvars = quantize_variables(model, variables, amax)
+    qcfg = dict(cfg)
+    qcfg["QUANT_INT8"] = True
+    return qcfg, qvars
+
+
+def calibration_batches_from_studies(paths, cfg: Dict, batch: int = 8,
+                                     max_slices: int = 256):
+    """Calibration inputs from raw study files: each study goes through the
+    SAME deterministic preprocessing the serving engine applies
+    (``preprocess_model_input``), then slices are batched. Yields
+    [batch, *DIM, C] float32 arrays (last batch padded by repetition so the
+    max-abs statistics see only real slices)."""
+    from cmrtpu.io import read_image
+    from cmrtpu.predict.predictor import preprocess_model_input
+
+    slices = []
+    for path in paths:
+        img = read_image(path)
+        nda = img.array
+        if nda.ndim == 2:
+            nda = nda[None]
+        if nda.ndim != 3:
+            raise ValueError(f"{path}: calibration expects 2D/3D studies, "
+                             f"got shape {nda.shape}")
+        slices.append(preprocess_model_input(nda, img.spacing[:2], cfg))
+        if sum(s.shape[0] for s in slices) >= max_slices:
+            break
+    if not slices:
+        raise ValueError("no calibration studies found")
+    x = np.concatenate(slices)[:max_slices]
+    for start in range(0, x.shape[0], batch):
+        chunk = x[start:start + batch]
+        if chunk.shape[0] < batch:  # pad by repeating real slices: padding
+            # with zeros would be harmless for max-abs but repeating keeps
+            # every row a genuine activation distribution sample
+            reps = -(-batch // chunk.shape[0])
+            chunk = np.concatenate([chunk] * reps)[:batch]
+        yield chunk

@@ -1,0 +1,221 @@
+"""Post-training int8 quantization: the serving twin must track the float
+model (cmrtpu/predict/quantize.py).
+
+The reference has no quantized deployment path (it serves the float keras
+graph, ref: src/models/predict_model.py:75-76); these tests pin the PTQ
+contract of the TPU-native rebuild: calibrate -> rewrite params -> QUANT_INT8
+twin, riding the unchanged npz/export/serving surfaces.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cmrtpu.models.hybrids import get_model
+from cmrtpu.predict.quantize import (calibrate, quantize_model,
+                                     quantize_variables,
+                                     calibration_batches_from_studies)
+from cmrtpu.train import checkpoint as ckpt
+from cmrtpu.train.trainer import Trainer
+
+CFG = {"DIM": [32, 32], "DEPTH": 2, "FILTERS": 8, "MASK_CLASSES": 2,
+       "BATCHSIZE": 8, "MIXED_PRECISION": False, "LEARNING_RATE": 1e-3,
+       "SEED": 7}
+
+
+def _trained(cfg, epochs=5):
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 32, 32, 1)).astype(np.float32)
+    y = (rng.random((8, 32, 32, 2)) > 0.95).astype(np.float32)
+    trainer = Trainer(cfg)
+    trainer.fit([(x, y)], epochs=epochs)
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    return trainer, variables, x
+
+
+def test_int8_twin_tracks_float_model():
+    trainer, variables, x = _trained(CFG)
+    live = np.asarray(trainer.predict(x))
+
+    qcfg, qvars = quantize_model(CFG, variables, [x])
+    assert qcfg["QUANT_INT8"] is True
+    q = np.asarray(jax.device_get(
+        get_model(qcfg).apply(qvars, x, train=False)))
+
+    diff = np.abs(q - live)
+    assert diff.max() < 0.05, f"max sigmoid deviation {diff.max()}"
+    assert diff.mean() < 0.01
+
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(qvars["params"])
+    kq = {k: v for k, v in flat.items() if k[-1] == "kernel_q"}
+    # depth-2 UNet: 2 convs per down-block x2 + 2 bottleneck + 2 per
+    # up-block x2 = 10 quantized convs
+    assert len(kq) == 10
+    assert all(v.dtype == np.int8 for v in kq.values())
+    # per-output-channel weight scales, per-tensor activation scale
+    assert all(flat[k[:-1] + ("w_scale",)].shape == (v.shape[-1],)
+               for k, v in kq.items())
+    assert all(flat[k[:-1] + ("act_scale",)].shape == () for k in kq)
+    # the head conv stays float
+    assert flat[("head", "kernel")].dtype == np.float32
+
+
+def test_int8_twin_ws_model():
+    """WS kernels quantize from their EFFECTIVE (standardized+gained) kernel;
+    the twin then needs no standardization pass at serve time."""
+    cfg = dict(CFG, WEIGHT_STANDARDISATION=True, BATCH_NORMALISATION=False)
+    trainer, variables, x = _trained(cfg)
+    live = np.asarray(trainer.predict(x))
+    qcfg, qvars = quantize_model(cfg, variables, [x])
+    q = np.asarray(jax.device_get(
+        get_model(qcfg).apply(qvars, x, train=False)))
+    diff = np.abs(q - live)
+    # no BatchNorm re-centering between blocks -> quantization error
+    # compounds more than the BN model's; still sub-0.2 on sigmoid outputs
+    assert diff.max() < 0.2, f"max sigmoid deviation {diff.max()}"
+    assert diff.mean() < 0.03
+
+
+def test_int8_twin_multihead():
+    cfg = dict(CFG, HEADS=[["rvip", 2, "sigmoid"], ["sep", 4, "softmax"]])
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 32, 32, 1)).astype(np.float32)
+    y = np.concatenate(
+        [(rng.random((8, 32, 32, 2)) > 0.95).astype(np.float32),
+         np.eye(4, dtype=np.float32)[rng.integers(0, 4, (8, 32, 32))]],
+        axis=-1)
+    trainer = Trainer(cfg)
+    trainer.fit([(x, y)], epochs=3)
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    live = jax.device_get(trainer.predict(x))
+    qcfg, qvars = quantize_model(cfg, variables, [x])
+    q = jax.device_get(get_model(qcfg).apply(qvars, x, train=False))
+    assert set(q) == set(live) == {"rvip", "sep"}
+    for head in live:
+        diff = np.abs(np.asarray(q[head]) - np.asarray(live[head]))
+        assert diff.max() < 0.05, f"{head}: {diff.max()}"
+
+
+def test_int8_weights_roundtrip_npz_and_export(tmp_path):
+    """int8 params survive the npz weights format unchanged, and the
+    jax.export artifact of the twin reproduces the live twin exactly."""
+    from cmrtpu.predict.export import (export_model, load_exported,
+                                       load_exported_weights)
+
+    _, variables, x = _trained(CFG)
+    qcfg, qvars = quantize_model(CFG, variables, [x])
+
+    model_dir = str(tmp_path / "model")
+    ckpt.save_weights(model_dir, qvars["params"], qvars["batch_stats"])
+    params, batch_stats = ckpt.load_weights(model_dir)
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(params)
+    assert all(v.dtype == np.int8 for k, v in flat.items()
+               if k[-1] == "kernel_q")
+
+    live = np.asarray(jax.device_get(get_model(qcfg).apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False)))
+
+    out = str(tmp_path / "exported")
+    export_model(qcfg, model_dir, out, batch=8)
+    fn, meta = load_exported(out)
+    assert meta["config"]["QUANT_INT8"] is True
+    eparams, estats = load_exported_weights(out)
+    served = np.asarray(fn({"params": eparams, "batch_stats": estats}, x))
+    np.testing.assert_allclose(served, live, atol=1e-5)
+
+
+def test_calibrate_reduces_max_across_batches():
+    trainer, variables, x = _trained(CFG, epochs=1)
+    model = get_model(trainer.config)
+    small = calibrate(model, variables, [0.1 * x])
+    both = calibrate(model, variables, [0.1 * x, x])
+    assert set(small) == set(both)
+    # the first block's amax is the raw input's max-abs: scaling the input
+    # up must never DECREASE any calibrated maximum
+    assert all(both[k] >= small[k] - 1e-6 for k in both)
+    assert any(both[k] > small[k] + 1e-6 for k in both)
+    with pytest.raises(ValueError):
+        calibrate(model, variables, [])
+
+
+def test_quantize_variables_leaves_non_conv_entries(tmp_path):
+    trainer, variables, x = _trained(CFG, epochs=2)
+    model = get_model(trainer.config)
+    amax = calibrate(model, variables, [x])
+    qvars = quantize_variables(model, variables, amax)
+    # BatchNorm affines and statistics pass through bit-identically
+    from flax import traverse_util
+    f = traverse_util.flatten_dict(variables["params"])
+    qf = traverse_util.flatten_dict(qvars["params"])
+    bn_keys = [k for k in f if "BatchNorm_0" in k]
+    assert bn_keys and all(
+        np.array_equal(np.asarray(f[k]), np.asarray(qf[k])) for k in bn_keys)
+    s = traverse_util.flatten_dict(jax.device_get(variables["batch_stats"]))
+    qs = traverse_util.flatten_dict(qvars["batch_stats"])
+    assert all(np.array_equal(np.asarray(s[k]), np.asarray(qs[k])) for k in s)
+
+
+def test_int8_artifact_serves_end_to_end(tmp_path):
+    """Deployment chain: trained fold -> calibrate on real studies ->
+    int8 jax.export artifact -> ServingEngine serves a study in its
+    original geometry (the artifact's embedded QUANT_INT8 config is all
+    the engine needs)."""
+    from cmrtpu.io import MedicalImage, read_image, write_image
+    from cmrtpu.predict.export import export_model
+    from cmrtpu.predict.serving import ServingEngine
+
+    cfg = dict(CFG, SPACING=[1.0, 1.0], RESAMPLE=True, SCALER="MinMax",
+               MASK_VALUES=[1, 2], BATCHSIZE=4)
+    trainer, variables, _ = _trained(cfg, epochs=3)
+    model_dir = str(tmp_path / "model")
+    ckpt.save_weights(model_dir, variables["params"],
+                      variables["batch_stats"])
+
+    rng = np.random.default_rng(5)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    study = str(in_dir / "s.nrrd")
+    write_image(MedicalImage(
+        array=rng.normal(size=(4, 24, 28)).astype(np.float32),
+        spacing=(1.5, 1.5, 8.0), origin=(3.0, -2.0, 10.0)), study)
+
+    artifact = str(tmp_path / "artifact")
+    export_model(cfg, model_dir, artifact, batch=4,
+                 int8_calib=calibration_batches_from_studies(
+                     [study], cfg, batch=4))
+
+    engine = ServingEngine(artifact_dir=artifact)
+    assert engine.config["QUANT_INT8"] is True
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    record = engine.process_study(study, str(out_dir))
+    out = read_image(str(out_dir / "s_msk_pred.nrrd"))
+    assert out.array.shape == (4, 24, 28)
+    assert out.spacing == pytest.approx((1.5, 1.5, 8.0))
+    assert set(np.unique(out.array)) <= {0, 1, 2}
+    assert record["slices"] == 4
+
+
+def test_calibration_batches_from_studies(tmp_path):
+    from cmrtpu.io import MedicalImage, write_image
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(2):
+        vol = rng.random((3, 40, 40)).astype(np.float32) * 500
+        img = MedicalImage(array=vol, spacing=(1.2, 1.2, 8.0),
+                           origin=(0.0, 0.0, 0.0))
+        p = str(tmp_path / f"study{i}.nrrd")
+        write_image(img, p)
+        paths.append(p)
+    cfg = dict(CFG, BATCHSIZE=4)
+    batches = list(calibration_batches_from_studies(paths, cfg, batch=4))
+    # 6 slices in 4-row batches -> 2 batches, the last padded by repetition
+    assert len(batches) == 2
+    assert all(b.shape == (4, 32, 32, 1) and b.dtype == np.float32
+               for b in batches)
