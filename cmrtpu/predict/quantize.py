@@ -161,6 +161,48 @@ def quantize_model(config: Dict, variables,
     return qcfg, qvars
 
 
+def quantize_fold(fold_dir: str, calib_paths, out_dir: str = None,
+                  batch: int = 8, max_slices: int = 256) -> str:
+    """Materialize a trained fold's int8 twin as a sibling fold directory.
+
+    Reads ``<fold_dir>/config/config.json`` + ``<fold_dir>/model``, calibrates
+    on ``calib_paths`` (study files, see ``calibration_batches_from_studies``),
+    and writes ``<out_dir>/config/config.json`` (QUANT_INT8=True, paths
+    re-rooted) + ``<out_dir>/model/model.npz`` (int8). The twin then rides
+    every fold-shaped surface unchanged — ``pred_fold``, ``evaluate_cv``,
+    ``cmrtpu.cli.predict``, and (with every fold quantized) the vmapped
+    ``EnsemblePredictor`` — which is how int8 quality is A/B-able against
+    the float fold on identical data.
+
+    The default ``out_dir`` mirrors the fold into a SIBLING experiment root
+    (``<exp_root>_int8/<fold>``), never next to the float fold: the
+    experiment-layout globs (``f[0-9]*``) must keep seeing one homogeneous
+    fold family per root."""
+    import json
+    import os
+
+    from cmrtpu.train.checkpoint import load_weights, save_weights
+    from cmrtpu.utils.io_utils import ensure_dir
+
+    cfg = C.load_config(os.path.join(fold_dir, "config", "config.json"))
+    params, batch_stats = load_weights(os.path.join(fold_dir, "model"))
+    batches = calibration_batches_from_studies(
+        calib_paths, cfg, batch=batch, max_slices=max_slices)
+    qcfg, qvars = quantize_model(
+        cfg, {"params": params, "batch_stats": batch_stats}, batches)
+    if out_dir is None:
+        fold = os.path.abspath(fold_dir.rstrip("/"))
+        out_dir = os.path.join(os.path.dirname(fold) + "_int8",
+                               os.path.basename(fold))
+    qcfg["EXP_PATH"] = out_dir
+    qcfg["MODEL_PATH"] = os.path.join(out_dir, "model")
+    ensure_dir(os.path.join(out_dir, "config"))
+    with open(os.path.join(out_dir, "config", "config.json"), "w") as fh:
+        json.dump(qcfg, fh, indent=2, default=str)
+    save_weights(qcfg["MODEL_PATH"], qvars["params"], qvars["batch_stats"])
+    return out_dir
+
+
 def calibration_batches_from_studies(paths, cfg: Dict, batch: int = 8,
                                      max_slices: int = 256):
     """Calibration inputs from raw study files: each study goes through the

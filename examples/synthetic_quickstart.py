@@ -78,6 +78,11 @@ def main() -> None:
                         help="normalization-free scaled-WS convs instead of "
                              "BatchNorm (WEIGHT_STANDARDISATION; +16%% step "
                              "throughput — quality A/B knob)")
+    parser.add_argument("--int8", action="store_true",
+                        help="after the float eval, quantize the trained "
+                             "fold to its int8 serving twin "
+                             "(cmrtpu/predict/quantize.py), re-predict and "
+                             "re-evaluate — prints the quality A/B")
     args = parser.parse_args()
 
     generate_dataset(args.root, n_patients=args.patients, hw=args.dim)
@@ -115,6 +120,28 @@ def main() -> None:
               "the 0.5 detection\n  threshold (volume CoM needs BOTH labels "
               "present) — train more epochs.")
     print(f"df_eval.csv: {os.path.join(exp_path, 'df_eval.csv')}")
+
+    if args.int8:
+        from cmrtpu.predict.predictor import pred_fold
+        from cmrtpu.predict.quantize import quantize_fold
+        from cmrtpu import config as C
+
+        calib = sorted(glob.glob(os.path.join(args.root, "2D", "*_img.nrrd")))
+        fold_dir = sorted(glob.glob(os.path.join(exp_path, "f[0-9]")))[0]
+        # the twin lands in a sibling EXPERIMENT root so evaluate_cv's
+        # exp-layout globs see exactly one fold family per root
+        q_root = exp_path.rstrip("/") + "_int8"
+        q_fold = quantize_fold(fold_dir, calib,
+                               out_dir=os.path.join(q_root, "f0"))
+        pred_fold(C.load_config(os.path.join(q_fold, "config",
+                                             "config.json")))
+        df_q = evaluate_cv(q_root, args.root)
+        print("\n=== float vs int8 twin (mm / rate) ===")
+        for c in cols:
+            if c in df and c in df_q:
+                print(f"  {c:28s} float {df[c].mean():7.3f}   "
+                      f"int8 {df_q[c].mean():7.3f}")
+        print(f"int8 df_eval.csv: {os.path.join(q_root, 'df_eval.csv')}")
 
 
 if __name__ == "__main__":

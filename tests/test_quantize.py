@@ -7,6 +7,8 @@ contract of the TPU-native rebuild: calibrate -> rewrite params -> QUANT_INT8
 twin, riding the unchanged npz/export/serving surfaces.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -199,6 +201,58 @@ def test_int8_artifact_serves_end_to_end(tmp_path):
     assert out.spacing == pytest.approx((1.5, 1.5, 8.0))
     assert set(np.unique(out.array)) <= {0, 1, 2}
     assert record["slices"] == 4
+
+
+def test_quantize_fold_sibling_root_and_int8_ensemble(tmp_path):
+    """quantize_fold mirrors folds into a SIBLING experiment root (the
+    f[0-9]* layout globs must never mix int8 and float members), and a
+    fully-quantized root serves as one vmapped int8 ensemble."""
+    import json
+
+    from cmrtpu.io import MedicalImage, write_image
+    from cmrtpu.models.hybrids import get_model
+    from cmrtpu.predict.ensemble import EnsemblePredictor
+    from cmrtpu.predict.quantize import quantize_fold
+
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 32, 32, 1)).astype(np.float32)
+    y = (rng.random((8, 32, 32, 2)) > 0.95).astype(np.float32)
+    exp_root = tmp_path / "exp" / "run" / "ts"
+    cfg = dict(CFG, SPACING=[1.0, 1.0], RESAMPLE=True, SCALER="MinMax")
+    for k in range(2):
+        trainer = Trainer(dict(cfg, SEED=k))
+        trainer.fit([(x, y)], epochs=2)
+        fold = exp_root / f"f{k}"
+        (fold / "config").mkdir(parents=True)
+        with open(fold / "config" / "config.json", "w") as fh:
+            json.dump(dict(cfg, FOLD=k), fh)
+        ckpt.save_weights(str(fold / "model"), trainer.state.params,
+                          trainer.state.batch_stats)
+
+    study = str(tmp_path / "calib.nrrd")
+    write_image(MedicalImage(
+        array=rng.normal(size=(3, 24, 28)).astype(np.float32),
+        spacing=(1.5, 1.5, 8.0), origin=(0.0, 0.0, 0.0)), study)
+
+    twins = [quantize_fold(str(exp_root / f"f{k}"), [study])
+             for k in range(2)]
+    q_root = str(tmp_path / "exp" / "run" / "ts_int8")
+    assert twins == [os.path.join(q_root, "f0"), os.path.join(q_root, "f1")]
+
+    ens = EnsemblePredictor.from_exp_root(q_root)
+    assert ens.n_members == 2
+    assert ens.config["QUANT_INT8"] is True
+    probs = ens.predict(x)
+    # the vmapped mean equals the mean of the individual int8 twins
+    singles = []
+    for twin in twins:
+        with open(os.path.join(twin, "config", "config.json")) as fh:
+            qcfg = json.load(fh)
+        params, stats = ckpt.load_weights(os.path.join(twin, "model"))
+        singles.append(np.asarray(jax.device_get(get_model(qcfg).apply(
+            {"params": params, "batch_stats": stats}, x, train=False))))
+    # vmapped conv batching reorders the f32 epilogue accumulation slightly
+    np.testing.assert_allclose(probs, np.mean(singles, axis=0), atol=5e-3)
 
 
 def test_calibration_batches_from_studies(tmp_path):
