@@ -2,15 +2,25 @@
 
 This is the fake-backend capability the reference lacked (SURVEY.md §4):
 multi-chip sharding logic is exercised on a host-platform device mesh.
+
+``CMRTPU_TEST_BACKEND=tpu`` skips the CPU pin so hardware-gated tests (the
+Pallas-kernel parity checks in tests/test_pallas.py) run on the real chip:
+
+    CMRTPU_TEST_BACKEND=tpu pytest tests/test_pallas.py
+
+Only single-chip-safe files should be run this way — the suite's mesh tests
+assume the 8-device virtual CPU platform.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_ON_HW = os.environ.get("CMRTPU_TEST_BACKEND", "").lower() in ("tpu", "axon")
+if not _ON_HW:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _ON_HW and "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_backend_optimization_level" not in flags:
+if not _ON_HW and "xla_backend_optimization_level" not in flags:
     # tests are compile-bound, not run-bound: opt level 0 compiles the big
     # fused train steps ~3x faster with identical numerics assertions
     flags = (flags + " --xla_backend_optimization_level=0").strip()
@@ -20,7 +30,8 @@ import jax
 
 # the container's sitecustomize force-registers the TPU plugin and overrides
 # JAX_PLATFORMS; pin the platform again through the config API
-jax.config.update("jax_platforms", "cpu")
+if not _ON_HW:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
