@@ -153,6 +153,9 @@ def quantize_model(config: Dict, variables,
     from cmrtpu.models.hybrids import get_model
 
     cfg = C.normalise_config(config)
+    if C.get(cfg, "QUANT_INT8", False):
+        raise ValueError("config is already the int8 twin (QUANT_INT8=True) "
+                         "— quantize the FLOAT fold/checkpoint instead")
     model = get_model(cfg)
     amax = calibrate(model, variables, calib_batches)
     qvars = quantize_variables(model, variables, amax)

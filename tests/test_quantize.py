@@ -131,6 +131,13 @@ def test_int8_weights_roundtrip_npz_and_export(tmp_path):
     np.testing.assert_allclose(served, live, atol=1e-5)
 
 
+def test_double_quantize_refused():
+    _, variables, x = _trained(CFG, epochs=1)
+    qcfg, qvars = quantize_model(CFG, variables, [x])
+    with pytest.raises(ValueError, match="already the int8 twin"):
+        quantize_model(qcfg, qvars, [x])
+
+
 def test_calibrate_reduces_max_across_batches():
     trainer, variables, x = _trained(CFG, epochs=1)
     model = get_model(trainer.config)
