@@ -131,6 +131,30 @@ def test_int8_weights_roundtrip_npz_and_export(tmp_path):
     np.testing.assert_allclose(served, live, atol=1e-5)
 
 
+def test_int8_twin_3d_model():
+    """len(DIM)=3 selects the 3D U-Net; QuantConv's rank-3 (DHW) path must
+    quantize and track the float model like the 2D one."""
+    cfg = dict(CFG, DIM=[8, 32, 32], M_POOL=[2, 2, 2], F_SIZE=[3, 3, 3],
+               BATCHSIZE=2, DEPTH=2)
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 8, 32, 32, 1)).astype(np.float32)
+    y = (rng.random((2, 8, 32, 32, 2)) > 0.95).astype(np.float32)
+    trainer = Trainer(cfg)
+    trainer.fit([(x, y)], epochs=2)
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    live = np.asarray(trainer.predict(x))
+    qcfg, qvars = quantize_model(cfg, variables, [x])
+    q = np.asarray(jax.device_get(
+        get_model(qcfg).apply(qvars, x, train=False)))
+    assert np.abs(q - live).max() < 0.05
+
+    from flax import traverse_util
+    kq = [v for k, v in traverse_util.flatten_dict(qvars["params"]).items()
+          if k[-1] == "kernel_q"]
+    assert kq and all(v.ndim == 5 and v.dtype == np.int8 for v in kq)
+
+
 def test_double_quantize_refused():
     _, variables, x = _trained(CFG, epochs=1)
     qcfg, qvars = quantize_model(CFG, variables, [x])

@@ -27,6 +27,9 @@ def main():
                     help="bf16 peak, TFLOP/s per chip (v5e default)")
     ap.add_argument("--peak-gbps", type=float, default=819.0,
                     help="HBM bandwidth peak, GB/s per chip (v5e default)")
+    ap.add_argument("--ws", action="store_true",
+                    help="roofline the WEIGHT_STANDARDISATION arm "
+                         "(normalization-free scaled-WS convs)")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +46,9 @@ def main():
               "USE_UPSAMPLE": False, "MASK_VALUES": [1, 2], "SCALER": "MinMax",
               "AUGMENT": True, "AUGMENT_PROB": 0.8, "RANDOMROTATE": True,
               "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True,
-              "LEARNING_RATE": 1e-4, "SEED": 0}
+              "LEARNING_RATE": 1e-4, "SEED": 0,
+              "WEIGHT_STANDARDISATION": args.ws,
+              "BATCH_NORMALISATION": not args.ws}
     mesh = create_mesh()
     trainer = Trainer(config, mesh=mesh)
 
