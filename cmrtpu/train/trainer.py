@@ -29,6 +29,12 @@ class Trainer:
                  metrics: Optional[Dict[str, Callable]] = None,
                  supervision: bool = False):
         self.config = C.normalise_config(config)
+        if C.get(self.config, "QUANT_INT8", False):
+            raise ValueError(
+                "QUANT_INT8 configs are serving-only twins "
+                "(cmrtpu/predict/quantize.py): round/clip quantization has "
+                "zero gradient, so training one would silently not learn — "
+                "train the float config and quantize the result")
         # persistent XLA compilation cache: every fold of a CV run (and every
         # CLI invocation) compiles the same programs from scratch otherwise
         from cmrtpu.utils.xla_cache import ensure_compilation_cache

@@ -162,6 +162,15 @@ def test_double_quantize_refused():
         quantize_model(qcfg, qvars, [x])
 
 
+def test_training_the_int8_twin_refused():
+    """round/clip quantization has zero gradient — a Trainer on the twin
+    config would silently not learn, so it must refuse outright."""
+    _, variables, x = _trained(CFG, epochs=1)
+    qcfg, _ = quantize_model(CFG, variables, [x])
+    with pytest.raises(ValueError, match="serving-only"):
+        Trainer(qcfg)
+
+
 def test_calibrate_reduces_max_across_batches():
     trainer, variables, x = _trained(CFG, epochs=1)
     model = get_model(trainer.config)
