@@ -49,12 +49,16 @@ def main():
     if args.int8:
         if not args.calib:
             parser.error("--int8 needs --calib <dir of studies>")
-        import glob
-        paths = sorted(p for pat in ("*.nii.gz", "*.nii", "*.nrrd")
-                       for p in glob.glob(os.path.join(args.calib, pat))
-                       if not p.endswith("_pred.nrrd"))
+        # same study-discovery policy as the serving engine, plus the
+        # label-family exclusion: activation scales calibrated on binary
+        # masks (the _msk/_seg/_rvip siblings in dataset and fold layouts)
+        # would skew the quantization range for real images
+        from cmrtpu.predict.serving import (DEFAULT_PATTERNS, LABEL_SUFFIXES,
+                                            _worklist)
+        paths = _worklist(args.calib, DEFAULT_PATTERNS,
+                          exclude=LABEL_SUFFIXES)
         if not paths:
-            parser.error(f"no studies found under {args.calib}")
+            parser.error(f"no image studies found under {args.calib}")
         from cmrtpu.predict.quantize import calibration_batches_from_studies
         int8_calib = calibration_batches_from_studies(
             paths, config, batch=args.batch, max_slices=args.calib_slices)

@@ -212,7 +212,21 @@ def calibration_batches_from_studies(paths, cfg: Dict, batch: int = 8,
     SAME deterministic preprocessing the serving engine applies
     (``preprocess_model_input``), then slices are batched. Yields
     [batch, *DIM, C] float32 arrays (last batch padded by repetition so the
-    max-abs statistics see only real slices)."""
+    max-abs statistics see only real slices).
+
+    Slice-based (len(DIM)==2) configs only — the same contract as the
+    serving engine this calibrates for. Validated eagerly (at call time,
+    not first iteration) so CLI entry points fail before any model work."""
+    dim = C.get(C.normalise_config(cfg), "DIM")
+    if len(dim) != 2:
+        raise ValueError(
+            f"study-based calibration is slice-based and needs a 2D config; "
+            f"got DIM={list(dim)}. Calibrate 3D/cine models by passing "
+            f"in-memory [batch, *DIM, C] arrays to quantize_model directly.")
+    return _calibration_batches_2d(paths, cfg, batch, max_slices)
+
+
+def _calibration_batches_2d(paths, cfg: Dict, batch: int, max_slices: int):
     from cmrtpu.io import read_image
     from cmrtpu.predict.predictor import preprocess_model_input
 

@@ -229,14 +229,19 @@ class ServingEngine:
 
 
 DEFAULT_PATTERNS = ("*.nii.gz", "*.nii", "*.nrrd")
+# label-valued files that must never be treated as image studies: our own
+# serving outputs, pred_fold's mask families, and dataset/RVIP ground truth
+LABEL_SUFFIXES = ("_pred.nrrd", "_msk.nrrd", "_seg.nrrd", "_rvip.nrrd")
 
 
-def _worklist(in_dir: str, patterns: Sequence[str]) -> List[str]:
+def _worklist(in_dir: str, patterns: Sequence[str],
+              exclude: Sequence[str] = ("_pred.nrrd",)) -> List[str]:
     files: List[str] = []
     for pat in patterns:
         files.extend(glob.glob(os.path.join(in_dir, pat)))
-    # never re-ingest our own outputs when in_dir == out_dir
-    return sorted(f for f in set(files) if not f.endswith("_pred.nrrd"))
+    # default: never re-ingest our own outputs when in_dir == out_dir
+    return sorted(f for f in set(files)
+                  if not f.endswith(tuple(exclude)))
 
 
 def _claim(marker: str, stale_claim_s: float) -> Optional[int]:

@@ -313,3 +313,27 @@ def test_calibration_batches_from_studies(tmp_path):
     assert len(batches) == 2
     assert all(b.shape == (4, 32, 32, 1) and b.dtype == np.float32
                for b in batches)
+
+
+def test_calibration_rejects_3d_configs_eagerly():
+    # study-based calibration is slice-based (the serving-engine contract);
+    # a 3D/cine config must fail AT CALL TIME with a clear message, not with
+    # a pad/crop rank assertion at first iteration
+    cfg = dict(CFG, DIM=[4, 32, 32], F_SIZE=[3, 3, 3], M_POOL=[1, 2, 2])
+    with pytest.raises(ValueError, match="2D config"):
+        calibration_batches_from_studies(["unused.nrrd"], cfg)
+
+
+def test_calib_worklist_excludes_label_families(tmp_path):
+    # the export CLI's --calib discovery must never feed ground-truth /
+    # prediction masks into activation calibration
+    from cmrtpu.predict.serving import (DEFAULT_PATTERNS, LABEL_SUFFIXES,
+                                        _worklist)
+    names = ["p1__t0_z0_img.nrrd", "p1__t0_z0_msk.nrrd", "p1_ED_pred.nrrd",
+             "p1_ED_seg.nrrd", "p1_rvip.nrrd", "p1_ED_cmr.nrrd",
+             "study.nii.gz"]
+    for n in names:
+        (tmp_path / n).write_bytes(b"x")
+    got = _worklist(str(tmp_path), DEFAULT_PATTERNS, exclude=LABEL_SUFFIXES)
+    assert sorted(os.path.basename(p) for p in got) == [
+        "p1_ED_cmr.nrrd", "p1__t0_z0_img.nrrd", "study.nii.gz"]
