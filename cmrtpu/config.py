@@ -97,6 +97,8 @@ DEFAULTS: Dict[str, Any] = {
     # inference / artifacts (ref: src/models/predict_model.py:159,
     # src/utils/KerasCallbacks.py:20-110)
     "CC_FILTER": False,
+    "TTA": False,                # rot90-orbit test-time augmentation at
+                                 # inference (cmrtpu/predict/tta.py)
     "SAVE_LEARNING_PROGRESS_AS_TF": False,
     "SAVE_LEARNING_PROGRESS_AS_PNG": False,
     "SAVE_LEARNING_PROGRESS_FREQUENCY": 2,

@@ -129,6 +129,13 @@ def export_model(config: Dict, model_path: str, out_dir: str,
     def forward(variables, x):
         return model.apply(variables, x, train=False)
 
+    if C.get(cfg, "TTA", False):
+        # bake the rot90-orbit TTA average into the artifact so a deployed
+        # serving process inherits the fold's TTA decision with no knob
+        from cmrtpu.predict.tta import tta_rot90_forward
+        forward = tta_rot90_forward(
+            lambda v, x: model.apply(v, x, train=False), dim)
+
     variables = {"params": params, "batch_stats": batch_stats}
     args = (jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),

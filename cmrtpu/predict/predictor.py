@@ -51,9 +51,15 @@ class Predictor:
         model_path = model_path or C.get(self.config, "MODEL_PATH")
         self.params, self.batch_stats = load_weights_for_model(
             model_path, self.config, self.model)
-        self._forward = jax.jit(lambda x: self.model.apply(
-            {"params": self.params, "batch_stats": self.batch_stats},
-            x, train=False))
+        apply_fn = lambda v, x: self.model.apply(v, x, train=False)
+        if C.get(self.config, "TTA", False):
+            # rot90-orbit test-time augmentation (cmrtpu/predict/tta.py):
+            # averages probabilities over the in-distribution rotation set
+            from cmrtpu.predict.tta import tta_rot90_forward
+            apply_fn = tta_rot90_forward(apply_fn,
+                                         tuple(C.get(self.config, "DIM")))
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        self._forward = jax.jit(lambda x: apply_fn(variables, x))
 
     def predict(self, x: np.ndarray):
         """Batched forward; multi-head models return a dict of head outputs

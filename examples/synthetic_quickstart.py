@@ -78,6 +78,11 @@ def main() -> None:
                         help="normalization-free scaled-WS convs instead of "
                              "BatchNorm (WEIGHT_STANDARDISATION; +16%% step "
                              "throughput — quality A/B knob)")
+    parser.add_argument("--tta", action="store_true",
+                        help="after the float evaluation, re-predict the "
+                             "same checkpoint with rot90-orbit test-time "
+                             "augmentation (TTA: true) into a sibling root "
+                             "and print the quality A/B")
     parser.add_argument("--int8", action="store_true",
                         help="after the float eval, quantize the trained "
                              "fold to its int8 serving twin "
@@ -120,6 +125,34 @@ def main() -> None:
               "the 0.5 detection\n  threshold (volume CoM needs BOTH labels "
               "present) — train more epochs.")
     print(f"df_eval.csv: {os.path.join(exp_path, 'df_eval.csv')}")
+
+    if args.tta:
+        import json
+
+        from cmrtpu.predict.predictor import pred_fold
+        from cmrtpu.utils.io_utils import ensure_dir
+        from cmrtpu import config as C
+
+        fold_dir = sorted(glob.glob(os.path.join(exp_path, "f[0-9]")))[0]
+        # same checkpoint, TTA predictor, sibling root (one fold family
+        # per experiment root — the evaluate_cv layout contract)
+        t_root = exp_path.rstrip("/") + "_tta"
+        t_fold = os.path.join(t_root, "f0")
+        cfg_t = C.load_config(os.path.join(fold_dir, "config", "config.json"))
+        cfg_t["TTA"] = True
+        cfg_t["EXP_PATH"] = t_fold
+        cfg_t["MODEL_PATH"] = os.path.join(fold_dir, "model")
+        ensure_dir(os.path.join(t_fold, "config"))
+        with open(os.path.join(t_fold, "config", "config.json"), "w") as fh:
+            json.dump(cfg_t, fh, indent=2, default=str)
+        pred_fold(cfg_t)
+        df_t = evaluate_cv(t_root, args.root)
+        print("\n=== single-forward vs rot90-TTA (mm / rate) ===")
+        for c in cols:
+            if c in df and c in df_t:
+                print(f"  {c:28s} plain {df[c].mean():7.3f}   "
+                      f"tta {df_t[c].mean():7.3f}")
+        print(f"tta df_eval.csv: {os.path.join(t_root, 'df_eval.csv')}")
 
     if args.int8:
         from cmrtpu.predict.predictor import pred_fold
