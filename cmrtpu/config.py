@@ -99,6 +99,9 @@ DEFAULTS: Dict[str, Any] = {
     "CC_FILTER": False,
     "TTA": False,                # rot90-orbit test-time augmentation at
                                  # inference (cmrtpu/predict/tta.py)
+    "EMA": False,                # exponential-moving-average shadow of the
+                                 # params (True -> decay 0.999, or a float);
+                                 # eval/checkpoints/predict use the shadow
     "SAVE_LEARNING_PROGRESS_AS_TF": False,
     "SAVE_LEARNING_PROGRESS_AS_PNG": False,
     "SAVE_LEARNING_PROGRESS_FREQUENCY": 2,

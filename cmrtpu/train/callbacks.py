@@ -72,7 +72,12 @@ class ModelCheckpoint(Callback):
         self._warned_missing = False
 
     def _write(self, state):
-        ckpt.save_weights(self.model_path, state.params, state.batch_stats)
+        # weights-only npz holds the SERVING params (the EMA shadow when EMA
+        # is on) — downstream consumers (pred_fold, export, quantize) read
+        # this file; the full-state checkpoint keeps live+EMA for resume
+        from cmrtpu.train import steps as S
+        ckpt.save_weights(self.model_path, S.inference_params(state),
+                          state.batch_stats)
         if self.save_full_state:
             try:
                 ckpt.save_train_state(self.model_path, state)
@@ -87,7 +92,8 @@ class ModelCheckpoint(Callback):
             # weights-only mode: don't snapshot the optimizer state (~2x the
             # params for adam) that _write would never read
             job = ckpt.save_weights
-            args = (self.model_path, ckpt.device_snapshot(trainer.state.params),
+            args = (self.model_path,
+                    ckpt.device_snapshot(trainer.serving_params),
                     ckpt.device_snapshot(trainer.state.batch_stats))
         if self._writer is not None:
             self._writer.submit(job, *args)
@@ -372,10 +378,10 @@ class WeightsSaver(Callback):
             if self.keep_per_epoch:
                 self._writer.flush()  # don't drop distinct per-epoch dumps
             self._writer.submit(ckpt.save_weights, path,
-                                ckpt.device_snapshot(trainer.state.params),
+                                ckpt.device_snapshot(trainer.serving_params),
                                 ckpt.device_snapshot(trainer.state.batch_stats))
         else:
-            ckpt.save_weights(path, trainer.state.params,
+            ckpt.save_weights(path, trainer.serving_params,
                               trainer.state.batch_stats)
         logging.info("Epoch %d: weights saved to %s", epoch + 1, path)
 

@@ -369,6 +369,7 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
     gather runs shard-locally with no collective."""
     metrics = metrics or {}
     cfg = dict(config)
+    ema_decay = S.ema_decay_from_config(cfg)
     # hist-matching rides the fused step too (Var.1 of the published
     # experiments, ref: src/data/Generators.py:350-358): ~10% of examples are
     # quantile-matched against a random slice drawn from the resident cache,
@@ -455,7 +456,9 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=mutated["batch_stats"],
-                                  opt_state=new_opt_state)
+                                  opt_state=new_opt_state,
+                                  ema_params=S.ema_update(state, new_params,
+                                                          ema_decay))
         logs = {"loss": loss}
         for name, fn in metrics.items():
             logs[name] = fn(y, preds)
@@ -495,7 +498,8 @@ def make_cached_eval_step(model, loss_fn: Callable,
             imgs = jnp.take(data_x, idxs, axis=0).astype(jnp.float32)
             msks = jnp.take(data_y, idxs, axis=0).astype(jnp.float32)
         x, y = finalize_batch(imgs, msks, cfg, masks=masks)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = {"params": S.inference_params(state),
+                     "batch_stats": state.batch_stats}
         preds = model.apply(variables, x, train=False)
         logs = {"loss": loss_fn(y, preds)}
         for name, fn in metrics.items():

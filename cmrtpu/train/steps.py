@@ -29,21 +29,65 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # EMA shadow of params (config key EMA) — None when EMA is off, so the
+    # pytree structure (and every existing checkpoint) is unchanged unless
+    # the feature is enabled. BN batch_stats are already running averages
+    # and are not shadowed.
+    ema_params: Any = None
 
 
-def create_train_state(model, variables, optimizer) -> TrainState:
+def create_train_state(model, variables, optimizer,
+                       ema: bool = False) -> TrainState:
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=optimizer.init(params),
+        # independent buffers: the shadow must not alias params or the
+        # step's donate_argnums would donate the same buffer twice
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
     )
+
+
+def ema_decay_from_config(cfg) -> Optional[float]:
+    """Config key ``EMA``: False/absent -> off; True -> decay 0.999; a
+    number -> that decay."""
+    from cmrtpu import config as C
+    ema = C.get(cfg, "EMA", False)
+    if not ema:
+        return None
+    return 0.999 if ema is True else float(ema)
+
+
+def ema_update(state: TrainState, new_params, decay: Optional[float]):
+    """One EMA step: shadow <- d*shadow + (1-d)*params, with the TF-style
+    decay warmup d = min(decay, (1+t)/(10+t)). Without the warmup a 0.999
+    decay needs ~1000 steps before the shadow stops being mostly the INIT
+    weights — short schedules (few steps/epoch) would checkpoint garbage
+    (measured: 24 mm vs 0.5 mm localisation on the 150-epoch quickstart).
+    No-op (returns None) when the feature is off."""
+    if decay is None:
+        return None
+    t = state.step.astype(jnp.float32) + 1.0
+    d = jnp.minimum(jnp.float32(decay), (1.0 + t) / (10.0 + t))
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+        state.ema_params, new_params)
+
+
+def inference_params(state: TrainState):
+    """Params every inference-time consumer (eval epochs, checkpoints,
+    trainer.predict) should read: the EMA shadow when EMA is on, the live
+    params otherwise. The switch is structural (None vs pytree), so inside
+    jit it resolves at trace time with zero runtime cost."""
+    return state.params if state.ema_params is None else state.ema_params
 
 
 def make_train_step(model, optimizer, loss_fn: Callable,
                     metrics: Optional[Dict[str, Callable]] = None,
-                    mesh: Optional[Mesh] = None):
+                    mesh: Optional[Mesh] = None,
+                    ema_decay: Optional[float] = None):
     """Build the jitted (state, x, y, rng) -> (state, logs) train step."""
     metrics = metrics or {}
 
@@ -64,7 +108,9 @@ def make_train_step(model, optimizer, loss_fn: Callable,
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=mutated["batch_stats"],
-                                  opt_state=new_opt_state)
+                                  opt_state=new_opt_state,
+                                  ema_params=ema_update(state, new_params,
+                                                        ema_decay))
         logs = {"loss": loss}
         for name, fn in metrics.items():
             logs[name] = fn(y, preds)
@@ -87,7 +133,8 @@ def make_eval_step(model, loss_fn: Callable,
     metrics = metrics or {}
 
     def step_fn(state: TrainState, x, y):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = {"params": inference_params(state),
+                     "batch_stats": state.batch_stats}
         preds = model.apply(variables, x, train=False)
         logs = {"loss": loss_fn(y, preds)}
         for name, fn in metrics.items():

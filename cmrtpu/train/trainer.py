@@ -68,7 +68,10 @@ class Trainer:
         self.optimizer = get_optimizer(self.config)
         self.optimizer_name = str(C.get(self.config, "OPTIMIZER", "adam")).lower()
         variables = init_variables(self.model, self.config, self.rng)
-        self.state = S.create_train_state(self.model, variables, self.optimizer)
+        self.ema_decay = S.ema_decay_from_config(self.config)
+        self.state = S.create_train_state(self.model, variables,
+                                          self.optimizer,
+                                          ema=self.ema_decay is not None)
         self._build_steps()
         self.stop_training = False
         self.history: List[Dict[str, float]] = []
@@ -76,7 +79,9 @@ class Trainer:
     # -- step construction -------------------------------------------------
     def _build_steps(self):
         self.train_step = S.make_train_step(self.model, self.optimizer,
-                                            self.loss_fn, self.metrics, self.mesh)
+                                            self.loss_fn, self.metrics,
+                                            self.mesh,
+                                            ema_decay=self.ema_decay)
         self.eval_step = S.make_eval_step(self.model, self.loss_fn,
                                           self.metrics, self.mesh)
         self.predict_step = S.make_predict_step(self.model, self.mesh)
@@ -260,6 +265,12 @@ class Trainer:
             loop.run_eval_epoch if val_gen is not None else None,
             epochs, callbacks, initial_epoch)
 
+    @property
+    def serving_params(self):
+        """Params for inference-time consumers (checkpoints, predict,
+        WeightsSaver): the EMA shadow when EMA is on, live params otherwise."""
+        return S.inference_params(self.state)
+
     def predict(self, x: np.ndarray) -> np.ndarray:
         x = np.asarray(x)
         # pad to a multiple of the data-axis size so the batch shards evenly
@@ -268,7 +279,7 @@ class Trainer:
         padded = -(-n // n_shards) * n_shards
         if padded != n:
             x = np.concatenate([x, np.zeros((padded - n, *x.shape[1:]), x.dtype)])
-        out = self.predict_step(self.state.params, self.state.batch_stats, x)
+        out = self.predict_step(self.serving_params, self.state.batch_stats, x)
         # multi-head models return a dict of head outputs
         return jax.tree_util.tree_map(lambda a: np.asarray(a)[:n],
                                       jax.device_get(out))
