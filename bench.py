@@ -398,7 +398,9 @@ def main():
         """slices/sec of the normalization-free WEIGHT_STANDARDISATION
         variant (scaled-WS convs, cmrtpu/models/unet.py WSConv): drops
         BatchNorm's second pass over every conv output — the probe measured
-        BN at ~16% of the fused step."""
+        BN at ~16% of the fused step. THROUGHPUT row only: WS is
+        experimental and collapses at flagship scale (see
+        IMPLEMENTATION_STATUS.md); BN remains the quality default."""
         cfg = dict(trainer.config, WEIGHT_STANDARDISATION=True,
                    BATCH_NORMALISATION=False)
         ws_trainer = Trainer(cfg, mesh=mesh)

@@ -369,6 +369,13 @@ class UNet(nn.Module):
     supervision: bool = False
     heads: Tuple[Tuple[str, int, str], ...] = ()
     remat: bool = False
+    # sigmoid-head bias init to the foreground prior logit log(p/(1-p))
+    # (RetinaNet-style, arXiv:1708.02002 §3.3). With ~0.05% foreground the
+    # all-zero prediction is a strong basin; starting AT the prior removes
+    # the epoch-1 plunge that collapses normalization-free (WS) training —
+    # BatchNorm nets resist that basin structurally, WS nets do not
+    # (measured: 224² depth-4 WS run pinned at sigmoid≈1e-7, all-zero preds).
+    head_bias_prior: Any = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -415,16 +422,28 @@ class UNet(nn.Module):
             x = lower * x
 
         one = tuple([1] * len(self.f_size))
+        if self.head_bias_prior is None:
+            bias_init = nn.initializers.zeros
+        else:
+            p = float(self.head_bias_prior)
+            bias_init = nn.initializers.constant(
+                float(np.log(p / (1.0 - p))))
         if self.heads:
             outputs = {}
             for name, channels, head_act in self.heads:
+                # prior init applies to sigmoid heads only — softmax heads
+                # normalise across channels, a common bias shift is a no-op
+                b_init = (bias_init if head_act != "softmax"
+                          else nn.initializers.zeros)
                 logits = nn.Conv(channels, one, kernel_init=_he_normal(),
+                                 bias_init=b_init,
                                  dtype=jnp.float32, param_dtype=jnp.float32,
                                  name=f"head_{name}")(x.astype(jnp.float32))
                 outputs[name] = (jax.nn.softmax(logits, axis=-1)
                                  if head_act == "softmax" else nn.sigmoid(logits))
             return outputs
         logits = nn.Conv(self.mask_classes, one, kernel_init=_he_normal(),
+                         bias_init=bias_init,
                          dtype=jnp.float32, param_dtype=jnp.float32,
                          name="head")(x.astype(jnp.float32))
         return nn.sigmoid(logits)
@@ -460,6 +479,16 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
         import logging
         logging.info("WEIGHT_STANDARDISATION replaces BatchNorm — "
                      "BATCH_NORMALISATION is ignored for the conv blocks")
+    if ws:
+        import logging
+        logging.warning(
+            "WEIGHT_STANDARDISATION is an EXPERIMENTAL throughput arm "
+            "(+16%% fused-step rate). It trains at small scale but "
+            "collapsed to all-zero predictions on flagship-scale RVIP "
+            "configs in testing (nothing bounds coherent activation growth "
+            "without BatchNorm; AGC / head-prior / lr / dropout rescues "
+            "all failed — see IMPLEMENTATION_STATUS.md). Keep "
+            "BATCH_NORMALISATION for production quality.")
     return UNet(
         depth=C.get(config, "DEPTH"),
         filters=C.get(config, "FILTERS"),
@@ -477,6 +506,7 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
         supervision=supervision,
         heads=heads,
         remat=bool(C.get(config, "REMAT", False)),
+        head_bias_prior=C.get(config, "HEAD_BIAS_PRIOR", None),
         dtype=dtype,
     )
 

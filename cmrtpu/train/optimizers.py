@@ -18,7 +18,23 @@ from cmrtpu import config as C
 
 
 def get_optimizer(config: Dict) -> optax.GradientTransformation:
-    """adam/nadam/sgd(nesterov)/adagrad/rmsprop/adadelta/radam by config name."""
+    """adam/nadam/sgd(nesterov)/adagrad/rmsprop/adadelta/radam by config name.
+
+    ``AGC`` (a clipping factor, e.g. 0.08) prepends adaptive gradient
+    clipping (Brock et al. 2021, arXiv:2102.06171): each unit's gradient is
+    clipped to ``AGC * max(||w||, eps)`` — the published stabiliser for
+    normalization-free (WEIGHT_STANDARDISATION) training, where nothing
+    renormalises activations and one oversized early step can dive the net
+    into the all-zero-prediction basin."""
+    base = _named_optimizer(config)
+    agc = C.get(config, "AGC", None)
+    if agc:
+        return optax.chain(
+            optax.adaptive_grad_clip(float(agc), eps=1e-3), base)
+    return base
+
+
+def _named_optimizer(config: Dict) -> optax.GradientTransformation:
     name = str(C.get(config, "OPTIMIZER", "adam")).lower()
     lr = float(C.get(config, "LEARNING_RATE", 1e-4))
     eps = float(C.get(config, "EPSILON", 1e-8))
@@ -43,17 +59,35 @@ def get_optimizer(config: Dict) -> optax.GradientTransformation:
     return optax.inject_hyperparams(optax.adam)(learning_rate=lr, eps=eps)
 
 
+def _hyperparams_holder(opt_state):
+    """The inject_hyperparams state, whether the optimizer is bare or
+    wrapped in an optax.chain (e.g. by AGC). Returns (holder, index) with
+    index=None for the bare case."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state, None
+    for i, sub in enumerate(opt_state):
+        if hasattr(sub, "hyperparams"):
+            return sub, i
+    raise ValueError("optimizer state carries no injected hyperparams")
+
+
 def get_learning_rate(opt_state) -> float:
     """Read the injected learning rate from an optimizer state."""
-    return float(opt_state.hyperparams["learning_rate"])
+    holder, _ = _hyperparams_holder(opt_state)
+    return float(holder.hyperparams["learning_rate"])
 
 
 def set_learning_rate(opt_state, lr: float):
     """Return a new optimizer state with the learning rate replaced."""
     import jax.numpy as jnp
-    hyper = dict(opt_state.hyperparams)
+    holder, idx = _hyperparams_holder(opt_state)
+    hyper = dict(holder.hyperparams)
     hyper["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
-    return opt_state._replace(hyperparams=hyper)
+    new = holder._replace(hyperparams=hyper)
+    if idx is None:
+        return new
+    return tuple(new if i == idx else sub
+                 for i, sub in enumerate(opt_state))
 
 
 def polynomial_decay(epoch: int, max_epochs: int, init_alpha: float,

@@ -198,8 +198,21 @@ def main():
                              "axis (CACHE_SHARDED)")
     parser.add_argument("--ws", action="store_true",
                         help="normalization-free scaled-WS convs instead of "
-                             "BatchNorm (WEIGHT_STANDARDISATION; +16%% step "
+                             "BatchNorm (WEIGHT_STANDARDISATION; EXPERIMENTAL — "
+                             "collapses at flagship scale; +16%% step "
                              "throughput)")
+    parser.add_argument("--agc", type=float, default=None,
+                        help="adaptive gradient clipping factor (AGC, e.g. "
+                             "0.08) — the normalization-free-training "
+                             "stabiliser")
+    parser.add_argument("--head-prior", type=float, default=None,
+                        help="initialise sigmoid-head biases to this "
+                             "foreground prior's logit (HEAD_BIAS_PRIOR, "
+                             "e.g. 0.001)")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VAL",
+                        help="override any config key (VAL is JSON-parsed "
+                             "when possible), e.g. --set LEARNING_RATE=1e-4")
     parser.add_argument("--multihead", action="store_true",
                         help="BASELINE config 4: RVIP sigmoid head + "
                              "LV/MYO/RV softmax segmentation head (per-slice "
@@ -244,7 +257,16 @@ def main():
         "CACHE_DTYPE": args.cache_dtype, "CACHE_SHARDED": args.cache_sharded,
         "WEIGHT_STANDARDISATION": args.ws,
         "BATCH_NORMALISATION": not args.ws,
+        "AGC": args.agc,
+        "HEAD_BIAS_PRIOR": args.head_prior,
     }
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        try:
+            val = json.loads(val)
+        except ValueError:
+            pass
+        config[key.upper()] = val
     if args.multihead:
         # BASELINE config 4: first sigmoid head keeps the _msk landmark
         # contract; the softmax head adds per-structure seg-dice columns

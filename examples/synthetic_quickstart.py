@@ -76,8 +76,13 @@ def main() -> None:
                              "quantization; quality A/B knob)")
     parser.add_argument("--ws", action="store_true",
                         help="normalization-free scaled-WS convs instead of "
-                             "BatchNorm (WEIGHT_STANDARDISATION; +16%% step "
+                             "BatchNorm (WEIGHT_STANDARDISATION; EXPERIMENTAL — "
+                             "collapses at flagship scale; +16%% step "
                              "throughput — quality A/B knob)")
+    parser.add_argument("--ema", action="store_true",
+                        help="train with an EMA shadow of the params "
+                             "(EMA: true, decay 0.999) — checkpoints and "
+                             "the evaluation then use the shadow")
     parser.add_argument("--tta", action="store_true",
                         help="after the float evaluation, re-predict the "
                              "same checkpoint with rot90-orbit test-time "
@@ -107,6 +112,7 @@ def main() -> None:
         "CACHE_DTYPE": args.cache_dtype,
         "WEIGHT_STANDARDISATION": args.ws,
         "BATCH_NORMALISATION": not args.ws,
+        "EMA": args.ema,
     }
     from cmrtpu.train.fold import run_experiment
     exp_path = run_experiment(config, data_path=args.root)
