@@ -334,6 +334,30 @@ def main():
         float(jax.device_get(preds[0, 0, 0, 0]))
         return steps * serve_batch / (time.perf_counter() - t0)
 
+    def measure_serving_tta(steps=st(10), warmup=st(3)):
+        """slices/sec of the rot90-TTA serving forward (cmrtpu/predict/
+        tta.py): four rotations + inverse-rotate + average in ONE jitted
+        program — the measured ~5x volume-CoM quality lever costs ~4x
+        forward FLOPs; this row tracks what a TTA deployment sustains."""
+        from cmrtpu.predict.tta import tta_rot90_forward
+        serve_batch = (16 if smoke else 128) * n_dev
+        x = jax.device_put(
+            rng.normal(size=(serve_batch, hw, hw, 1)).astype(np.float32),
+            NamedSharding(mesh, P("data")))
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        fwd = jax.jit(tta_rot90_forward(
+            lambda v, xx: trainer.model.apply(v, xx, train=False),
+            (hw, hw)))
+        for _ in range(warmup):
+            preds = fwd(variables, x)
+        float(jax.device_get(preds[0, 0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            preds = fwd(variables, x)
+        float(jax.device_get(preds[0, 0, 0, 0]))
+        return steps * serve_batch / (time.perf_counter() - t0)
+
     def measure_serving_ensemble(members=4, steps=st(10), warmup=st(3)):
         """slices/sec of the CV-ensemble serving path (BASELINE config 5):
         K fold checkpoints stacked on a leading member axis, ONE vmapped
@@ -432,6 +456,8 @@ def main():
     safe("serving_forward", measure_serving)
     # int8 PTQ serving twin (cmrtpu.cli.export --int8)
     safe("serving_forward_int8", measure_serving_int8)
+    # rot90-TTA serving forward (TTA: true — the measured quality lever)
+    safe("serving_forward_tta", measure_serving_tta)
     # BASELINE config 5: 4-member vmapped CV-ensemble serving
     safe("serving_ensemble4", measure_serving_ensemble)
     safe("host_streaming_packed", measure_streaming)

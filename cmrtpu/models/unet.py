@@ -475,20 +475,18 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
     # quantized twin config; never used for training
     quant_mode = "int8" if C.get(config, "QUANT_INT8", False) else ""
     batch_norm = C.get(config, "BATCH_NORMALISATION")
-    if ws and batch_norm:
-        import logging
-        logging.info("WEIGHT_STANDARDISATION replaces BatchNorm — "
-                     "BATCH_NORMALISATION is ignored for the conv blocks")
     if ws:
         import logging
         logging.warning(
             "WEIGHT_STANDARDISATION is an EXPERIMENTAL throughput arm "
-            "(+16%% fused-step rate). It trains at small scale but "
+            "(+16%% fused-step rate)%s. It trains at small scale but "
             "collapsed to all-zero predictions on flagship-scale RVIP "
             "configs in testing (nothing bounds coherent activation growth "
             "without BatchNorm; AGC / head-prior / lr / dropout rescues "
             "all failed — see IMPLEMENTATION_STATUS.md). Keep "
-            "BATCH_NORMALISATION for production quality.")
+            "BATCH_NORMALISATION for production quality.",
+            "; BATCH_NORMALISATION is ignored for the conv blocks"
+            if batch_norm else "")
     return UNet(
         depth=C.get(config, "DEPTH"),
         filters=C.get(config, "FILTERS"),

@@ -51,11 +51,20 @@ class EnsemblePredictor:
 
         # one compiled program: vmap over the stacked member axis; the mean
         # is tree-mapped so multi-head (dict-output) models ensemble too
-        self._forward = jax.jit(
-            lambda x: jax.tree_util.tree_map(
+        def ensemble_forward(_, x):
+            return jax.tree_util.tree_map(
                 lambda a: jnp.mean(a, axis=0),
                 jax.vmap(member_forward, in_axes=(0, 0, None))(
-                    self._params, self._batch_stats, x)))
+                    self._params, self._batch_stats, x))
+
+        if C.get(self.config, "TTA", False):
+            # the fold configs were qualified with rot90-TTA — the deployed
+            # ensemble must honor it too (averaging is linear, so orbit-of-
+            # member-mean == member-mean-of-orbit; one jitted program)
+            from cmrtpu.predict.tta import tta_rot90_forward
+            ensemble_forward = tta_rot90_forward(
+                ensemble_forward, tuple(C.get(self.config, "DIM")))
+        self._forward = jax.jit(lambda x: ensemble_forward(None, x))
 
     @classmethod
     def from_exp_root(cls, exp_root: str, config: Optional[Dict] = None

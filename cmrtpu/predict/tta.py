@@ -35,6 +35,38 @@ def rot90_orbit(dim: Sequence[int]) -> tuple:
     return (0, 1, 2, 3) if dim[-1] == dim[-2] else (0, 2)
 
 
+def predict_tta_twin(exp_root: str) -> str:
+    """Re-run inference for every fold of a trained experiment root with
+    ``TTA: true`` into a sibling ``<exp_root>_tta`` root (same checkpoints —
+    TTA is inference-only). Returns the twin root, ready for evaluate_cv.
+
+    The sibling-root layout keeps evaluate_cv's one-fold-family-per-root
+    contract (same pattern as the int8 twins, quantize.py quantize_fold)."""
+    import glob
+    import json
+    import os
+
+    from cmrtpu import config as C
+    from cmrtpu.predict.predictor import pred_fold
+    from cmrtpu.utils.io_utils import ensure_dir
+
+    t_root = exp_root.rstrip("/") + "_tta"
+    folds = sorted(glob.glob(os.path.join(exp_root, "f[0-9]*")))
+    if not folds:
+        raise FileNotFoundError(f"no fold dirs under {exp_root}")
+    for fold_dir in folds:
+        t_fold = os.path.join(t_root, os.path.basename(fold_dir))
+        cfg = C.load_config(os.path.join(fold_dir, "config", "config.json"))
+        cfg["TTA"] = True
+        cfg["EXP_PATH"] = t_fold
+        cfg["MODEL_PATH"] = os.path.join(fold_dir, "model")
+        ensure_dir(os.path.join(t_fold, "config"))
+        with open(os.path.join(t_fold, "config", "config.json"), "w") as fh:
+            json.dump(cfg, fh, indent=2, default=str)
+        pred_fold(cfg)
+    return t_root
+
+
 def tta_rot90_forward(apply_fn: Callable, dim: Sequence[int]) -> Callable:
     """Wrap ``apply_fn(variables, x) -> outputs`` with a rot90-orbit
     average.

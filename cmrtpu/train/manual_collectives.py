@@ -70,6 +70,7 @@ def make_manual_train_step(model, optimizer, loss_fn: Callable,
     signature as make_cached_train_step, explicit collectives inside."""
     metrics = metrics or {}
     cfg = dict(config)
+    ema_decay = S.ema_decay_from_config(cfg)
     reduce_dtype = str(C.get(cfg, "GRAD_ALLREDUCE_DTYPE",
                              "bfloat16")).lower()
     rd = jnp.bfloat16 if reduce_dtype in ("bfloat16", "bf16") else jnp.float32
@@ -144,7 +145,9 @@ def make_manual_train_step(model, optimizer, loss_fn: Callable,
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=batch_stats,
-                                  opt_state=new_opt_state)
+                                  opt_state=new_opt_state,
+                                  ema_params=S.ema_update(state, new_params,
+                                                          ema_decay))
         logs = {"loss": jax.lax.pmean(loss, DATA_AXIS)}
         for name, fn in metrics.items():
             logs[name] = jax.lax.pmean(fn(y, preds), DATA_AXIS)

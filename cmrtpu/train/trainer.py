@@ -112,7 +112,12 @@ class Trainer:
         from cmrtpu.train.checkpoint import load_weights_for_model
         params, batch_stats = load_weights_for_model(model_path, self.config,
                                                      self.model)
-        self.state = self.state.replace(params=params, batch_stats=batch_stats)
+        # with EMA on, re-seed the shadow from the restored weights — keeping
+        # the init-copy shadow would blend random init into early evals/saves
+        ema = None if self.state.ema_params is None else \
+            jax.tree_util.tree_map(jax.numpy.copy, params)
+        self.state = self.state.replace(params=params, batch_stats=batch_stats,
+                                        ema_params=ema)
 
     def restore(self, ckpt_dir: str) -> int:
         """Full-state resume (params + optimizer + step); returns the restored

@@ -133,25 +133,9 @@ def main() -> None:
     print(f"df_eval.csv: {os.path.join(exp_path, 'df_eval.csv')}")
 
     if args.tta:
-        import json
+        from cmrtpu.predict.tta import predict_tta_twin
 
-        from cmrtpu.predict.predictor import pred_fold
-        from cmrtpu.utils.io_utils import ensure_dir
-        from cmrtpu import config as C
-
-        fold_dir = sorted(glob.glob(os.path.join(exp_path, "f[0-9]")))[0]
-        # same checkpoint, TTA predictor, sibling root (one fold family
-        # per experiment root — the evaluate_cv layout contract)
-        t_root = exp_path.rstrip("/") + "_tta"
-        t_fold = os.path.join(t_root, "f0")
-        cfg_t = C.load_config(os.path.join(fold_dir, "config", "config.json"))
-        cfg_t["TTA"] = True
-        cfg_t["EXP_PATH"] = t_fold
-        cfg_t["MODEL_PATH"] = os.path.join(fold_dir, "model")
-        ensure_dir(os.path.join(t_fold, "config"))
-        with open(os.path.join(t_fold, "config", "config.json"), "w") as fh:
-            json.dump(cfg_t, fh, indent=2, default=str)
-        pred_fold(cfg_t)
+        t_root = predict_tta_twin(exp_path)
         df_t = evaluate_cv(t_root, args.root)
         print("\n=== single-forward vs rot90-TTA (mm / rate) ===")
         for c in cols:

@@ -137,3 +137,57 @@ def test_full_state_roundtrip_keeps_ema(tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         jax.device_get(trainer.state.ema_params), restored.ema_params)
+
+
+def test_manual_collectives_step_updates_ema():
+    # GRAD_ALLREDUCE_DTYPE routes training through the explicit-collectives
+    # step (cmrtpu/train/manual_collectives.py) — its state.replace must
+    # carry the EMA update too, or eval/checkpoints serve the frozen
+    # init-weight shadow (regression: the shadow never moved)
+    from cmrtpu.parallel.mesh import create_mesh
+    from cmrtpu.train.device_cache import upload_cache
+    from cmrtpu.train.manual_collectives import make_manual_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = dict(CFG, AUGMENT=False, GRAD_ALLREDUCE_DTYPE="bfloat16")
+    mesh = create_mesh()
+    trainer = Trainer(cfg, mesh=mesh)
+    rng = np.random.default_rng(6)
+    xs = rng.normal(size=(8, 32, 32)).astype(np.float32)
+    ys = np.zeros((8, 32, 32), np.float32)
+    ys[:, 8:12, 8:12] = 1.0
+    dx, dy = upload_cache(xs, ys, mesh)
+    step = make_manual_train_step(trainer.model, trainer.optimizer,
+                                  trainer.loss_fn, trainer.metrics, cfg,
+                                  mesh, augment=False)
+    idxs = jax.device_put(np.arange(8, dtype=np.int32),
+                          NamedSharding(mesh, P("data")))
+    before = jax.device_get(trainer.state.ema_params)
+    state, logs = step(trainer.state, dx, dy, idxs, trainer.rng)
+    after = jax.device_get(state.ema_params)
+    assert np.isfinite(float(jax.device_get(logs["loss"])))
+    changed = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, b), before, after))
+    assert any(changed)
+    # shadow lags the live params (decay blend, not a copy)
+    live = jax.device_get(state.params)
+    differs = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: not np.allclose(a, b), live, after))
+    assert any(differs)
+
+
+def test_restore_weights_reseeds_the_shadow(tmp_path):
+    from cmrtpu.train.checkpoint import save_weights
+
+    donor = Trainer(dict(CFG, SEED=123))
+    x, y = _batch(np.random.default_rng(7))
+    donor.state, _ = donor.train_step(donor.state, x, y, donor.rng)
+    save_weights(str(tmp_path), donor.state.params, donor.state.batch_stats)
+
+    trainer = Trainer(CFG)  # EMA on, shadow = copy of ITS OWN random init
+    trainer.restore_weights(str(tmp_path))
+    # shadow must now equal the restored weights, not the old init
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))),
+        trainer.state.ema_params, trainer.state.params)

@@ -122,3 +122,26 @@ def test_export_bakes_tta_in(tmp_path):
     live = Predictor(cfg, model_path=str(model_dir)).predict(x)
     art = np.asarray(fn({"params": params, "batch_stats": stats or {}}, x))
     np.testing.assert_allclose(art, live, atol=1e-5)
+
+
+def test_ensemble_honors_tta_key(tmp_path):
+    # cmrtpu.cli.serve -ensemble must not silently drop the rotation
+    # averaging the fold-level eval was qualified with (regression)
+    from cmrtpu.predict.ensemble import EnsemblePredictor
+    from cmrtpu.train.checkpoint import save_weights
+    from cmrtpu.train.trainer import Trainer
+
+    dirs = []
+    for k in range(2):
+        t = Trainer(dict(CFG, SEED=k))
+        d = tmp_path / f"f{k}" / "model"
+        save_weights(str(d), t.state.params, t.state.batch_stats)
+        dirs.append(str(d))
+
+    x = np.random.default_rng(6).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    plain = EnsemblePredictor(dict(CFG), dirs)
+    tta = EnsemblePredictor(dict(CFG, TTA=True), dirs)
+    manual = np.mean([np.rot90(plain.predict(
+        np.rot90(x, k, axes=(1, 2)).copy()), -k, axes=(1, 2))
+        for k in range(4)], axis=0)
+    np.testing.assert_allclose(tta.predict(x), manual, atol=1e-5)

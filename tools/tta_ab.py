@@ -14,8 +14,6 @@ contract (same pattern as the int8 twins, cmrtpu/predict/quantize.py
 """
 
 import argparse
-import glob
-import json
 import os
 import sys
 
@@ -24,29 +22,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 COLS = ("mdists_ant_gtpred", "mdists_inf_gtpred",
         "tpr_ant_point_th15", "ppv_ant_point_th15",
         "tpr_inf_point_th15", "ppv_inf_point_th15")
-
-
-def tta_twin(exp_root: str) -> str:
-    """Predict every fold of ``exp_root`` with TTA into ``<root>_tta``."""
-    from cmrtpu import config as C
-    from cmrtpu.predict.predictor import pred_fold
-    from cmrtpu.utils.io_utils import ensure_dir
-
-    t_root = exp_root.rstrip("/") + "_tta"
-    folds = sorted(glob.glob(os.path.join(exp_root, "f[0-9]*")))
-    if not folds:
-        raise FileNotFoundError(f"no fold dirs under {exp_root}")
-    for fold_dir in folds:
-        t_fold = os.path.join(t_root, os.path.basename(fold_dir))
-        cfg = C.load_config(os.path.join(fold_dir, "config", "config.json"))
-        cfg["TTA"] = True
-        cfg["EXP_PATH"] = t_fold
-        cfg["MODEL_PATH"] = os.path.join(fold_dir, "model")
-        ensure_dir(os.path.join(t_fold, "config"))
-        with open(os.path.join(t_fold, "config", "config.json"), "w") as fh:
-            json.dump(cfg, fh, indent=2, default=str)
-        pred_fold(cfg)
-    return t_root
 
 
 def main() -> None:
@@ -59,8 +34,10 @@ def main() -> None:
 
     from cmrtpu.eval.evaluate import evaluate_cv
 
+    from cmrtpu.predict.tta import predict_tta_twin
+
     df = evaluate_cv(args.exp, args.data)
-    t_root = tta_twin(args.exp)
+    t_root = predict_tta_twin(args.exp)
     df_t = evaluate_cv(t_root, args.data)
     print("\n=== single-forward vs rot90-TTA (mean over patient-phases) ===")
     for c in COLS:
