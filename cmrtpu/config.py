@@ -119,6 +119,10 @@ DEFAULTS: Dict[str, Any] = {
     "CACHE_DTYPE": "float32",    # device-cache image storage; 'bfloat16'
                                  # halves HBM footprint (masks auto-pack to
                                  # uint8 when exact) — see device_cache.py
+    "CACHE_PER_HOST": None,      # sharded-cache loading: None = auto (on for
+                                 # multi-controller runs) — each process
+                                 # materializes only its own devices' example
+                                 # rows (device_cache.py per-host upload)
 }
 
 # accepted alternate spellings -> canonical key (reference quirk compat)

@@ -100,16 +100,35 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     return global_batch // n
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place a host array onto a NamedSharding via per-addressable-device
+    puts + ``make_array_from_single_device_arrays``.
+
+    Two reasons this is THE put for host data, over a plain
+    sharding-destination ``device_put``:
+
+    * perf — measured on the target platform, the sharding-destination path
+      transfers at ~25 MB/s while plain per-device puts sustain ~1 GB/s (a
+      40-60x difference that used to be misattributed to the interconnect);
+    * multi-controller correctness — ``device_put`` raises when the sharding
+      spans devices of other processes, while this assembles the global
+      array from each process's addressable shards. Every process must pass
+      a host array with the same GLOBAL shape holding (at least) the rows
+      its own devices own; callers that materialize only local rows use
+      ``device_cache.upload_cache_sharded_per_host``.
+    """
+    x = np.asarray(x)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
+    shards = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, shards)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch onto the mesh, split along the leading axis.
 
-    Host numpy arrays go through per-device plain ``device_put`` +
-    ``make_array_from_single_device_arrays`` instead of a single
-    sharding-destination ``device_put``: measured on the target platform,
-    the NamedSharding destination path transfers at ~25 MB/s while plain
-    per-device puts sustain ~1 GB/s — a 40-60x difference that used to be
-    misattributed to the interconnect itself. Device-resident inputs (or
-    shapes that don't split evenly) keep the sharding-destination path."""
+    Host numpy arrays go through ``put_global`` (per-device puts — see its
+    docstring for why). Device-resident inputs (or shapes that don't split
+    evenly) keep the sharding-destination path."""
     sharding = batch_sharding(mesh)
     n_data = mesh.shape[DATA_AXIS]
 
@@ -118,11 +137,7 @@ def shard_batch(batch, mesh: Mesh):
             # the sharding's own device->index map keeps this correct on 2D
             # (data x model) meshes too: model-axis replicas receive the same
             # contiguous axis-0 slice, one plain put per device
-            idx_map = sharding.addressable_devices_indices_map(x.shape)
-            shards = [jax.device_put(x[idx], d)
-                      for d, idx in idx_map.items()]
-            return jax.make_array_from_single_device_arrays(
-                x.shape, sharding, shards)
+            return put_global(x, sharding)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

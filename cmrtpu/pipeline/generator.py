@@ -282,6 +282,23 @@ class DataGenerator:
             return self._cache[idx]
         return self._fix_preprocessing(idx)
 
+    def fixed_rows(self, idxs) -> Tuple[np.ndarray, np.ndarray]:
+        """Deterministic-stage padded rows for the given GLOBAL example ids
+        — exactly the rows the in-memory cache holds at those positions,
+        computed on demand (thread-pool fan-out) when the cache is not
+        materialized. The multi-controller sharded device cache uses this so
+        each host preprocesses only the rows its own devices hold
+        (cmrtpu/train/device_cache.py upload_cache_sharded_per_host)."""
+        idxs = np.asarray(idxs, dtype=int)
+        if self._cache_x is not None:
+            return self._cache_x[idxs], self._cache_y[idxs]
+        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+            pairs = list(pool.map(self._get_fixed, idxs.tolist()))
+        x = np.stack([T.pad_and_crop(img.astype(np.float32), self.dim)
+                      for img, _ in pairs])
+        y = np.stack([self._pad_y(msk) for _, msk in pairs])
+        return x, y
+
     def _pad_y(self, msk: np.ndarray) -> np.ndarray:
         """pad/crop a target to DIM; multi-head label stacks pad per head
         (the leading head axis is not a spatial axis)."""

@@ -32,6 +32,11 @@ def _flatten(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
 
 
 def save_weights(model_path: str, params, batch_stats=None) -> str:
+    # multi-controller: one process writes (shared-FS convention; the write
+    # is pure host-side, unlike orbax's collective save_train_state which
+    # every process must enter)
+    if jax.process_index() != 0:
+        return os.path.join(model_path, WEIGHTS_NAME)
     ensure_dir(model_path)
     blobs = _flatten(jax.device_get(params), "params")
     if batch_stats:

@@ -47,7 +47,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cmrtpu import config as C
-from cmrtpu.parallel.mesh import DATA_AXIS
+from cmrtpu.parallel.mesh import DATA_AXIS, put_global
 from cmrtpu.pipeline.augment import augment_batch_fn
 from cmrtpu.pipeline.generator import finalize_batch
 from cmrtpu.train import steps as S
@@ -188,14 +188,19 @@ def cache_shards(config: Optional[Dict], mesh: Mesh) -> int:
     return int(mesh.shape[DATA_AXIS])
 
 
-def _pack_arrays(x: np.ndarray, y: np.ndarray, config: Optional[Dict]):
+def _pack_arrays(x: np.ndarray, y: np.ndarray, config: Optional[Dict],
+                 y_uint8: Optional[bool] = None):
     """Storage-dtype packing shared by the replicated and sharded uploads:
     CACHE_DTYPE='bfloat16' halves the image cache's HBM footprint (the model
     computes in bf16 anyway under MIXED_PRECISION, so the extra mantissa
     bits of a float32 cache are mostly discarded at the first conv); masks
     whose values are exact small non-negative integers pack to uint8 (4x
     smaller). Consumers cast back to float32 right after the gather, so
-    augmentation interpolation and loss math are unchanged."""
+    augmentation interpolation and loss math are unchanged.
+
+    ``y_uint8`` pins the mask-packing decision externally — the per-host
+    sharded upload must make it GLOBALLY (every process's shards need one
+    dtype), so it computes the local packability and all-reduces the AND."""
     x = np.ascontiguousarray(x)
     y = np.ascontiguousarray(y)
     cache_dtype = str(C.get(config or {}, "CACHE_DTYPE", "float32")).lower()
@@ -205,9 +210,20 @@ def _pack_arrays(x: np.ndarray, y: np.ndarray, config: Optional[Dict]):
     elif cache_dtype in ("uint8", "u8"):
         _warn_if_uint8_unsafe(config, "CACHE_DTYPE")
         x = quantize_images_uint8(x)
-    if _uint8_packable(y):
+    if _uint8_packable(y) if y_uint8 is None else y_uint8:
         y = y.astype(np.uint8)
     return x, y
+
+
+def _all_processes_agree(flag: bool) -> bool:
+    """AND of a per-process boolean across every process (trivially the flag
+    itself single-controller). Used for packing decisions that must be
+    identical on every shard of one global array."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(np.all(multihost_utils.process_allgather(
+        np.asarray(bool(flag)))))
 
 
 def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh,
@@ -215,7 +231,7 @@ def upload_cache(x_padded: np.ndarray, y_padded: np.ndarray, mesh: Mesh,
     """Upload the padded deterministic cache once, replicated over the mesh."""
     x, y = _pack_arrays(x_padded, y_padded, config)
     repl = NamedSharding(mesh, P())
-    return jax.device_put(x, repl), jax.device_put(y, repl)
+    return put_global(x, repl), put_global(y, repl)
 
 
 def upload_cache_sharded(x_padded: np.ndarray, y_padded: np.ndarray,
@@ -228,6 +244,10 @@ def upload_cache_sharded(x_padded: np.ndarray, y_padded: np.ndarray,
     row block [d*local_n, (d+1)*local_n); the per-step index vector uses
     LOCAL row ids so the gather stays communication-free.
 
+    Multi-controller runs work (each process puts its addressable blocks)
+    but still materialize the FULL host arrays on every process — use
+    ``upload_cache_sharded_per_host`` to scale host RAM/decode with hosts.
+
     Returns (data_x, data_y, n_padded)."""
     n = x_padded.shape[0]
     n_shards = int(mesh.shape[DATA_AXIS])
@@ -236,9 +256,76 @@ def upload_cache_sharded(x_padded: np.ndarray, y_padded: np.ndarray,
         reps = np.arange(padded - n) % n
         x_padded = np.concatenate([x_padded, x_padded[reps]])
         y_padded = np.concatenate([y_padded, y_padded[reps]])
-    x, y = _pack_arrays(x_padded, y_padded, config)
+    y_u8 = _all_processes_agree(_uint8_packable(y_padded))
+    x, y = _pack_arrays(x_padded, y_padded, config, y_uint8=y_u8)
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.device_put(x, sharding), jax.device_put(y, sharding), padded
+    return put_global(x, sharding), put_global(y, sharding), padded
+
+
+def _owned_data_blocks(mesh: Mesh) -> Dict:
+    """{addressable device -> data-axis block index} for this process, in
+    mesh-device order. Model-axis replicas of one data block map to the same
+    index."""
+    axis = list(mesh.axis_names).index(DATA_AXIS)
+    owned = {}
+    for pos in np.ndindex(mesh.devices.shape):
+        dev = mesh.devices[pos]
+        if dev.process_index == jax.process_index():
+            owned[dev] = int(pos[axis])
+    return owned
+
+
+def upload_cache_sharded_per_host(load_rows: Callable, n_examples: int,
+                                  mesh: Mesh, config: Optional[Dict] = None):
+    """CACHE_SHARDED upload for multi-controller runs where each process
+    materializes ONLY the example rows its local devices own — host RAM and
+    decode work scale with the host count exactly like HBM capacity scales
+    with the chip count. (Also valid single-controller, where it simply
+    loads block-by-block instead of all at once.)
+
+    ``load_rows(global_ids) -> (x_rows, y_rows)`` returns the
+    deterministic-stage padded rows for the given example ids in order —
+    ``DataGenerator.fixed_rows`` is the canonical loader. Same wrap-padding
+    and block layout as ``upload_cache_sharded``.
+
+    Returns (data_x, data_y, n_padded)."""
+    if n_examples <= 0:
+        raise ValueError("per-host sharded upload needs at least one example")
+    n_shards = int(mesh.shape[DATA_AXIS])
+    padded = -(-n_examples // n_shards) * n_shards
+    local_n = padded // n_shards
+    owned = _owned_data_blocks(mesh)
+    if not owned:
+        raise ValueError(
+            "this process owns no devices in the mesh — every process must "
+            "contribute devices to a multi-controller mesh")
+    # one load per DISTINCT block: model-axis replicas share the rows
+    blocks = {}
+    for d in sorted(set(owned.values())):
+        ids = np.arange(d * local_n, (d + 1) * local_n) % n_examples
+        x_rows, y_rows = load_rows(ids)
+        if x_rows.shape[0] != local_n:
+            raise ValueError(
+                f"load_rows returned {x_rows.shape[0]} rows for a "
+                f"{local_n}-row block")
+        blocks[d] = (np.ascontiguousarray(x_rows),
+                     np.ascontiguousarray(y_rows))
+    # the mask-packing decision must be identical across every process
+    y_u8 = _all_processes_agree(
+        all(_uint8_packable(y) for _, y in blocks.values()))
+    packed = {d: _pack_arrays(x, y, config, y_uint8=y_u8)
+              for d, (x, y) in blocks.items()}
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    any_x, any_y = next(iter(packed.values()))
+    shape_x = (padded,) + any_x.shape[1:]
+    shape_y = (padded,) + any_y.shape[1:]
+    shards_x = [jax.device_put(packed[d][0], dev) for dev, d in owned.items()]
+    shards_y = [jax.device_put(packed[d][1], dev) for dev, d in owned.items()]
+    data_x = jax.make_array_from_single_device_arrays(
+        shape_x, sharding, shards_x)
+    data_y = jax.make_array_from_single_device_arrays(
+        shape_y, sharding, shards_y)
+    return data_x, data_y, padded
 
 
 def _shard_map(fn, mesh: Mesh, in_specs, out_specs):
@@ -513,6 +600,25 @@ def make_cached_eval_step(model, loss_fn: Callable,
                    out_shardings=repl)
 
 
+def _gen_examples(gen) -> int:
+    """Example-row count of a DataGenerator's deterministic stage — cache
+    rows when materialized, else the file-list length (identical by
+    construction: the cache is built over range(len(images)))."""
+    cache = getattr(gen, "_cache_x", None)
+    if cache is not None:
+        return int(cache.shape[0])
+    return int(len(gen.images))
+
+
+def _fixed_rows_of(gen, ids: np.ndarray):
+    """Deterministic-stage rows by global id: the in-memory cache when
+    present, the on-demand loader otherwise."""
+    cache = getattr(gen, "_cache_x", None)
+    if cache is not None:
+        return cache[ids], gen._cache_y[ids]
+    return gen.fixed_rows(ids)
+
+
 class DeviceCachedLoop:
     """Drives epochs over an HBM-resident dataset for a Trainer.
 
@@ -520,9 +626,6 @@ class DeviceCachedLoop:
     arrays) or from raw padded numpy arrays."""
 
     def __init__(self, trainer, train_gen, val_gen=None):
-        assert getattr(train_gen, "_cache_x", None) is not None, (
-            "DeviceCachedLoop needs an in-memory DataGenerator "
-            "(CACHE_IN_MEMORY=True)")
         self.trainer = trainer
         cfg = trainer.config
         mesh = trainer.mesh
@@ -534,14 +637,34 @@ class DeviceCachedLoop:
         self.n_shards = cache_shards(cfg, mesh)
         self.sharded = self.n_shards > 1 or bool(
             C.get(cfg, "CACHE_SHARDED", False))
+        # CACHE_PER_HOST (default: on for multi-controller sharded runs):
+        # each process fix-preprocesses and uploads only the example rows
+        # its own devices hold — host RAM/decode scale with hosts. Needs a
+        # loader (DataGenerator.fixed_rows); the generator may then run with
+        # CACHE_IN_MEMORY=False so no host ever materializes the full set.
+        knob = C.get(cfg, "CACHE_PER_HOST", None)
+        self.per_host = self.sharded and (
+            jax.process_count() > 1 if knob is None else bool(knob))
+        if not self.per_host:
+            assert getattr(train_gen, "_cache_x", None) is not None, (
+                "DeviceCachedLoop needs an in-memory DataGenerator "
+                "(CACHE_IN_MEMORY=True), or CACHE_SHARDED+CACHE_PER_HOST "
+                "with a generator exposing fixed_rows")
         if self.sharded:
             assert self.batch % self.n_shards == 0, (
                 f"BATCHSIZE {self.batch} must be a multiple of the data-mesh "
                 f"size {self.n_shards} for a sharded cache")
             self.local_batch = self.batch // self.n_shards
-            self.x_train, self.y_train, self._n_train_padded = \
-                upload_cache_sharded(train_gen._cache_x, train_gen._cache_y,
-                                     mesh, config=cfg)
+            if self.per_host:
+                self.x_train, self.y_train, self._n_train_padded = \
+                    upload_cache_sharded_per_host(
+                        lambda ids: _fixed_rows_of(train_gen, ids),
+                        _gen_examples(train_gen), mesh, config=cfg)
+            else:
+                self.x_train, self.y_train, self._n_train_padded = \
+                    upload_cache_sharded(train_gen._cache_x,
+                                         train_gen._cache_y,
+                                         mesh, config=cfg)
             self._local_n_train = self._n_train_padded // self.n_shards
             self._reshuffle_epochs = int(
                 C.get(cfg, "CACHE_RESHUFFLE_EPOCHS", 0) or 0)
@@ -550,16 +673,24 @@ class DeviceCachedLoop:
         else:
             self.x_train, self.y_train = upload_cache(
                 train_gen._cache_x, train_gen._cache_y, mesh, config=cfg)
-        self.n_train = train_gen._cache_x.shape[0]
+        self.n_train = _gen_examples(train_gen)
         self._augment = bool(C.get(cfg, "AUGMENT", False))
         self._masks = bool(getattr(train_gen, "masks", True))
         self._build_train_step()
 
         self.val = None
-        if val_gen is not None and getattr(val_gen, "_cache_x", None) is not None:
-            self.n_val = val_gen._cache_x.shape[0]
+        if val_gen is not None and (self.per_host or
+                                    getattr(val_gen, "_cache_x", None)
+                                    is not None):
+            self.n_val = _gen_examples(val_gen)
             self._val_masks = bool(getattr(val_gen, "masks", True))
-            if self.sharded:
+            if self.per_host:
+                self.x_val, self.y_val, n_val_padded = \
+                    upload_cache_sharded_per_host(
+                        lambda ids: _fixed_rows_of(val_gen, ids),
+                        self.n_val, mesh, config=cfg)
+                self._plan_sharded_eval(val_gen, n_val_padded, cfg, mesh)
+            elif self.sharded:
                 self.x_val, self.y_val, n_val_padded = upload_cache_sharded(
                     val_gen._cache_x, val_gen._cache_y, mesh, config=cfg)
                 self._plan_sharded_eval(val_gen, n_val_padded, cfg, mesh)
@@ -575,8 +706,9 @@ class DeviceCachedLoop:
         logging.info(
             "device cache: %d train / %s val examples resident in HBM (%s)",
             self.n_train, self.n_val if self.val else "no",
-            f"example-sharded over {self.n_shards} devices" if self.sharded
-            else "replicated")
+            f"example-sharded over {self.n_shards} devices"
+            + (", per-host row loading" if self.per_host else "")
+            if self.sharded else "replicated")
 
     def _plan_sharded_eval(self, val_gen, n_val_padded: int, cfg,
                            mesh: Mesh) -> None:
@@ -591,11 +723,14 @@ class DeviceCachedLoop:
         self._val_steps = steps
         self._val_tail_n = len(tail_global)
         if tail_global:
-            x_tail, y_tail = _pack_arrays(val_gen._cache_x[tail_global],
-                                          val_gen._cache_y[tail_global], cfg)
+            # the tail is replicated: every process prepares the same rows
+            # (fixed_rows is deterministic and falls back to the in-memory
+            # cache when present)
+            x_rows, y_rows = _fixed_rows_of(val_gen, np.asarray(tail_global))
+            x_tail, y_tail = _pack_arrays(x_rows, y_rows, cfg)
             repl = NamedSharding(mesh, P())
-            self._val_tail = (jax.device_put(x_tail, repl),
-                              jax.device_put(y_tail, repl))
+            self._val_tail = (put_global(x_tail, repl),
+                              put_global(y_tail, repl))
 
     def _build_train_step(self) -> None:
         t = self.trainer
@@ -639,7 +774,7 @@ class DeviceCachedLoop:
             return
         if self._reshuffler is None:
             self._reshuffler = make_cache_reshuffler(self.trainer.mesh)
-        perm = jax.device_put(
+        perm = put_global(
             self.rng.permutation(self._n_train_padded).astype(np.int32),
             NamedSharding(self.trainer.mesh, P()))
         self.x_train, self.y_train = self._reshuffler(
@@ -665,7 +800,7 @@ class DeviceCachedLoop:
                 f"BATCHSIZE {self.batch}")
         step_logs = []
         for idxs in batches:
-            idxs_dev = jax.device_put(idxs.astype(np.int32), self._idx_sharding)
+            idxs_dev = put_global(idxs.astype(np.int32), self._idx_sharding)
             t.state, logs = self._train_step(t.state, self.x_train,
                                              self.y_train, idxs_dev, t.rng)
             step_logs.append(logs)  # device scalars — no transfer yet
@@ -700,7 +835,7 @@ class DeviceCachedLoop:
                 masks=self._val_masks, shard_batch_axis=False)
         step_logs.append(self._eval_step_partial(
             t.state, x_tail, y_tail,
-            jax.device_put(idxs, NamedSharding(t.mesh, P()))))
+            put_global(idxs, NamedSharding(t.mesh, P()))))
         weights.append(float(n_tail))
 
     def run_eval_epoch(self) -> Dict[str, float]:
@@ -721,8 +856,8 @@ class DeviceCachedLoop:
         else:
             batches = list(self._epoch_indices(self.n_val, shuffle=False))
         for idxs in batches:
-            idxs_dev = jax.device_put(np.asarray(idxs, np.int32),
-                                      self._idx_sharding)
+            idxs_dev = put_global(np.asarray(idxs, np.int32),
+                                  self._idx_sharding)
             step_logs.append(self._eval_step(t.state, self.x_val,
                                              self.y_val, idxs_dev))
             weights.append(float(len(idxs)))

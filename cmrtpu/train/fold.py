@@ -24,6 +24,17 @@ from cmrtpu.train.trainer import Trainer
 from cmrtpu.utils.io_utils import console_and_file_logger, ensure_dir
 
 
+def _per_host_cache(cfg: Dict) -> bool:
+    """True when this run uses the per-host sharded device cache: each
+    process materializes only its devices' example rows (CACHE_PER_HOST,
+    defaulting on for multi-controller sharded runs)."""
+    import jax
+    if not bool(C.get(cfg, "CACHE_SHARDED", False)):
+        return False
+    knob = C.get(cfg, "CACHE_PER_HOST", None)
+    return jax.process_count() > 1 if knob is None else bool(knob)
+
+
 def _picks_device_cache(cfg: Dict, train_gen, mesh) -> bool:
     """The fold's data-loop choice: device-cached whenever the (replicated
     or sharded) deterministic cache fits the per-device HBM budget, packed
@@ -34,13 +45,21 @@ def _picks_device_cache(cfg: Dict, train_gen, mesh) -> bool:
     from cmrtpu.train.device_cache import cache_shards, fits_device_cache
     n_shards = cache_shards(cfg, mesh)
     key = (str(C.get(cfg, "CACHE_DTYPE", "float32")),
-           float(C.get(cfg, "DEVICE_CACHE_LIMIT_GB", 8.0) or 8.0), n_shards)
+           float(C.get(cfg, "DEVICE_CACHE_LIMIT_GB", 8.0) or 8.0), n_shards,
+           _per_host_cache(cfg))
     memo = getattr(train_gen, "_picks_cache_memo", None)
     if memo is not None and memo[0] == key:
         return memo[1]
-    result = (getattr(train_gen, "_cache_x", None) is not None
-              and fits_device_cache(cfg, train_gen._cache_x,
-                                    train_gen._cache_y, n_shards=n_shards))
+    if _per_host_cache(cfg):
+        # the user opted into per-host residency: rows are loaded lazily, so
+        # there is no host cache to scan — admission is the caller's call
+        # (an oversized shard fails loudly at upload, never silently)
+        result = True
+    else:
+        result = (getattr(train_gen, "_cache_x", None) is not None
+                  and fits_device_cache(cfg, train_gen._cache_x,
+                                        train_gen._cache_y,
+                                        n_shards=n_shards))
     try:
         train_gen._picks_cache_memo = (key, result)
     except AttributeError:  # façade objects without attribute support
@@ -56,9 +75,9 @@ def _steps_per_epoch(cfg: Dict, train_gen, mesh) -> int:
     step->epoch derivation must match or the epoch counter drifts."""
     batch = max(1, int(C.get(cfg, "BATCHSIZE", 32) or 1))
     if _picks_device_cache(cfg, train_gen, mesh):
-        from cmrtpu.train.device_cache import cache_shards
+        from cmrtpu.train.device_cache import _gen_examples, cache_shards
         n_shards = cache_shards(cfg, mesh)
-        n = train_gen._cache_x.shape[0]
+        n = _gen_examples(train_gen)
         if n_shards > 1 or bool(C.get(cfg, "CACHE_SHARDED", False)):
             local_n = -(-n // n_shards)  # wrap-padded local rows
             return max(1, local_n // max(1, batch // n_shards))
@@ -170,6 +189,11 @@ def train_fold(config: Dict, in_memory: bool = True) -> Optional[Trainer]:
     logging.info("SAX train CMR: %d, SAX train masks: %d", len(x_train), len(y_train))
     logging.info("SAX val CMR: %d, SAX val masks: %d", len(x_val), len(y_val))
 
+    if _per_host_cache(cfg):
+        # CACHE_PER_HOST: no host ever materializes the full deterministic
+        # cache — DeviceCachedLoop pulls each host's shard rows on demand
+        # through DataGenerator.fixed_rows
+        in_memory = False
     batch_generator = DataGenerator(x_train, y_train, config=cfg,
                                     in_memory=in_memory)
     val_config = dict(cfg)

@@ -72,9 +72,36 @@ class Trainer:
         self.state = S.create_train_state(self.model, variables,
                                           self.optimizer,
                                           ema=self.ema_decay is not None)
+        if jax.process_count() > 1:
+            self._globalize_state()
         self._build_steps()
         self.stop_training = False
         self.history: List[Dict[str, float]] = []
+
+    def _globalize_state(self):
+        """Multi-controller runs: jit inputs must be process-spanning global
+        arrays, not per-process single-device ones — replicate the train
+        state and PRNG key over the whole mesh. Valid because every process
+        initializes (or restores) identical values from the same SEED /
+        checkpoint; each process puts only its addressable replicas
+        (parallel/mesh.py put_global)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cmrtpu.parallel.mesh import put_global
+
+        repl = NamedSharding(self.mesh, P())
+
+        def put(leaf):
+            if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(
+                    leaf.dtype, jax.dtypes.prng_key):
+                data = put_global(
+                    np.asarray(jax.random.key_data(leaf)), repl)
+                return jax.random.wrap_key_data(
+                    data, impl=jax.random.key_impl(leaf))
+            return put_global(np.asarray(leaf), repl)
+
+        self.state = jax.tree_util.tree_map(put, self.state)
+        self.rng = put(self.rng)
 
     # -- step construction -------------------------------------------------
     def _build_steps(self):
@@ -118,6 +145,8 @@ class Trainer:
             jax.tree_util.tree_map(jax.numpy.copy, params)
         self.state = self.state.replace(params=params, batch_stats=batch_stats,
                                         ema_params=ema)
+        if jax.process_count() > 1:
+            self._globalize_state()
 
     def restore(self, ckpt_dir: str) -> int:
         """Full-state resume (params + optimizer + step); returns the restored
@@ -125,6 +154,8 @@ class Trainer:
         ref: train_model.py:101)."""
         from cmrtpu.train.checkpoint import restore_train_state
         self.state = restore_train_state(ckpt_dir, jax.device_get(self.state))
+        if jax.process_count() > 1:
+            self._globalize_state()
         return int(self.state.step)
 
     # -- loops -------------------------------------------------------------

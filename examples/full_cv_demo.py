@@ -213,12 +213,24 @@ def main():
                         metavar="KEY=VAL",
                         help="override any config key (VAL is JSON-parsed "
                              "when possible), e.g. --set LEARNING_RATE=1e-4")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (with "
+                             "XLA_FLAGS=--xla_force_host_platform_device_"
+                             "count=N this drives the multi-device paths "
+                             "without a TPU)")
     parser.add_argument("--multihead", action="store_true",
                         help="BASELINE config 4: RVIP sigmoid head + "
                              "LV/MYO/RV softmax segmentation head (per-slice "
                              "_seg targets are derived from the cohort's "
                              "ventricle gt volumes)")
     args = parser.parse_args()
+
+    if args.cpu:
+        # env-var-only JAX_PLATFORMS=cpu is NOT reliable here: the container
+        # sitecustomize re-registers the TPU plugin — the config update
+        # before any other jax use is the recipe tests/conftest.py uses
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     # a fold trains on ~3/4 of the patients x 2 phases x 8 slices; the batch
     # must not exceed that or the cached loop has zero batches per epoch
