@@ -112,8 +112,12 @@ DEFAULTS: Dict[str, Any] = {
     "CACHE_IN_MEMORY": True,     # cache deterministic preprocessing in RAM
     "PRNG_IMPL": "rbg",          # dropout-mask PRNG; rbg is ~1.4x faster than
                                  # threefry on TPU for conv-U-Net train steps
-    "REMAT": False,              # rematerialise U-Net blocks in backward
+    "REMAT": False,              # rematerialise U-Net blocks in backward:
+                                 # True = all levels, int N = the N shallowest
                                  # (HBM-traffic vs FLOPs trade, see unet.py)
+    "BN_BF16": False,            # keep BatchNorm's big-tensor math in bf16
+                                 # (f32 statistics only); MIXED_PRECISION-only
+                                 # opt-in — see unet.py BF16BatchNorm
     "DEVICE_CACHE_LIMIT_GB": 8.0,  # max HBM for the device-resident dataset
                                    # cache; larger datasets stream from host
     "CACHE_DTYPE": "float32",    # device-cache image storage; 'bfloat16'

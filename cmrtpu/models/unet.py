@@ -138,6 +138,7 @@ class ConvBlock(nn.Module):
     bn_first: bool = False
     ws: bool = False
     quant_mode: str = ""
+    bn_bf16: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -171,9 +172,20 @@ class ConvBlock(nn.Module):
                      "elu": 1.2717}.get(self.activation, 1.0)
             x = act(conv(x)) * gamma
             return x.astype(self.dtype)
-        bn = (lambda y: nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                                     epsilon=1e-3, dtype=jnp.float32)(y)
-              ) if self.batch_norm else (lambda y: y)
+        if not self.batch_norm:
+            bn = lambda y: y
+        elif self.bn_bf16:
+            # name pinned to nn.BatchNorm's auto-name so the param /
+            # batch_stats tree is byte-identical either way — checkpoints
+            # written with one BN flavour restore under the other
+            bn = lambda y: BF16BatchNorm(use_running_average=not train,
+                                         momentum=0.99, epsilon=1e-3,
+                                         dtype=self.dtype,
+                                         name="BatchNorm_0")(y)
+        else:
+            bn = lambda y: nn.BatchNorm(use_running_average=not train,
+                                        momentum=0.99, epsilon=1e-3,
+                                        dtype=jnp.float32)(y)
         if self.bn_first:
             x = conv(x)
             x = bn(x)
@@ -182,6 +194,62 @@ class ConvBlock(nn.Module):
             x = act(conv(x))
             x = bn(x)
         return x.astype(self.dtype)
+
+
+class BF16BatchNorm(nn.Module):
+    """BatchNorm whose big-tensor math stays bf16 (f32 statistics only).
+
+    flax's ``nn.BatchNorm(dtype=float32)`` promotes the whole activation
+    tensor to f32 for the normalize pass — at the 224² flagship size that
+    doubles the HBM bytes of every post-conv epilogue, and the fused train
+    step is bandwidth-bound (tools/roofline.py). This twin never
+    materializes an f32 tensor: the mean / E[x²] reductions accumulate in
+    f32 (the elementwise cast fuses into the reduce — one bf16 read pass),
+    and the normalize collapses to a per-channel fused multiply-add in
+    bf16. Semantics otherwise mirror nn.BatchNorm (biased variance,
+    momentum running averages, same param/batch_stats tree: scale, bias,
+    mean, var — checkpoints interchange freely).
+
+    Opt-in via ``BN_BF16: true`` (MIXED_PRECISION only): the ~3 decimal
+    digits of bf16 match the precision of every other activation in the
+    mixed-precision net, but it is a numerics change vs the reference's
+    f32 BN, so it stays off by default. Measured at the 2D flagship size
+    the fused-step rate is unchanged (1151 vs 1154 slices/s — XLA already
+    fuses the f32 promotion into the epilogue); the knob's real effect is
+    halving BatchNorm's RESIDENT tensor bytes, which matters when 3D
+    configs are squeezing activations into HBM alongside REMAT.
+    """
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (ch,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (ch,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((ch,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((ch,), jnp.float32))
+        axes = tuple(range(x.ndim - 1))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)  # fuses into the reductions below
+            mean = jnp.mean(xf, axis=axes)
+            # biased variance via E[x²] - E[x]² (flax's _compute_stats form);
+            # clamp for the catastrophic-cancellation corner
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        # y = x*inv + (bias - mean*inv): one bf16 FMA over the big tensor
+        return x * inv.astype(self.dtype) + (bias - mean * inv).astype(self.dtype)
 
 
 class DownBlock(nn.Module):
@@ -195,6 +263,7 @@ class DownBlock(nn.Module):
     bn_first: bool = False
     ws: bool = False
     quant_mode: str = ""
+    bn_bf16: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -203,6 +272,7 @@ class DownBlock(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
+                  bn_bf16=self.bn_bf16,
                   pad=self.pad, dtype=self.dtype)
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -237,6 +307,7 @@ class UpBlock(nn.Module):
     bn_first: bool = False
     ws: bool = False
     quant_mode: str = ""
+    bn_bf16: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -257,6 +328,7 @@ class UpBlock(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
+                  bn_bf16=self.bn_bf16,
                   pad=self.pad, dtype=self.dtype)
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -280,6 +352,7 @@ class ConvEncoder(nn.Module):
     bn_first: bool = False
     ws: bool = False
     quant_mode: str = ""
+    bn_bf16: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -288,6 +361,7 @@ class ConvEncoder(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
+                  bn_bf16=self.bn_bf16,
                   pad=self.pad, dtype=self.dtype)
         x = x.astype(self.dtype)
         filters = self.filters
@@ -324,6 +398,7 @@ class ConvDecoder(nn.Module):
     bn_first: bool = False
     ws: bool = False
     quant_mode: str = ""
+    bn_bf16: bool = False
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -332,6 +407,7 @@ class ConvDecoder(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
+                  bn_bf16=self.bn_bf16,
                   pad=self.pad, dtype=self.dtype)
         x = encoding
         skips = list(skips)
@@ -364,11 +440,12 @@ class UNet(nn.Module):
     bn_first: bool = False
     ws: bool = False
     quant_mode: str = ""
+    bn_bf16: bool = False
     use_upsample: bool = True
     pad: str = "SAME"
     supervision: bool = False
     heads: Tuple[Tuple[str, int, str], ...] = ()
-    remat: bool = False
+    remat: Any = False
     # sigmoid-head bias init to the foreground prior logit log(p/(1-p))
     # (RetinaNet-style, arXiv:1708.02002 §3.3). With ~0.05% foreground the
     # all-zero prediction is a strong basin; starting AT the prior removes
@@ -383,19 +460,31 @@ class UNet(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
+                  bn_bf16=self.bn_bf16,
                   pad=self.pad, dtype=self.dtype)
         # REMAT: recompute block activations in the backward pass instead of
-        # storing them. Opt-in knob: at the 2D flagship size the extra FLOPs
-        # lose (868-892 vs 1152 slices/s measured on v5e), but 3D volume
-        # configs need it to fit activations in HBM.
-        Down = nn.remat(DownBlock, static_argnums=(2,)) if self.remat else DownBlock
-        Up = nn.remat(UpBlock, static_argnums=(3,)) if self.remat else UpBlock
+        # storing them. ``True`` remats every block — at the 2D flagship
+        # size the extra FLOPs lose (868-892 vs 1152 slices/s measured on
+        # v5e), but 3D volume configs need it to fit activations in HBM.
+        # An int N remats only the N SHALLOWEST levels (level 0 holds the
+        # full-resolution activations — by far the most bytes per FLOP
+        # recomputed), a finer HBM-vs-FLOPs ladder for 3D/volume configs:
+        # measured at the 2D flagship size REMAT=1/2/True = 1010/946/893
+        # vs 1154 slices/s, so the knob is for fitting memory, not speed.
+        n_remat = (self.depth if self.remat is True
+                   else int(self.remat or 0))
+        RDown = nn.remat(DownBlock, static_argnums=(2,))
+        RUp = nn.remat(UpBlock, static_argnums=(3,))
         x = x.astype(self.dtype)
         filters = self.filters
         skips = []
         for level in range(self.depth):
+            Down = RDown if level < n_remat else DownBlock
+            # names pinned so the variable tree is identical for every REMAT
+            # setting (checkpoints interchange; resume may change the knob)
             skip, x = Down(filters, m_pool=self.m_pool,
-                           drop=self.dropouts[level], **kw)(x, train)
+                           drop=self.dropouts[level],
+                           name=f"DownBlock_{level}", **kw)(x, train)
             skips.append(skip)
             filters *= 2
 
@@ -406,11 +495,14 @@ class UNet(nn.Module):
 
         pre_last = None
         dropouts = list(self.dropouts)
-        for _ in range(self.depth):
+        for i in range(self.depth):
             filters //= 2
             pre_last = x
+            # decoder iteration i produces level depth-1-i (shallowest last)
+            Up = RUp if (self.depth - 1 - i) < n_remat else UpBlock
             x = Up(filters, up_size=self.m_pool, drop=dropouts.pop(),
-                   use_upsample=self.use_upsample, **kw)(x, skips.pop(), train)
+                   use_upsample=self.use_upsample,
+                   name=f"UpBlock_{i}", **kw)(x, skips.pop(), train)
 
         if self.supervision:
             # mask branch from the pre-last decoder block (ref: Unets.py:840-868)
@@ -503,7 +595,9 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
         use_upsample=bool(C.get(config, "USE_UPSAMPLE", True)),
         supervision=supervision,
         heads=heads,
-        remat=bool(C.get(config, "REMAT", False)),
+        bn_bf16=bool(C.get(config, "BN_BF16", False)
+                     and C.get(config, "MIXED_PRECISION")),
+        remat=C.get(config, "REMAT", False),
         head_bias_prior=C.get(config, "HEAD_BIAS_PRIOR", None),
         dtype=dtype,
     )

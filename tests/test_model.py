@@ -213,3 +213,70 @@ def test_named_channel_dices():
     assert float(L.dice_coef_background(y, y)) > 0.99
     # rv = ch[-3] present in 3-channel input
     assert jnp.isfinite(L.dice_coef_rv(y, y))
+
+
+def test_bn_bf16_checkpoint_interchange_and_numerics():
+    """BN_BF16 swaps in BF16BatchNorm with a byte-identical variable tree
+    (checkpoints interchange) and matches nn.BatchNorm within bf16 noise."""
+    cfg32 = dict(SMALL_CFG, MIXED_PRECISION=True)
+    cfg16 = dict(cfg32, BN_BF16=True)
+    m32, m16 = build_model(cfg32), build_model(cfg16)
+    rng = jax.random.PRNGKey(0)
+    v32 = init_variables(m32, cfg32, rng)
+    v16 = init_variables(m16, cfg16, rng)
+    paths32 = {jax.tree_util.keystr(p): (l.shape, l.dtype)
+               for p, l in jax.tree_util.tree_leaves_with_path(v32)}
+    paths16 = {jax.tree_util.keystr(p): (l.shape, l.dtype)
+               for p, l in jax.tree_util.tree_leaves_with_path(v16)}
+    assert paths32 == paths16
+    # cross-restore: the f32-BN variables drive the bf16-BN model
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    out32 = m32.apply(v32, x, train=False)
+    out16 = m16.apply(v32, x, train=False)
+    np.testing.assert_allclose(np.asarray(out32, np.float32),
+                               np.asarray(out16, np.float32), atol=0.03)
+    # train mode: running statistics update equivalently (f32 accumulators)
+    _, mut32 = m32.apply(v32, x, train=True, rngs={"dropout": rng},
+                         mutable=["batch_stats"])
+    _, mut16 = m16.apply(v32, x, train=True, rngs={"dropout": rng},
+                         mutable=["batch_stats"])
+    for a, b in zip(jax.tree_util.tree_leaves(mut32["batch_stats"]),
+                    jax.tree_util.tree_leaves(mut16["batch_stats"])):
+        assert a.dtype == jnp.float32 and b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=0.02)
+
+
+def test_partial_remat_is_semantics_preserving():
+    """REMAT=<int> remats only the N shallowest levels; outputs and grads
+    are bit-equal to the unremat model (rematerialisation changes the
+    schedule, not the math)."""
+    import optax
+    cfg = dict(SMALL_CFG, DEPTH=3, DROPOUT_MIN=0.0, DROPOUT_MAX=0.0)
+    base = build_model(cfg)
+    part = build_model(dict(cfg, REMAT=1))
+    full = build_model(dict(cfg, REMAT=True))
+    rng = jax.random.PRNGKey(0)
+    v = init_variables(base, cfg, rng)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+    y = (jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 2)) > 0.9
+         ).astype(jnp.float32)
+
+    def loss_fn(model):
+        def f(params):
+            out, _ = model.apply({"params": params,
+                                  "batch_stats": v["batch_stats"]},
+                                 x, train=True, rngs={"dropout": rng},
+                                 mutable=["batch_stats"])
+            return jnp.mean(optax.sigmoid_binary_cross_entropy(
+                jnp.log(out / (1 - out + 1e-7) + 1e-7), y))
+        return jax.jit(jax.value_and_grad(f))(v["params"])
+
+    l0, g0 = loss_fn(base)
+    for model in (part, full):
+        l1, g1 = loss_fn(model)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
