@@ -232,10 +232,14 @@ DEFAULT_PATTERNS = ("*.nii.gz", "*.nii", "*.nrrd")
 # label-valued files that must never be treated as image studies: our own
 # serving outputs, pred_fold's mask families, and dataset/RVIP ground truth
 LABEL_SUFFIXES = ("_pred.nrrd", "_msk.nrrd", "_seg.nrrd", "_rvip.nrrd")
+# non-study outputs of our own pipelines: label families plus pred_fold's
+# original-geometry CMR copies — a serve pass over an experiment dir must
+# not re-ingest any of them as fresh studies
+DEFAULT_EXCLUDE = LABEL_SUFFIXES + ("_cmr.nrrd",)
 
 
 def _worklist(in_dir: str, patterns: Sequence[str],
-              exclude: Sequence[str] = ("_pred.nrrd",)) -> List[str]:
+              exclude: Sequence[str] = DEFAULT_EXCLUDE) -> List[str]:
     files: List[str] = []
     for pat in patterns:
         files.extend(glob.glob(os.path.join(in_dir, pat)))

@@ -328,3 +328,25 @@ def test_failed_study_records_error_and_continues(fold_dir, tmp_path):
     marker = json.loads((out_dir / "broken.done.json").read_text())
     assert "error" in marker
     assert (out_dir / "good_msk_pred.nrrd").exists()
+
+
+def test_serve_skips_pipeline_output_families(fold_dir, tmp_path):
+    """A serve pass over a dir holding pred_fold / dataset families must
+    ingest only real studies: label masks (_msk/_seg/_rvip/_pred.nrrd) and
+    the original-geometry CMR copies (_cmr.nrrd) are our own pipelines'
+    outputs, never fresh studies (serving.DEFAULT_EXCLUDE)."""
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _study(str(in_dir / "patient1.nrrd"), z=2, seed=1)
+    for family in ("patient1_ED_msk.nrrd", "patient1_ED_seg.nrrd",
+                   "patient1_rvip.nrrd", "patient1_ED_cmr.nrrd",
+                   "patient1_msk_pred.nrrd"):
+        _study(str(in_dir / family), z=2, seed=2)
+
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    totals = serve_directory(engine, str(in_dir), str(out_dir))
+    assert totals["studies"] == 1
+    assert sorted(os.path.basename(p)
+                  for p in glob.glob(str(out_dir / "*_pred.nrrd"))) \
+        == ["patient1_msk_pred.nrrd"]
