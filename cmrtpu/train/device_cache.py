@@ -117,13 +117,23 @@ def quantize_images_uint8(imgs: np.ndarray) -> np.ndarray:
     preserves only when 0 is the per-example minimum (true for the MinMax
     deterministic stage, where pad_and_crop's zero borders ARE the min; a
     Standard-scaled cache maps pad zeros to a mid-range bucket, so Var.1 +
-    SCALER='Standard' + uint8 includes borders in the match histograms)."""
-    flat = imgs.reshape(imgs.shape[0], -1).astype(np.float32)
-    lo = flat.min(axis=1, keepdims=True)
-    span = np.maximum(flat.max(axis=1, keepdims=True) - lo,
-                      np.finfo(np.float32).tiny)
-    q = np.rint((flat - lo) / span * 255.0).astype(np.uint8)
-    return q.reshape(imgs.shape)
+    SCALER='Standard' + uint8 includes borders in the match histograms).
+
+    Chunked over examples into a preallocated output: uint8 packing exists
+    precisely for caches near host-RAM scale, so the transient float32
+    temporaries (astype copy + elementwise temps, ~2x the cache) of a
+    whole-array formulation would OOM at upload time — the same blowup
+    ``_uint8_packable`` chunks to avoid."""
+    flat = imgs.reshape(imgs.shape[0], -1)
+    out = np.empty(flat.shape, np.uint8)
+    rows = max(1, (1 << 24) // max(flat.shape[1], 1))
+    tiny = np.finfo(np.float32).tiny
+    for start in range(0, flat.shape[0], rows):
+        c = flat[start:start + rows].astype(np.float32, copy=False)
+        lo = c.min(axis=1, keepdims=True)
+        span = np.maximum(c.max(axis=1, keepdims=True) - lo, tiny)
+        out[start:start + rows] = np.rint((c - lo) / span * 255.0)
+    return out.reshape(imgs.shape)
 
 
 def _warn_if_uint8_unsafe(config: Optional[Dict], knob: str) -> None:
@@ -186,6 +196,48 @@ def cache_shards(config: Optional[Dict], mesh: Mesh) -> int:
     if not bool(C.get(config or {}, "CACHE_SHARDED", False)):
         return 1
     return int(mesh.shape[DATA_AXIS])
+
+
+def per_host_cache(config: Optional[Dict]) -> bool:
+    """True when this run uses the PER-HOST sharded device cache: each
+    process materializes and uploads only the example rows its own devices
+    hold, so host RAM/decode scale with hosts (CACHE_PER_HOST, defaulting
+    on for multi-controller sharded runs).
+
+    THE single resolution of the knob — the fold driver's loop choice /
+    resume epoch math and DeviceCachedLoop must agree on it, or the
+    steps-per-epoch derivation drifts from the loop actually run."""
+    if not bool(C.get(config or {}, "CACHE_SHARDED", False)):
+        return False
+    knob = C.get(config, "CACHE_PER_HOST", None)
+    return jax.process_count() > 1 if knob is None else bool(knob)
+
+
+def _hist_match_setup(config: Dict, augment: bool):
+    """(match_fn, hist_prob) for Var.1 hist-matching inside a fused step;
+    match_fn is None when the variant is off. THE single reading of the
+    HIST_MATCHING/_PROB/_BINS knobs — the GSPMD and explicit-collectives
+    step builders must configure the matcher identically or
+    GRAD_ALLREDUCE_DTYPE would silently change Var.1 semantics.
+
+    The reference hardcodes the 10% rate (ref: src/data/Generators.py:350);
+    _PROB is exposed for tests/ablations. _BINS>0 selects the sort-free
+    binned-CDF matcher (default 2048 from a v5e sweep: 998 vs 961 slices/s
+    at 4096, matcher max-error 7e-3 of the intensity range — well under
+    augmentation noise); 0 selects the exact sorted-quantile formulation.
+    exclude_zeros: the cache holds pad_and_crop'ed images whose zero
+    borders must not enter the histograms (host parity: match unpadded,
+    then re-pad with zeros)."""
+    hist_prob = float(C.get(config, "HIST_MATCHING_PROB", 0.1))
+    if not (bool(C.get(config, "HIST_MATCHING", False)) and augment):
+        return None, hist_prob
+    from cmrtpu.pipeline.histmatch import (match_histograms_binned_jax,
+                                           match_histograms_jax)
+    hist_bins = int(C.get(config, "HIST_MATCHING_BINS", 2048))
+    if hist_bins > 0:
+        return (lambda s, r: match_histograms_binned_jax(
+            s, r, bins=hist_bins, exclude_zeros=True)), hist_prob
+    return match_histograms_jax, hist_prob
 
 
 def _pack_arrays(x: np.ndarray, y: np.ndarray, config: Optional[Dict],
@@ -461,28 +513,8 @@ def make_cached_train_step(model, optimizer, loss_fn: Callable,
     # experiments, ref: src/data/Generators.py:350-358): ~10% of examples are
     # quantile-matched against a random slice drawn from the resident cache,
     # so the flagship throughput path covers all four experiment variants
-    hist_matching = bool(C.get(cfg, "HIST_MATCHING", False)) and augment
-    # the reference hardcodes the 10% rate (Generators.py:350); exposed as a
-    # knob for tests / ablations
-    hist_prob = float(C.get(cfg, "HIST_MATCHING_PROB", 0.1))
-    # binned CDF matching (sort-free, fast on TPU); 0 selects the exact
-    # sorted-quantile formulation. Default 2048 from a v5e sweep: 998 vs
-    # 961 slices/s at 4096, matcher max-error 7e-3 of the intensity range
-    # (<< augmentation noise); below 1024 throughput plateaus
-    hist_bins = int(C.get(cfg, "HIST_MATCHING_BINS", 2048))
-    if hist_matching:
-        from cmrtpu.pipeline.histmatch import (match_histograms_binned_jax,
-                                               match_histograms_jax)
-        if hist_bins > 0:
-            # exclude_zeros: the cache holds pad_and_crop'ed images whose
-            # zero borders must not enter the histograms (host parity:
-            # match unpadded, then re-pad with zeros)
-            match_fn = lambda s, r: match_histograms_binned_jax(
-                s, r, bins=hist_bins, exclude_zeros=True)
-        else:
-            match_fn = match_histograms_jax
-    else:
-        match_fn = None
+    match_fn, hist_prob = _hist_match_setup(cfg, augment)
+    hist_matching = match_fn is not None
 
     def step_fn(state: S.TrainState, data_x, data_y, idxs, rng):
         # gather in storage dtype (bf16/uint8 caches move half the bytes),
@@ -642,9 +674,9 @@ class DeviceCachedLoop:
         # its own devices hold — host RAM/decode scale with hosts. Needs a
         # loader (DataGenerator.fixed_rows); the generator may then run with
         # CACHE_IN_MEMORY=False so no host ever materializes the full set.
-        knob = C.get(cfg, "CACHE_PER_HOST", None)
-        self.per_host = self.sharded and (
-            jax.process_count() > 1 if knob is None else bool(knob))
+        # per_host_cache is the ONE resolution of the knob, shared with the
+        # fold driver's loop choice and resume epoch math.
+        self.per_host = per_host_cache(cfg)
         if not self.per_host:
             assert getattr(train_gen, "_cache_x", None) is not None, (
                 "DeviceCachedLoop needs an in-memory DataGenerator "

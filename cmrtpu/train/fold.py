@@ -25,14 +25,11 @@ from cmrtpu.utils.io_utils import console_and_file_logger, ensure_dir
 
 
 def _per_host_cache(cfg: Dict) -> bool:
-    """True when this run uses the per-host sharded device cache: each
-    process materializes only its devices' example rows (CACHE_PER_HOST,
-    defaulting on for multi-controller sharded runs)."""
-    import jax
-    if not bool(C.get(cfg, "CACHE_SHARDED", False)):
-        return False
-    knob = C.get(cfg, "CACHE_PER_HOST", None)
-    return jax.process_count() > 1 if knob is None else bool(knob)
+    """The per-host sharded-cache decision — delegated to the ONE shared
+    resolution in device_cache (DeviceCachedLoop reads the same helper, so
+    the loop choice and the resume epoch math cannot drift)."""
+    from cmrtpu.train.device_cache import per_host_cache
+    return per_host_cache(cfg)
 
 
 def _picks_device_cache(cfg: Dict, train_gen, mesh) -> bool:

@@ -50,7 +50,8 @@ from cmrtpu.parallel.mesh import DATA_AXIS
 from cmrtpu.pipeline.augment import augment_batch_fn
 from cmrtpu.pipeline.generator import finalize_batch
 from cmrtpu.train import steps as S
-from cmrtpu.train.device_cache import _gated_match, _shard_map, hist_quota
+from cmrtpu.train.device_cache import (_gated_match, _hist_match_setup,
+                                       _shard_map, hist_quota)
 
 
 def _pcast_varying(x):
@@ -74,17 +75,10 @@ def make_manual_train_step(model, optimizer, loss_fn: Callable,
     reduce_dtype = str(C.get(cfg, "GRAD_ALLREDUCE_DTYPE",
                              "bfloat16")).lower()
     rd = jnp.bfloat16 if reduce_dtype in ("bfloat16", "bf16") else jnp.float32
-    hist_matching = bool(C.get(cfg, "HIST_MATCHING", False)) and augment
-    hist_prob = float(C.get(cfg, "HIST_MATCHING_PROB", 0.1))
-    hist_bins = int(C.get(cfg, "HIST_MATCHING_BINS", 2048))
-    if hist_matching:
-        from cmrtpu.pipeline.histmatch import (match_histograms_binned_jax,
-                                               match_histograms_jax)
-        if hist_bins > 0:
-            match_fn = lambda s, r: match_histograms_binned_jax(
-                s, r, bins=hist_bins, exclude_zeros=True)
-        else:
-            match_fn = match_histograms_jax
+    # one shared knob-reading with the GSPMD step builder: flipping
+    # GRAD_ALLREDUCE_DTYPE must never change Var.1's matcher configuration
+    match_fn, hist_prob = _hist_match_setup(cfg, augment)
+    hist_matching = match_fn is not None
 
     def local_step(state: S.TrainState, dx, dy, ix, rng):
         # everything below sees LOCAL views: dx/dy are this device's cache

@@ -70,8 +70,11 @@ class StreamedLoop:
             f"BATCHSIZE {self.batch} must be a multiple of the data-mesh "
             f"size {n_shards}")
         local_batch = self.batch // n_shards
-        # identity local gather: row r of each device's batch shard
-        self._idxs = jax.device_put(
+        # identity local gather: row r of each device's batch shard.
+        # put_global, not device_put: a sharding-destination device_put
+        # raises on a multi-controller mesh (parallel/mesh.py put_global)
+        from cmrtpu.parallel.mesh import put_global
+        self._idxs = put_global(
             np.tile(np.arange(local_batch, dtype=np.int32), n_shards),
             NamedSharding(self.mesh, P(DATA_AXIS)))
         self._augment = bool(C.get(cfg, "AUGMENT", False))

