@@ -118,6 +118,14 @@ DEFAULTS: Dict[str, Any] = {
     "BN_BF16": False,            # keep BatchNorm's big-tensor math in bf16
                                  # (f32 statistics only); MIXED_PRECISION-only
                                  # opt-in — see unet.py BF16BatchNorm
+    "MONITOR_LOCALISATION": False,  # add loc_mm/loc_det (the target metric,
+                                    # mm + FN upper bound) to the live
+                                    # train/eval metrics; monitor best-only
+                                    # checkpoints on 'val_loc_mm'/'min'
+                                    # (eval/detection.py localisation_metrics)
+    "DETECTION_STRATEGY": "com",    # landmark peak extraction: 'com'
+                                    # (reference parity) | 'argmax' (natural
+                                    # for GAUS heatmap targets)
     "DEVICE_CACHE_LIMIT_GB": 8.0,  # max HBM for the device-resident dataset
                                    # cache; larger datasets stream from host
     "CACHE_DTYPE": "float32",    # device-cache image storage; 'bfloat16'

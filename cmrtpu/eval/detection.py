@@ -64,3 +64,66 @@ def detect(heatmaps, strategy: str = "com", threshold: float = 0.5):
     if strategy == "com":
         return peaks_com(heatmaps, threshold=threshold)
     raise ValueError(f"unknown detection strategy: {strategy}")
+
+
+def localisation_metrics(config):
+    """Training-time localisation metrics in mm — the framework's ACTUAL
+    target quantity as a live train/eval metric (MONITOR_LOCALISATION).
+
+    The reference can only monitor dice proxies during training (ref:
+    src/models/train_model.py:54-59); its mm localisation error exists
+    solely in the offline evaluation (ref: get_distances,
+    src/models/evaluate_cv.py:549-595). Because this framework's detection
+    strategies are jit-compiled and batched (above), the real metric rides
+    the fused train/eval steps at negligible cost, and the best-only
+    checkpoint monitor can select directly on millimetres
+    (``SAVE_MODEL_FUNCTION: 'val_loc_mm'``, ``SAVE_MODEL_MODE: 'min'``):
+
+      * ``loc_mm``  — mean distance between the gt landmark (CoM of the
+        target channel) and the detected landmark (DETECTION_STRATEGY:
+        'com'|'argmax'), converted px->mm with the preprocessed grid's
+        in-plane SPACING (constant after resampling). A gt-present landmark
+        the model MISSES contributes the distance to the farthest image
+        corner — the host suite's FN upper bound (ref:
+        get_distances_upper_bound, src/models/evaluate_cv.py:572-595) — so
+        a collapsed detector can never outscore a detecting one.
+      * ``loc_det`` — detected fraction of gt-present landmarks.
+
+    Landmark channels are the TRAILING len(MASK_VALUES) target channels
+    (the reference's back-indexing convention), so both sigmoid [ant, inf]
+    and softmax [bg, ant, inf] layouts resolve correctly. Slices whose gt
+    has no landmark (apex/base) are excluded, matching the evaluation
+    suite's None-handling. 2D single-head configs (the landmark family)."""
+    from cmrtpu import config as C
+
+    spacing = float(jnp.mean(jnp.asarray(
+        C.get(config, "SPACING", [1.2, 1.2]), jnp.float32)[-2:]))
+    strategy = str(C.get(config, "DETECTION_STRATEGY", "com") or "com").lower()
+    n_fg = max(1, len(C.get(config, "MASK_VALUES", [1, 2]) or [1, 2]))
+
+    def _pairs(y_true, y_pred):
+        gt, gt_valid = peaks_com(y_true[..., -n_fg:])
+        pr, pr_valid = detect(y_pred[..., -n_fg:], strategy=strategy)
+        return (jnp.nan_to_num(gt), gt_valid,
+                jnp.nan_to_num(pr), pr_valid)
+
+    def loc_mm(y_true, y_pred):
+        gt, gt_valid, pr, pr_valid = _pairs(y_true, y_pred)
+        d = jnp.sqrt(jnp.sum((gt - pr) ** 2, axis=-1))        # [B, C] px
+        h = y_true.shape[-3]
+        w = y_true.shape[-2]
+        corners = jnp.asarray([[0.0, 0.0], [0.0, w - 1.0],
+                               [h - 1.0, 0.0], [h - 1.0, w - 1.0]])
+        ub = jnp.max(jnp.sqrt(jnp.sum(
+            (gt[..., None, :] - corners) ** 2, axis=-1)), axis=-1)
+        dist = jnp.where(gt_valid & pr_valid, d, ub)
+        n = jnp.sum(gt_valid)
+        return (jnp.sum(jnp.where(gt_valid, dist, 0.0))
+                / jnp.maximum(n, 1)) * spacing
+
+    def loc_det(y_true, y_pred):
+        _, gt_valid, _, pr_valid = _pairs(y_true, y_pred)
+        n = jnp.sum(gt_valid)
+        return jnp.sum(gt_valid & pr_valid) / jnp.maximum(n, 1)
+
+    return {"loc_mm": loc_mm, "loc_det": loc_det}

@@ -57,6 +57,20 @@ class Trainer:
         self.metrics = metrics if metrics is not None else L.default_metrics(
             C.get(self.config, "MASK_CLASSES"))
         heads = C.get(self.config, "HEADS", ()) or ()
+        if (metrics is None and C.get(self.config, "MONITOR_LOCALISATION",
+                                      False)):
+            # the actual target metric (mm, with the FN upper bound) as a
+            # live train/eval metric — monitorable via
+            # SAVE_MODEL_FUNCTION='val_loc_mm' / SAVE_MODEL_MODE='min'
+            # (cmrtpu/eval/detection.py localisation_metrics)
+            if heads or C.ndims(self.config) != 2:
+                raise ValueError(
+                    "MONITOR_LOCALISATION covers single-head 2D landmark "
+                    "configs (the slice-wise detection contract); use the "
+                    "offline evaluation suite for heads/3D")
+            from cmrtpu.eval.detection import localisation_metrics
+            self.metrics = dict(self.metrics,
+                                **localisation_metrics(self.config))
         if heads and metrics is None:
             # tensor metrics run on the channel-concatenated head outputs
             concat = L.concat_heads(heads)

@@ -157,3 +157,79 @@ def test_cine_volume_training(tmp_path):
     trainer = Trainer(config)
     hist = trainer.fit(gen, epochs=2)
     assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+def test_localisation_metrics_values_and_upper_bound():
+    """loc_mm/loc_det (MONITOR_LOCALISATION): exact px->mm distances, the
+    FN farthest-corner upper bound (ref: get_distances_upper_bound,
+    src/models/evaluate_cv.py:572-595), gt-absent slice exclusion."""
+    import jax.numpy as jnp
+    from cmrtpu.eval.detection import localisation_metrics
+
+    m = localisation_metrics({"SPACING": [2.0, 2.0], "MASK_VALUES": [1, 2]})
+    y = np.zeros((3, 16, 16, 2), np.float32)
+    p = np.zeros_like(y)
+    y[0, 4:7, 4:7, 0] = 1.0
+    p[0, 4:7, 7:10, 0] = 1.0          # anterior 3 px off -> 6 mm
+    y[0, 8:11, 8:11, 1] = 1.0
+    p[0, 8:11, 8:11, 1] = 1.0         # inferior exact -> 0 mm
+    y[1, 11:14, 11:14, 1] = 1.0       # gt present, prediction missing -> UB
+    # example 2: no gt landmarks at all (apex/base slice) — excluded
+    ub_mm = float(np.hypot(12, 12)) * 2.0  # farthest corner from (12, 12)
+    loc = float(m["loc_mm"](jnp.asarray(y), jnp.asarray(p)))
+    det = float(m["loc_det"](jnp.asarray(y), jnp.asarray(p)))
+    assert loc == pytest.approx((6.0 + 0.0 + ub_mm) / 3, rel=1e-5)
+    assert det == pytest.approx(2 / 3, rel=1e-5)
+
+    # softmax layout (bg + landmarks): trailing-channel selection
+    y3 = np.concatenate([1.0 - y.max(-1, keepdims=True), y], axis=-1)
+    p3 = np.concatenate([np.zeros_like(p[..., :1]), p], axis=-1)
+    assert float(m["loc_mm"](jnp.asarray(y3), jnp.asarray(p3))) \
+        == pytest.approx(loc, rel=1e-5)
+
+
+def test_monitor_localisation_rides_training():
+    """MONITOR_LOCALISATION=True: loc metrics appear in train+val logs and
+    the best-only checkpoint can monitor val_loc_mm."""
+    from cmrtpu.train.trainer import Trainer
+
+    cfg = {"DIM": [24, 24], "DEPTH": 1, "FILTERS": 2, "MASK_CLASSES": 2,
+           "MASK_VALUES": [1, 2], "BATCHSIZE": 4, "MIXED_PRECISION": False,
+           "LEARNING_RATE": 1e-3, "SEED": 0, "SCALER": "MinMax",
+           "MONITOR_LOCALISATION": True, "AUGMENT": False}
+    trainer = Trainer(cfg)
+    assert "loc_mm" in trainer.metrics and "loc_det" in trainer.metrics
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 24, 24)).astype(np.float32)
+    y = np.zeros((8, 24, 24), np.float32)
+    y[:, 4:7, 4:7] = 1.0
+    y[:, 16:19, 12:15] = 2.0
+    from cmrtpu.train.device_cache import DeviceCachedLoop
+
+    class _ArrGen:  # the cached-loop array facade (padded cache attributes)
+        masks = True
+
+        def __init__(self, xa, ya):
+            self._cache_x = np.stack(xa)
+            self._cache_y = np.stack(ya)
+
+    loop = DeviceCachedLoop(trainer, _ArrGen(x, y), _ArrGen(x[:4], y[:4]))
+    logs = loop.run_train_epoch()
+    ev = loop.run_eval_epoch()
+    assert np.isfinite(float(logs["loc_mm"]))
+    assert np.isfinite(float(ev["loc_mm"]))
+    assert 0.0 <= float(ev["loc_det"]) <= 1.0
+
+
+def test_monitor_localisation_rejects_heads_and_3d():
+    from cmrtpu.train.trainer import Trainer
+
+    base = {"DIM": [16, 16], "DEPTH": 1, "FILTERS": 2, "MASK_CLASSES": 2,
+            "MASK_VALUES": [1, 2], "BATCHSIZE": 2, "MIXED_PRECISION": False,
+            "LEARNING_RATE": 1e-3, "SEED": 0, "MONITOR_LOCALISATION": True}
+    with pytest.raises(ValueError, match="MONITOR_LOCALISATION"):
+        Trainer(dict(base, HEADS=[["rvip", 2, "sigmoid"],
+                                  ["sep", 4, "softmax"]]))
+    with pytest.raises(ValueError, match="MONITOR_LOCALISATION"):
+        Trainer(dict(base, DIM=[8, 16, 16]))
