@@ -26,3 +26,18 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# CMRTPU_PLATFORM=cpu|tpu pins jax's platform via the CONFIG API before any
+# backend initializes. The env-var route (JAX_PLATFORMS) is unreliable in
+# fresh processes here: a container sitecustomize force-registers the TPU
+# plugin and overrides it, so a subprocess meant for CPU (CLI tests, smoke
+# drives) would instead block on the — possibly busy — tunneled chip. The
+# config API wins over the sitecustomize; a no-op unless the variable is set.
+import os as _os
+
+_platform = _os.environ.get("CMRTPU_PLATFORM", "")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+del _os, _platform

@@ -247,10 +247,28 @@ def pred_fold(config: Dict) -> bool:
 
             orig = None
             if orig_given:
-                orig_f = filter_by_patient_id(p, orig_cmr_files)[0]
-                orig = read_image(orig_f)
-            # config-spacing fallback (ref: predict_model.py:174-181)
-            spacing = tuple(reversed(C.get(cfg, "SPACING"))) + (10.0,)
+                matches = filter_by_patient_id(p, orig_cmr_files)
+                if matches:
+                    orig = read_image(matches[0])
+                else:
+                    # partial DATA_PATH_ORIG coverage: fall back to the
+                    # config-spacing path for THIS patient instead of
+                    # aborting the fold mid-write with an IndexError
+                    logging.warning(
+                        "pred_fold: no original file for patient %s under "
+                        "DATA_PATH_ORIG — writing this patient's outputs "
+                        "on the model grid with the config-spacing header",
+                        p)
+            # config-spacing fallback (ref: predict_model.py:174-181).
+            # RESAMPLE=False keeps the slices on their NATIVE in-plane grid,
+            # so the header must carry the slice files' own spacing — the
+            # reference would stamp config SPACING regardless, silently
+            # skewing every downstream mm measurement (quirk not replicated)
+            if bool(C.get(cfg, "RESAMPLE", False)):
+                inplane = tuple(reversed(C.get(cfg, "SPACING")))
+            else:
+                inplane = tuple(read_image(phase_files[0]).spacing[:2])
+            spacing = inplane + (10.0,)
 
             def to_orig(flat_labels: np.ndarray) -> MedicalImage:
                 if orig is not None:
@@ -315,7 +333,14 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
             # preprocess the t x z slices directly (equivalent to sliceable(),
             # ref: Generators.py:401-424, but batched for throughput)
             dim = tuple(C.get(cfg, "DIM"))
-            spacing = list(reversed(C.get(cfg, "SPACING")))
+            # the predicted grid's TRUE in-plane spacing: the config target
+            # only after resampling; RESAMPLE=False pads/crops the study's
+            # native grid, so stamping config SPACING would silently skew
+            # every downstream mm measurement on that header
+            if bool(C.get(cfg, "RESAMPLE", False)):
+                spacing = list(reversed(C.get(cfg, "SPACING")))
+            else:
+                spacing = list(vol.spacing[:2])
             batch = preprocess_model_input(
                 nda.reshape(t_dim * z_dim, *nda.shape[2:]),
                 vol.spacing[:2], cfg)

@@ -244,26 +244,78 @@ def _worklist(in_dir: str, patterns: Sequence[str],
     for pat in patterns:
         files.extend(glob.glob(os.path.join(in_dir, pat)))
     # default: never re-ingest our own outputs when in_dir == out_dir
-    return sorted(f for f in set(files)
-                  if not f.endswith(tuple(exclude)))
+    out = sorted(f for f in set(files) if not f.endswith(tuple(exclude)))
+    # one study identity per stem: patientA.nii + patientA.nrrd would share
+    # the marker and the output names — the duplicate would either be
+    # silently skipped forever or overwrite the first's outputs. Serve the
+    # (sorted) first, warn loudly about the rest.
+    seen: Dict[str, str] = {}
+    unique: List[str] = []
+    for f in out:
+        stem = _stem(f)
+        if stem in seen:
+            logging.warning(
+                "serve worklist: %s collides with %s on study stem '%s' — "
+                "only the first is served; rename one of them to serve both",
+                f, seen[stem], stem)
+            continue
+        seen[stem] = f
+        unique.append(f)
+    return unique
 
 
 def _claim(marker: str, stale_claim_s: float) -> Optional[int]:
     """Atomically claim a study. Returns an open fd, or None if the study
     is already served/claimed. An EMPTY marker older than ``stale_claim_s``
-    is a dead claim (hard-killed server mid-study) and is taken over."""
+    is a dead claim (hard-killed server mid-study) and is taken over —
+    live claimants heartbeat their marker's mtime while processing (see
+    serve_directory), so only a truly dead claim ever ages past the
+    threshold. The takeover itself is a RENAME: exactly one of N competing
+    reclaimers wins it (the losers' rename raises), closing the window the
+    previous O_TRUNC re-open left where several watchers could all
+    "reclaim" and interleave writes into one marker."""
     try:
         return os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         try:
             st = os.stat(marker)
             if st.st_size == 0 and time.time() - st.st_mtime > stale_claim_s:
-                logging.warning("reclaiming stale empty claim %s (a previous "
+                grave = f"{marker}.stale.{os.getpid()}"
+                os.rename(marker, grave)  # atomic: one winner, losers raise
+                os.unlink(grave)
+                logging.warning("reclaimed stale empty claim %s (a previous "
                                 "server died mid-study)", marker)
-                return os.open(marker, os.O_WRONLY | os.O_TRUNC)
+                return os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except OSError:
             pass
         return None
+
+
+def _heartbeat(marker: str, interval_s: float):
+    """Background mtime touch while a study is being processed, so a study
+    that legitimately outlives ``stale_claim_s`` (large stack, cold engine)
+    is never mistaken for a dead claim and double-served. Returns a stop
+    callable."""
+    import threading
+
+    stop = threading.Event()
+
+    def _touch():
+        while not stop.wait(interval_s):
+            try:
+                os.utime(marker)
+            except OSError:  # marker released (interrupt path) — stop
+                return
+
+    t = threading.Thread(target=_touch, daemon=True,
+                         name="cmrtpu-claim-heartbeat")
+    t.start()
+
+    def _stop():
+        stop.set()
+        t.join(timeout=interval_s + 1.0)
+
+    return _stop
 
 
 def serve_directory(engine: ServingEngine, in_dir: str, out_dir: str,
@@ -310,6 +362,8 @@ def serve_directory(engine: ServingEngine, in_dir: str, out_dir: str,
                 fd = _claim(marker, stale_claim_s)
                 if fd is None:
                     continue  # processed (or live-claimed) already
+                stop_heartbeat = _heartbeat(marker,
+                                            max(stale_claim_s / 4.0, 0.5))
                 with os.fdopen(fd, "w") as fh:
                     try:
                         record = engine.process_study(path, out_dir)
@@ -323,6 +377,8 @@ def serve_directory(engine: ServingEngine, in_dir: str, out_dir: str,
                         # it forever on an empty marker
                         os.unlink(marker)
                         raise
+                    finally:
+                        stop_heartbeat()
                     json.dump(record, fh)
                 attempted += 1
                 if stats_fh:

@@ -22,6 +22,7 @@ import math
 import os
 from typing import Dict, List, Optional
 
+import jax
 import numpy as np
 
 from cmrtpu import config as C
@@ -66,6 +67,18 @@ class ModelCheckpoint(Callback):
         self.mode = mode
         self.best = math.inf if mode == "min" else -math.inf
         self.save_full_state = save_full_state
+        if async_write and save_full_state and jax.process_count() > 1:
+            # save_train_state is a cross-process collective (orbax multihost
+            # sync). All processes DECIDE to save identically (replicated
+            # logs), but the latest-wins async writer coalesces pending
+            # snapshots per process by local disk speed — a slow host could
+            # skip a save a fast host executes, diverging the collective
+            # entry counts and hanging the job. Synchronous in-loop saves
+            # keep every process's entries matched.
+            logging.info("ModelCheckpoint: multi-controller run — full-state"
+                         " saves switch to synchronous (collective entry "
+                         "counts must match across processes)")
+            async_write = False
         self.async_write = async_write
         self._writer = ckpt.AsyncCheckpointWriter() if async_write else None
         self._saved = False
@@ -459,6 +472,23 @@ def finetune_with_sgd(trainer, train_data, val_data=None,
     (ref: finetune_with_SGD, src/utils/KerasCallbacks.py:280-306 — the
     OptimizerChanger callback automates the same hand-off mid-fit)."""
     trainer.switch_optimizer("sgd")
+    cbs = get_callbacks(trainer.config)
+    # seed the fresh checkpoint monitor with the pre-fine-tune best: a new
+    # ModelCheckpoint starts at ±inf, so the FIRST SGD epoch (typically
+    # worse right after the swap — fresh optimizer state) would otherwise
+    # always "improve" and overwrite the better adam-phase checkpoint
+    for cb in cbs:
+        if isinstance(cb, ModelCheckpoint):
+            seen = [h[cb.monitor] for h in trainer.history
+                    if cb.monitor in h]
+            if seen:
+                cb.best = min(seen) if cb.mode == "min" else max(seen)
+            if os.path.exists(os.path.join(cb.model_path, "model.npz")):
+                # the never-improved train-end fallback exists so downstream
+                # consumers have SOME weights; here they already do (the
+                # pre-fine-tune best) — don't let the fallback replace them
+                # with the final SGD state
+                cb._saved = True
     return trainer.fit(train_data, val_data, epochs=epochs,
                        initial_epoch=initial_epoch,
-                       callbacks=get_callbacks(trainer.config))
+                       callbacks=cbs)

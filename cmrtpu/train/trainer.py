@@ -279,10 +279,11 @@ class Trainer:
         from cmrtpu.train.device_cache import DeviceCachedLoop
 
         # reuse the loop (uploaded cache + compiled fused steps) across calls;
-        # key holds strong references so a recycled id() can't alias stale data
+        # key holds strong references so a recycled id() can't alias stale
+        # data. Tuple equality (identity per element) — ``is not`` on a
+        # freshly built tuple could never hit (same as fit_streamed below)
         cache_key = (train_gen, val_gen)
-        if getattr(self, "_cached_loop_key", None) is not cache_key and \
-                getattr(self, "_cached_loop_key", None) != cache_key:
+        if getattr(self, "_cached_loop_key", None) != cache_key:
             self._cached_loop = DeviceCachedLoop(self, train_gen, val_gen)
             self._cached_loop_key = cache_key
         loop = self._cached_loop

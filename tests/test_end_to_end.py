@@ -368,3 +368,41 @@ def test_steps_per_epoch_matches_each_loop():
     streamed = {"BATCHSIZE": 16, "DEVICE_CACHE_LIMIT_GB": 1e-9,
                 "STREAM_ECHO": 3}
     assert _steps_per_epoch(streamed, _Gen(60), mesh) == 9
+
+
+def test_pred_fold_partial_orig_coverage(trained_exp, synthetic_root,
+                                         tmp_path):
+    """A DATA_PATH_ORIG that covers only SOME test patients must not abort
+    the fold (the positional [0] used to IndexError mid-write): covered
+    patients restore original geometry, the rest fall back to the model
+    grid with the config-spacing header."""
+    import json
+    import shutil
+
+    from cmrtpu import config as C
+    from cmrtpu.predict.predictor import pred_fold
+
+    cfg = json.load(open(os.path.join(trained_exp, "f0", "config",
+                                      "config.json")))
+    test_patients = sorted(
+        pd.read_csv(cfg["DF_FOLDS"]).query("fold == 0 and modality == 'test'")
+        ["patient"].unique())
+    assert len(test_patients) >= 2
+    covered, uncovered = test_patients[0], test_patients[1]
+
+    partial = tmp_path / "orig_partial"
+    partial.mkdir()
+    shutil.copytree(os.path.join(synthetic_root, "original", covered),
+                    str(partial / covered))
+    out = tmp_path / "fold_out"
+    cfg = dict(cfg, EXP_PATH=str(out), DATA_PATH_ORIG=str(partial))
+    assert pred_fold(cfg)
+
+    cov = read_image(glob.glob(os.path.join(
+        str(out), "pred", f"{covered}_ED_msk.nrrd"))[0])
+    unc = read_image(glob.glob(os.path.join(
+        str(out), "pred", f"{uncovered}_ED_msk.nrrd"))[0])
+    assert cov.array.shape == (4, 36, 34)          # original geometry
+    np.testing.assert_allclose(cov.spacing, (1.4, 1.4, 8.0), rtol=1e-5)
+    assert unc.array.shape[1:] == (32, 32)         # model grid fallback
+    np.testing.assert_allclose(unc.spacing, (1.4, 1.4, 10.0), rtol=1e-5)

@@ -303,6 +303,10 @@ def test_serve_cli_end_to_end(fold_dir, tmp_path):
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.dirname(os.path.dirname(__file__))]
         + env.get("PYTHONPATH", "").split(os.pathsep))
+    # config-API platform pin: the container sitecustomize overrides the
+    # JAX_PLATFORMS env var in fresh processes, which would send this
+    # subprocess to the (possibly busy) tunneled TPU instead of CPU
+    env["CMRTPU_PLATFORM"] = "cpu"
     out = subprocess.run(
         [sys.executable, "-m", "cmrtpu.cli.serve", "-exp",
          str(tmp_path / "fold"), "-in", str(in_dir), "-out", str(out_dir),
@@ -350,3 +354,23 @@ def test_serve_skips_pipeline_output_families(fold_dir, tmp_path):
     assert sorted(os.path.basename(p)
                   for p in glob.glob(str(out_dir / "*_pred.nrrd"))) \
         == ["patient1_msk_pred.nrrd"]
+
+
+def test_worklist_stem_collision_serves_first_and_warns(fold_dir, tmp_path,
+                                                        caplog):
+    """patientA.nii + patientA.nrrd share one study identity (marker and
+    output names): the sorted-first is served, the duplicate is skipped
+    with a loud warning instead of silently lost or overwritten."""
+    import logging as _logging
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _study(str(in_dir / "patientA.nrrd"), z=2, seed=0)
+    _study(str(in_dir / "patientA.nii"), z=3, seed=1)
+
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    with caplog.at_level(_logging.WARNING):
+        totals = serve_directory(engine, str(in_dir), str(out_dir))
+    assert totals["studies"] == 1
+    assert any("collides" in r.message for r in caplog.records)

@@ -435,3 +435,49 @@ def test_checkpoint_flushed_when_training_crashes(tmp_path):
         trainer.fit(SyntheticBatches(), epochs=5, callbacks=[cb, Boom()])
     params, _ = load_weights(str(tmp_path))
     assert params  # epoch-0/1 best checkpoint survived the crash
+
+
+def test_finetune_sgd_keeps_prior_best_checkpoint(tmp_path):
+    """finetune_with_sgd seeds the fresh ModelCheckpoint from the trainer's
+    history and suppresses the never-improved fallback when a checkpoint
+    already exists — a worse SGD epoch must not replace the adam-phase
+    best weights."""
+    import numpy as np
+    from cmrtpu.train import checkpoint as ckpt
+    from cmrtpu.train.callbacks import finetune_with_sgd
+    from cmrtpu.train.trainer import Trainer
+
+    model_path = str(tmp_path / "model")
+    cfg = dict(CFG, BATCHSIZE=8, EPOCHS=1, EXP_PATH=str(tmp_path),
+               MODEL_PATH=model_path, TENSORBOARD_PATH=str(tmp_path / "tb"),
+               SAVE_MODEL_FUNCTION="loss", SAVE_MODEL_MODE="min")
+    trainer = Trainer(cfg)
+    # the "adam-phase best": current params saved, history best unbeatable
+    ckpt.save_weights(model_path, trainer.state.params,
+                      trainer.state.batch_stats)
+    before, _ = ckpt.load_weights(model_path)
+    flat_before = jax.tree_util.tree_leaves(before)
+    trainer.history = [{"loss": -1e9}]  # no real epoch can improve on this
+
+    x = np.zeros((8, 32, 32, 1), np.float32)
+    y = np.zeros((8, 32, 32, 2), np.float32)
+    finetune_with_sgd(trainer, [(x, y)], initial_epoch=0, epochs=2)
+    after, _ = ckpt.load_weights(model_path)
+    for a, b in zip(jax.tree_util.tree_leaves(after), flat_before):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_model_checkpoint_sync_saves_multicontroller(monkeypatch, tmp_path):
+    """Full-state saves are collective (orbax multihost): under
+    process_count>1 the async latest-wins writer could diverge per-process
+    entry counts, so ModelCheckpoint must fall back to synchronous."""
+    from cmrtpu.train import callbacks as cb
+
+    monkeypatch.setattr(cb.jax, "process_count", lambda: 2)
+    mc = cb.ModelCheckpoint(str(tmp_path / "m"), save_full_state=True,
+                            async_write=True)
+    assert mc.async_write is False and mc._writer is None
+    # weights-only saves are pure host-side — async stays allowed
+    mc2 = cb.ModelCheckpoint(str(tmp_path / "m2"), save_full_state=False,
+                             async_write=True)
+    assert mc2.async_write is True and mc2._writer is not None
