@@ -79,21 +79,29 @@ def localisation_metrics(config):
     checkpoint monitor can select directly on millimetres
     (``SAVE_MODEL_FUNCTION: 'val_loc_mm'``, ``SAVE_MODEL_MODE: 'min'``):
 
-      * ``loc_mm``  — mean distance between the gt landmark (CoM of the
-        target channel) and the detected landmark (DETECTION_STRATEGY:
-        'com'|'argmax'), converted px->mm with the preprocessed grid's
-        in-plane SPACING (constant after resampling). A gt-present landmark
-        the model MISSES contributes the distance to the farthest image
-        corner — the host suite's FN upper bound (ref:
-        get_distances_upper_bound, src/models/evaluate_cv.py:572-595) — so
-        a collapsed detector can never outscore a detecting one.
-      * ``loc_det`` — detected fraction of gt-present landmarks.
+      * ``loc_mm``  — SYMMETRIC mean localisation error over every slot
+        (slice x channel) where gt or prediction detects a landmark:
+        both present -> their distance (gt channel CoM vs the detected
+        peak, DETECTION_STRATEGY 'com'|'argmax'), converted px->mm with
+        the preprocessed grid's in-plane SPACING (constant after
+        resampling); one-sided slots — a MISSED gt landmark (FN) or a
+        SPURIOUS detection on a gt-absent slice (FP) — are charged the
+        distance to the farthest image corner, the host suite's upper
+        bound (ref: get_distances_upper_bound,
+        src/models/evaluate_cv.py:572-595). The FP charge matters for
+        checkpoint SELECTION: spurious off-landmark detections dominate
+        the offline volume-CoM error (measured in the TTA study), and a
+        gt-present-only metric is blind to them — it preferred a
+        spurious-heavy mid-training checkpoint in the at-scale A/B.
+      * ``loc_det`` — detected fraction of gt-present landmarks (TPR).
+      * ``loc_fp``  — detections on gt-absent slots / gt-absent slots.
 
     Landmark channels are the TRAILING len(MASK_VALUES) target channels
     (the reference's back-indexing convention), so both sigmoid [ant, inf]
-    and softmax [bg, ant, inf] layouts resolve correctly. Slices whose gt
-    has no landmark (apex/base) are excluded, matching the evaluation
-    suite's None-handling. 2D single-head configs (the landmark family)."""
+    and softmax [bg, ant, inf] layouts resolve correctly. Slots where
+    NEITHER side detects (apex/base slices, correctly) are excluded,
+    matching the evaluation suite's None-handling. 2D single-head configs
+    (the landmark family)."""
     from cmrtpu import config as C
 
     spacing = float(jnp.mean(jnp.asarray(
@@ -114,11 +122,20 @@ def localisation_metrics(config):
         w = y_true.shape[-2]
         corners = jnp.asarray([[0.0, 0.0], [0.0, w - 1.0],
                                [h - 1.0, 0.0], [h - 1.0, w - 1.0]])
-        ub = jnp.max(jnp.sqrt(jnp.sum(
-            (gt[..., None, :] - corners) ** 2, axis=-1)), axis=-1)
-        dist = jnp.where(gt_valid & pr_valid, d, ub)
-        n = jnp.sum(gt_valid)
-        return (jnp.sum(jnp.where(gt_valid, dist, 0.0))
+
+        def farthest_corner(coords):
+            return jnp.max(jnp.sqrt(jnp.sum(
+                (coords[..., None, :] - corners) ** 2, axis=-1)), axis=-1)
+
+        both = gt_valid & pr_valid
+        # one-sided slots charge the upper bound from whichever coordinate
+        # exists: FN (gt only) from the gt landmark, FP (pred only) from
+        # the spurious detection
+        ub = jnp.where(gt_valid, farthest_corner(gt), farthest_corner(pr))
+        either = gt_valid | pr_valid
+        dist = jnp.where(both, d, ub)
+        n = jnp.sum(either)
+        return (jnp.sum(jnp.where(either, dist, 0.0))
                 / jnp.maximum(n, 1)) * spacing
 
     def loc_det(y_true, y_pred):
@@ -126,4 +143,10 @@ def localisation_metrics(config):
         n = jnp.sum(gt_valid)
         return jnp.sum(gt_valid & pr_valid) / jnp.maximum(n, 1)
 
-    return {"loc_mm": loc_mm, "loc_det": loc_det}
+    def loc_fp(y_true, y_pred):
+        _, gt_valid, _, pr_valid = _pairs(y_true, y_pred)
+        absent = ~gt_valid
+        return (jnp.sum(absent & pr_valid)
+                / jnp.maximum(jnp.sum(absent), 1))
+
+    return {"loc_mm": loc_mm, "loc_det": loc_det, "loc_fp": loc_fp}

@@ -160,9 +160,12 @@ def test_cine_volume_training(tmp_path):
 
 
 def test_localisation_metrics_values_and_upper_bound():
-    """loc_mm/loc_det (MONITOR_LOCALISATION): exact px->mm distances, the
-    FN farthest-corner upper bound (ref: get_distances_upper_bound,
-    src/models/evaluate_cv.py:572-595), gt-absent slice exclusion."""
+    """loc_mm/loc_det/loc_fp (MONITOR_LOCALISATION): exact px->mm
+    distances, the farthest-corner upper bound charged to BOTH one-sided
+    cases — FN (ref: get_distances_upper_bound,
+    src/models/evaluate_cv.py:572-595) and FP (spurious detections on
+    gt-absent slices dominate the offline volume-CoM error; a metric blind
+    to them mis-selects checkpoints) — and empty-slot exclusion."""
     import jax.numpy as jnp
     from cmrtpu.eval.detection import localisation_metrics
 
@@ -173,13 +176,17 @@ def test_localisation_metrics_values_and_upper_bound():
     p[0, 4:7, 7:10, 0] = 1.0          # anterior 3 px off -> 6 mm
     y[0, 8:11, 8:11, 1] = 1.0
     p[0, 8:11, 8:11, 1] = 1.0         # inferior exact -> 0 mm
-    y[1, 11:14, 11:14, 1] = 1.0       # gt present, prediction missing -> UB
-    # example 2: no gt landmarks at all (apex/base slice) — excluded
-    ub_mm = float(np.hypot(12, 12)) * 2.0  # farthest corner from (12, 12)
+    y[1, 11:14, 11:14, 1] = 1.0       # FN: gt present, prediction missing
+    p[2, 2:5, 2:5, 0] = 1.0           # FP: detection on a gt-absent slice
+    # remaining slots: neither side detects — excluded
+    ub_fn = float(np.hypot(12, 12)) * 2.0  # farthest corner from (12, 12)
+    ub_fp = float(np.hypot(12, 12)) * 2.0  # farthest corner from (3, 3)
     loc = float(m["loc_mm"](jnp.asarray(y), jnp.asarray(p)))
     det = float(m["loc_det"](jnp.asarray(y), jnp.asarray(p)))
-    assert loc == pytest.approx((6.0 + 0.0 + ub_mm) / 3, rel=1e-5)
+    fp = float(m["loc_fp"](jnp.asarray(y), jnp.asarray(p)))
+    assert loc == pytest.approx((6.0 + 0.0 + ub_fn + ub_fp) / 4, rel=1e-5)
     assert det == pytest.approx(2 / 3, rel=1e-5)
+    assert fp == pytest.approx(1 / 3, rel=1e-5)  # 1 FP / 3 gt-absent slots
 
     # softmax layout (bg + landmarks): trailing-channel selection
     y3 = np.concatenate([1.0 - y.max(-1, keepdims=True), y], axis=-1)
