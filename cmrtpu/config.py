@@ -96,7 +96,11 @@ DEFAULTS: Dict[str, Any] = {
     "MASKING_VALUES": [1, 2, 3],
     # inference / artifacts (ref: src/models/predict_model.py:159,
     # src/utils/KerasCallbacks.py:20-110)
-    "CC_FILTER": False,
+    "CC_FILTER": False,          # predict-time biggest-component filter:
+                                 # truthy = per-slice 2D (reference parity),
+                                 # '3d' = volume-level (removes the isolated
+                                 # off-slice false positives per-slice CC
+                                 # cannot) — predictor.cc_clean_fn
     "TTA": False,                # rot90-orbit test-time augmentation at
                                  # inference (cmrtpu/predict/tta.py)
     "EMA": False,                # exponential-moving-average shadow of the

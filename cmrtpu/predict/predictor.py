@@ -28,13 +28,34 @@ from cmrtpu.data.dataset import get_trainings_files
 from cmrtpu.io import MedicalImage, read_image, write_image
 from cmrtpu.models.hybrids import get_model
 from cmrtpu.ops import resample as R
-from cmrtpu.ops.connected_components import clean_prediction_2d_cc
+from cmrtpu.ops.connected_components import (clean_prediction_2d_cc,
+                                             clean_prediction_3d_cc)
 from cmrtpu.pipeline.generator import DataGenerator
 from cmrtpu.predict.postprocess import undo_generator_steps
 from cmrtpu.train.checkpoint import load_weights_for_model
 from cmrtpu.utils.io_utils import ensure_dir
 
 _BUCKET = 8  # pad slice batches to a multiple of this to bound recompiles
+
+
+def cc_clean_fn(cfg: Dict):
+    """The CC_FILTER knob's cleaner, or None when off.
+
+    Truthy (reference parity, ref: predict_model.py:159-161) keeps the
+    biggest component per label PER SLICE — which cannot remove a spurious
+    blob on a slice with no true detection (it is the biggest there), and
+    those isolated false positives dominate the volume-CoM localisation
+    error (measured in the TTA study and the live loc_fp metric).
+    ``CC_FILTER: '3d'`` instead keeps the biggest 26-connected VOLUME
+    component per label: the contiguous landmark stack survives, isolated
+    off-slice blobs do not. Both run on-device
+    (cmrtpu/ops/connected_components.py)."""
+    mode = C.get(cfg, "CC_FILTER", False)
+    if not mode:
+        return None
+    if str(mode).lower() == "3d":
+        return clean_prediction_3d_cc
+    return clean_prediction_2d_cc
 
 
 class Predictor:
@@ -279,9 +300,10 @@ def pred_fold(config: Dict) -> bool:
 
             for suffix, preds_flat, gts_flat, label_values in \
                     _head_outputs(cfg, preds, gts):
-                if C.get(cfg, "CC_FILTER", False):
+                cc = cc_clean_fn(cfg)
+                if cc is not None:
                     preds_flat = np.asarray(jax.device_get(
-                        clean_prediction_2d_cc(preds_flat, label_values)))
+                        cc(preds_flat, label_values)))
                 write_image(to_orig(gts_flat),
                             os.path.join(gt_path, f"{p}_{phase}_{suffix}.nrrd"))
                 write_image(to_orig(preds_flat),
@@ -354,9 +376,12 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
                 # (same derivation as pred_fold's _head_outputs)
                 cc_labels = tuple(range(1, np.asarray(preds).shape[-1] + 1))
             flat = flatten_head(preds, head_act).reshape(t_dim, z_dim, *dim)
+            # the reference's 4D flow applies per-t 2D CC unconditionally
+            # (ref: predict_4d_on_seg.py:93-99); CC_FILTER='3d' upgrades the
+            # per-t cleaner to the volume (z-stack) biggest component
+            cc = cc_clean_fn(cfg) or clean_prediction_2d_cc
             cleaned = np.stack([np.asarray(jax.device_get(
-                clean_prediction_2d_cc(flat[t], cc_labels)))
-                for t in range(t_dim)])
+                cc(flat[t], cc_labels))) for t in range(t_dim)])
             out = MedicalImage(array=cleaned.astype(np.uint8),
                                spacing=(spacing[0], spacing[1],
                                         vol.spacing[2] if vol.ndim > 2 else 10.0,
@@ -364,3 +389,35 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
             name = os.path.basename(f4d).replace(".nii.gz", "_pred.nrrd")
             write_image(out, os.path.join(out_dir, name))
             logging.info("4D prediction written: %s", name)
+
+
+def predict_override_twin(exp_root: str, overrides: Dict,
+                          suffix: str) -> str:
+    """Re-run inference for every fold of a trained experiment root with
+    inference-only config overrides into a sibling ``<exp_root>_<suffix>``
+    root (same checkpoints), ready for evaluate_cv — the generic form of
+    the TTA / int8 twin pattern, so ANY predict-time knob (TTA,
+    CC_FILTER='3d', DETECTION head choices, ...) can be quality-A/B'd
+    against the plain root on identical weights and data.
+
+    The sibling-root layout keeps evaluate_cv's one-fold-family-per-root
+    contract (cmrtpu/predict/quantize.py quantize_fold)."""
+    import json
+
+    from cmrtpu.utils.io_utils import ensure_dir
+
+    t_root = exp_root.rstrip("/") + f"_{suffix}"
+    folds = sorted(glob.glob(os.path.join(exp_root, "f[0-9]*")))
+    if not folds:
+        raise FileNotFoundError(f"no fold dirs under {exp_root}")
+    for fold_dir in folds:
+        t_fold = os.path.join(t_root, os.path.basename(fold_dir))
+        cfg = C.load_config(os.path.join(fold_dir, "config", "config.json"))
+        cfg.update(overrides)
+        cfg["EXP_PATH"] = t_fold
+        cfg["MODEL_PATH"] = os.path.join(fold_dir, "model")
+        ensure_dir(os.path.join(t_fold, "config"))
+        with open(os.path.join(t_fold, "config", "config.json"), "w") as fh:
+            json.dump(cfg, fh, indent=2, default=str)
+        pred_fold(cfg)
+    return t_root

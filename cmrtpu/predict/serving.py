@@ -120,7 +120,6 @@ class ServingEngine:
             self.batch = max(int(C.get(self.config, "BATCHSIZE", 8) or 8), 1)
             self._forward = predictor._forward
         self._dim = tuple(C.get(self.config, "DIM"))
-        self._cc = bool(C.get(self.config, "CC_FILTER", False))
         if warmup:
             x = np.zeros((self.batch, *self._dim,
                           int(C.get(self.config, "IMG_CHANNELS", 1))),
@@ -156,7 +155,7 @@ class ServingEngine:
         """One study end-to-end: read -> preprocess -> forward -> flatten
         heads (+ optional CC filter) -> inverse-preprocess -> write
         ``<stem>_<suffix>_pred.nrrd`` per head. Returns the latency record."""
-        from cmrtpu.ops.connected_components import clean_prediction_2d_cc
+        from cmrtpu.predict.predictor import cc_clean_fn
 
         stats: Dict = {"file": os.path.basename(path)}
         t0 = time.perf_counter()
@@ -196,10 +195,10 @@ class ServingEngine:
                                 metadata=dict(img.metadata))
         for suffix, flat, label_values in _flat_pred_heads(self.config,
                                                            preds):
-            if self._cc:
+            cc = cc_clean_fn(self.config)
+            if cc is not None:
                 import jax
-                flat = np.asarray(jax.device_get(
-                    clean_prediction_2d_cc(flat, label_values)))
+                flat = np.asarray(jax.device_get(cc(flat, label_values)))
             out_img = undo_generator_steps(flat.astype(np.uint8),
                                            self.config, R.NEAREST, orig)
             if squeeze_2d:

@@ -42,29 +42,9 @@ def predict_tta_twin(exp_root: str) -> str:
 
     The sibling-root layout keeps evaluate_cv's one-fold-family-per-root
     contract (same pattern as the int8 twins, quantize.py quantize_fold)."""
-    import glob
-    import json
-    import os
+    from cmrtpu.predict.predictor import predict_override_twin
 
-    from cmrtpu import config as C
-    from cmrtpu.predict.predictor import pred_fold
-    from cmrtpu.utils.io_utils import ensure_dir
-
-    t_root = exp_root.rstrip("/") + "_tta"
-    folds = sorted(glob.glob(os.path.join(exp_root, "f[0-9]*")))
-    if not folds:
-        raise FileNotFoundError(f"no fold dirs under {exp_root}")
-    for fold_dir in folds:
-        t_fold = os.path.join(t_root, os.path.basename(fold_dir))
-        cfg = C.load_config(os.path.join(fold_dir, "config", "config.json"))
-        cfg["TTA"] = True
-        cfg["EXP_PATH"] = t_fold
-        cfg["MODEL_PATH"] = os.path.join(fold_dir, "model")
-        ensure_dir(os.path.join(t_fold, "config"))
-        with open(os.path.join(t_fold, "config", "config.json"), "w") as fh:
-            json.dump(cfg, fh, indent=2, default=str)
-        pred_fold(cfg)
-    return t_root
+    return predict_override_twin(exp_root, {"TTA": True}, "tta")
 
 
 def tta_rot90_forward(apply_fn: Callable, dim: Sequence[int]) -> Callable:

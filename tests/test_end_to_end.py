@@ -406,3 +406,25 @@ def test_pred_fold_partial_orig_coverage(trained_exp, synthetic_root,
     np.testing.assert_allclose(cov.spacing, (1.4, 1.4, 8.0), rtol=1e-5)
     assert unc.array.shape[1:] == (32, 32)         # model grid fallback
     np.testing.assert_allclose(unc.spacing, (1.4, 1.4, 10.0), rtol=1e-5)
+
+
+def test_predict_override_twin_cc3d(trained_exp, synthetic_root):
+    """predict_override_twin re-serves every fold with inference-only
+    overrides into a sibling root (the generic TTA/int8 twin pattern):
+    same checkpoints, twin config carries the override, outputs appear in
+    the same layout — the substrate of tools/predict_ab.py."""
+    import json
+
+    from cmrtpu.predict.predictor import predict_override_twin
+
+    t_root = predict_override_twin(trained_exp, {"CC_FILTER": "3d"}, "cc3d")
+    assert t_root == trained_exp.rstrip("/") + "_cc3d"
+    cfg = json.load(open(os.path.join(t_root, "f0", "config", "config.json")))
+    assert cfg["CC_FILTER"] == "3d"
+    assert cfg["MODEL_PATH"] == os.path.join(trained_exp, "f0", "model")
+    preds = sorted(glob.glob(os.path.join(t_root, "f0", "pred", "*_msk.nrrd")))
+    plain = sorted(glob.glob(os.path.join(trained_exp, "f0", "pred",
+                                          "*_msk.nrrd")))
+    assert len(preds) == len(plain) > 0
+    out = read_image(preds[0])
+    assert set(np.unique(out.array)) <= {0, 1, 2}

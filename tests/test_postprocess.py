@@ -93,3 +93,30 @@ def test_undo_without_resample_noop_shapes():
     out = undo_generator_steps(pred, cfg, R.NEAREST, orig)
     assert out.array.shape == (2, 32, 32)
     assert 2 in out.array  # centre blob survives the crop
+
+
+def test_cc_filter_3d_removes_isolated_offslice_blob():
+    """CC_FILTER='3d' keeps the contiguous landmark stack and removes an
+    isolated spurious blob on an otherwise-empty slice — exactly the false
+    positive per-slice 2D CC (reference parity, truthy CC_FILTER) must keep
+    (it is the biggest component on its slice)."""
+    import numpy as np
+
+    from cmrtpu.predict.predictor import cc_clean_fn
+
+    pred = np.zeros((4, 12, 12), np.uint8)
+    pred[0:3, 4:6, 4:6] = 1          # true stack across z=0..2
+    pred[3, 9:11, 9:11] = 1          # spurious blob on an empty slice
+    pred[1, 8:10, 2:4] = 2           # label 2 only on one slice (kept)
+
+    assert cc_clean_fn({"CC_FILTER": False}) is None
+    cc2d = cc_clean_fn({"CC_FILTER": True})
+    cc3d = cc_clean_fn({"CC_FILTER": "3d"})
+
+    out2d = np.asarray(cc2d(pred, (1, 2)))
+    assert out2d[3, 9:11, 9:11].sum() > 0    # 2D CC keeps the spurious blob
+
+    out3d = np.asarray(cc3d(pred, (1, 2)))
+    assert out3d[3].sum() == 0               # 3D CC removes it
+    assert (out3d[0:3, 4:6, 4:6] == 1).all()  # true stack survives
+    assert (out3d[1, 8:10, 2:4] == 2).all()   # other label untouched
