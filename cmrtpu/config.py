@@ -146,6 +146,20 @@ _ALIASES = {
     "REDUCE_LR_ON_PLAEAU_PATIENCE": "REDUCE_LR_ON_PLATEAU_PATIENCE",
 }
 
+# valid keys that intentionally carry no DEFAULTS entry: derived per-run
+# paths, auto-resolving knobs (absence != False), and structured configs
+# whose only sensible default is "unset". parse_override_pairs accepts
+# these; everything else unknown is a typo.
+_SETTABLE_EXTRA = frozenset({
+    "AGC", "AUGMENT_GRID", "CACHE_RESHUFFLE_EPOCHS", "CACHE_SHARDED",
+    "COMPILATION_CACHE_DIR", "CONFIG_PATH", "EXP_PATH", "FOLD_PATH",
+    "GRAD_ALLREDUCE_DTYPE", "HEADS", "HEAD_BIAS_PRIOR", "HEAD_MASK_RULES",
+    "HISTORY_PATH", "HIST_MATCHING_BINS", "HIST_MATCHING_PROB",
+    "MODEL_PATH", "MODEL_VARIANT", "MOMENTUM", "QUANT_INT8", "RESUME",
+    "STREAM_DTYPE", "STREAM_ECHO", "TENSORBOARD_PATH",
+    "WEIGHT_STANDARDISATION",
+})
+
 
 def normalise_config(config: Dict[str, Any]) -> Dict[str, Any]:
     """Uppercase-filter, alias-map and default-fill a raw config dict."""
@@ -155,6 +169,42 @@ def normalise_config(config: Dict[str, Any]) -> Dict[str, Any]:
             continue
         cfg[_ALIASES.get(key, key)] = value
     return cfg
+
+
+def parse_override_pairs(pairs) -> Dict[str, Any]:
+    """Parse CLI ``KEY=VAL`` override pairs into typed config entries.
+
+    Values are JSON-decoded when possible; Python-literal spellings of the
+    JSON atoms (``True``/``False``/``None``, any case) are mapped to real
+    booleans/None instead of surviving as TRUTHY strings — ``--set
+    TTA=False`` must disable the knob, not enable it. Everything else stays
+    a string. Keys are upper-cased (normalise_config drops non-uppercase
+    keys, so a lowercase ``--set tta=true`` would otherwise silently no-op)
+    and checked against the known key surface (DEFAULTS + aliases);
+    unknown keys raise instead of producing a twin identical to the plain
+    run."""
+    out: Dict[str, Any] = {}
+    for pair in pairs:
+        key, sep, val = str(pair).partition("=")
+        if not sep:
+            raise ValueError(f"override '{pair}' is not KEY=VAL")
+        key = key.strip().upper()
+        if (key not in DEFAULTS and key not in _ALIASES
+                and key not in _SETTABLE_EXTRA):
+            raise ValueError(
+                f"unknown config key '{key}' in override '{pair}' — known "
+                f"keys live in cmrtpu/config.py (DEFAULTS/_SETTABLE_EXTRA)")
+        try:
+            out[key] = json.loads(val)
+        except (json.JSONDecodeError, ValueError):
+            lowered = val.strip().lower()
+            if lowered in ("true", "false"):
+                out[key] = lowered == "true"
+            elif lowered in ("none", "null"):
+                out[key] = None
+            else:
+                out[key] = val
+    return out
 
 
 def get(config: Dict[str, Any], key: str, default: Any = None):

@@ -51,11 +51,19 @@ def cc_clean_fn(cfg: Dict):
     off-slice blobs do not. Both run on-device
     (cmrtpu/ops/connected_components.py)."""
     mode = C.get(cfg, "CC_FILTER", False)
-    if not mode:
-        return None
-    if str(mode).lower() == "3d":
-        return clean_prediction_3d_cc
-    return clean_prediction_2d_cc
+    if isinstance(mode, str):
+        norm = mode.strip().lower()
+        if norm in ("", "false", "none", "0"):
+            return None
+        if norm == "3d":
+            return clean_prediction_3d_cc
+        if norm in ("2d", "true", "1"):
+            return clean_prediction_2d_cc
+        # an unrecognized string must not silently fall back to the 2D
+        # cleaner — the user would measure the wrong filter
+        raise ValueError(
+            f"CC_FILTER={mode!r}: expected a boolean, '2d' or '3d'")
+    return clean_prediction_2d_cc if mode else None
 
 
 class Predictor:
@@ -243,6 +251,7 @@ def pred_fold(config: Dict) -> bool:
     df = pd.read_csv(df_folds)
     df = df[(df["fold"] == fold) & (df["modality"] == "test")]
 
+    cc = cc_clean_fn(cfg)  # constant per fold — resolved once, not per head
     for p in sorted(df["patient"].unique()):
         files_ = filter_by_patient_id(p, x_val)
         masks_ = filter_by_patient_id(p, y_val)
@@ -300,7 +309,6 @@ def pred_fold(config: Dict) -> bool:
 
             for suffix, preds_flat, gts_flat, label_values in \
                     _head_outputs(cfg, preds, gts):
-                cc = cc_clean_fn(cfg)
                 if cc is not None:
                     preds_flat = np.asarray(jax.device_get(
                         cc(preds_flat, label_values)))
@@ -348,6 +356,10 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
         # constant per fold — selected once so the all-softmax fallback
         # warning fires once, not once per 4D file
         head_name, head_act, head_cc = select_4d_landmark_head(cfg)
+        # the reference's 4D flow applies per-t 2D CC unconditionally
+        # (ref: predict_4d_on_seg.py:93-99); CC_FILTER='3d' upgrades the
+        # per-t cleaner to the volume (z-stack) biggest component
+        cc = cc_clean_fn(cfg) or clean_prediction_2d_cc
         for f4d in fold_files:
             vol = read_image(f4d)
             nda = vol.array  # [t, z, y, x]
@@ -376,10 +388,6 @@ def predict_4d_on_2d_cv(exp_root: str, data_root: str,
                 # (same derivation as pred_fold's _head_outputs)
                 cc_labels = tuple(range(1, np.asarray(preds).shape[-1] + 1))
             flat = flatten_head(preds, head_act).reshape(t_dim, z_dim, *dim)
-            # the reference's 4D flow applies per-t 2D CC unconditionally
-            # (ref: predict_4d_on_seg.py:93-99); CC_FILTER='3d' upgrades the
-            # per-t cleaner to the volume (z-stack) biggest component
-            cc = cc_clean_fn(cfg) or clean_prediction_2d_cc
             cleaned = np.stack([np.asarray(jax.device_get(
                 cc(flat[t], cc_labels))) for t in range(t_dim)])
             out = MedicalImage(array=cleaned.astype(np.uint8),
@@ -404,7 +412,18 @@ def predict_override_twin(exp_root: str, overrides: Dict,
     contract (cmrtpu/predict/quantize.py quantize_fold)."""
     import json
 
-    from cmrtpu.utils.io_utils import ensure_dir
+    # reject typo'd/lowercase keys up front: normalise_config silently
+    # drops non-uppercase keys and C.get never reads unknown ones, so a bad
+    # override would otherwise produce a twin identical to the plain root
+    # and the A/B would report "the knob doesn't help"
+    bad = [k for k in overrides
+           if not (isinstance(k, str) and k.isupper()
+                   and (k in C.DEFAULTS or k in C._ALIASES
+                        or k in C._SETTABLE_EXTRA))]
+    if bad:
+        raise ValueError(
+            f"unknown override key(s) {bad} — keys must be uppercase "
+            f"entries of cmrtpu/config.py (DEFAULTS/_SETTABLE_EXTRA)")
 
     t_root = exp_root.rstrip("/") + f"_{suffix}"
     folds = sorted(glob.glob(os.path.join(exp_root, "f[0-9]*")))

@@ -120,6 +120,10 @@ class ServingEngine:
             self.batch = max(int(C.get(self.config, "BATCHSIZE", 8) or 8), 1)
             self._forward = predictor._forward
         self._dim = tuple(C.get(self.config, "DIM"))
+        # CC_FILTER is constant per engine — resolve the cleaner once (and
+        # fail fast on an invalid mode) instead of per head per study
+        from cmrtpu.predict.predictor import cc_clean_fn
+        self._cc = cc_clean_fn(self.config)
         if warmup:
             x = np.zeros((self.batch, *self._dim,
                           int(C.get(self.config, "IMG_CHANNELS", 1))),
@@ -132,20 +136,36 @@ class ServingEngine:
                      self.init_s, self.batch,
                      artifact_dir or ensemble_root or model_path or "config")
 
+    # dispatch window for predict_slices: how many chunk computations may
+    # be in flight before the oldest result is pulled back. JAX dispatch is
+    # async, so a window > 1 overlaps chunk i's device compute with chunk
+    # i+1's host prep/upload and chunk i-1's download — a serial
+    # device_get per chunk instead makes the device idle through every
+    # host round-trip. 4 bounds in-flight HBM to 4 batch-activations.
+    PIPELINE_WINDOW = 4
+
     def predict_slices(self, x: np.ndarray):
         """Forward a [N, H, W, C] batch through the fixed-shape program in
         ``self.batch``-row chunks (last chunk zero-padded) — one compiled
-        executable regardless of study size."""
+        executable regardless of study size. Chunks are dispatched up to
+        ``PIPELINE_WINDOW`` ahead so upload/compute/download overlap."""
+        from collections import deque
+
         import jax
         n = x.shape[0]
         outs: List = []
+        pending: deque = deque()
         for start in range(0, n, self.batch):
             chunk = x[start:start + self.batch]
             pad = self.batch - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, *x.shape[1:]), x.dtype)])
-            outs.append(jax.device_get(self._forward(chunk)))
+            pending.append(self._forward(chunk))
+            if len(pending) >= self.PIPELINE_WINDOW:
+                outs.append(jax.device_get(pending.popleft()))
+        while pending:
+            outs.append(jax.device_get(pending.popleft()))
         joined = jax.tree_util.tree_map(
             lambda *cs: np.concatenate([np.asarray(c) for c in cs])[:n],
             *outs)
@@ -155,8 +175,6 @@ class ServingEngine:
         """One study end-to-end: read -> preprocess -> forward -> flatten
         heads (+ optional CC filter) -> inverse-preprocess -> write
         ``<stem>_<suffix>_pred.nrrd`` per head. Returns the latency record."""
-        from cmrtpu.predict.predictor import cc_clean_fn
-
         stats: Dict = {"file": os.path.basename(path)}
         t0 = time.perf_counter()
         img = read_image(path)
@@ -195,10 +213,10 @@ class ServingEngine:
                                 metadata=dict(img.metadata))
         for suffix, flat, label_values in _flat_pred_heads(self.config,
                                                            preds):
-            cc = cc_clean_fn(self.config)
-            if cc is not None:
+            if self._cc is not None:
                 import jax
-                flat = np.asarray(jax.device_get(cc(flat, label_values)))
+                flat = np.asarray(jax.device_get(
+                    self._cc(flat, label_values)))
             out_img = undo_generator_steps(flat.astype(np.uint8),
                                            self.config, R.NEAREST, orig)
             if squeeze_2d:

@@ -272,13 +272,10 @@ def main():
         "AGC": args.agc,
         "HEAD_BIAS_PRIOR": args.head_prior,
     }
-    for kv in args.set:
-        key, _, val = kv.partition("=")
-        try:
-            val = json.loads(val)
-        except ValueError:
-            pass
-        config[key.upper()] = val
+    from cmrtpu import config as C
+    # typed + validated overrides: Python-literal booleans map to real
+    # booleans and typo'd keys raise (shared with tools/predict_ab.py)
+    config.update(C.parse_override_pairs(args.set))
     if args.multihead:
         # BASELINE config 4: first sigmoid head keeps the _msk landmark
         # contract; the softmax head adds per-structure seg-dice columns

@@ -91,3 +91,26 @@ def test_load_pretrained_model_chain(tmp_path):
     p, bn, state = ckpt.load_pretrained_model(str(tmp_path))
     np.testing.assert_array_equal(p["conv"]["kernel"], params["conv"]["kernel"])
     assert state is None
+
+
+def test_parse_override_pairs_types_and_python_literals():
+    out = C.parse_override_pairs(
+        ["TTA=False", "CC_FILTER=3d", "SIGMA=2.5", "EPOCHS=10",
+         "GAUS=None", "DIM=[64, 64]"])
+    assert out["TTA"] is False          # Python-literal False -> real bool
+    assert out["CC_FILTER"] == "3d"
+    assert out["SIGMA"] == 2.5 and out["EPOCHS"] == 10
+    assert out["GAUS"] is None
+    assert out["DIM"] == [64, 64]
+    low = C.parse_override_pairs(["tta=true"])  # lowercase key upper-cased
+    assert low == {"TTA": True}
+
+
+def test_parse_override_pairs_rejects_unknown_and_malformed():
+    import pytest
+    with pytest.raises(ValueError, match="unknown config key"):
+        C.parse_override_pairs(["CC_FILTR=3d"])  # typo must not no-op
+    with pytest.raises(ValueError, match="not KEY=VAL"):
+        C.parse_override_pairs(["JUSTAKEY"])
+    # non-DEFAULTS but known-settable keys pass (_SETTABLE_EXTRA)
+    assert C.parse_override_pairs(["RESUME=true"])["RESUME"] is True

@@ -120,3 +120,31 @@ def test_cc_filter_3d_removes_isolated_offslice_blob():
     assert out3d[3].sum() == 0               # 3D CC removes it
     assert (out3d[0:3, 4:6, 4:6] == 1).all()  # true stack survives
     assert (out3d[1, 8:10, 2:4] == 2).all()   # other label untouched
+
+
+def test_cc_clean_fn_strict_dispatch():
+    import pytest
+
+    from cmrtpu.predict.predictor import (cc_clean_fn,
+                                          clean_prediction_2d_cc,
+                                          clean_prediction_3d_cc)
+    # falsy spellings -> off (the parse_override_pairs 'False' string too)
+    for off in (False, 0, None, "", "false", "None", "0"):
+        assert cc_clean_fn({"CC_FILTER": off}) is None
+    assert cc_clean_fn({"CC_FILTER": "2d"}) is clean_prediction_2d_cc
+    assert cc_clean_fn({"CC_FILTER": True}) is clean_prediction_2d_cc
+    assert cc_clean_fn({"CC_FILTER": " 3D "}) is clean_prediction_3d_cc
+    # unrecognized strings raise instead of silently measuring 2D CC
+    with pytest.raises(ValueError, match="CC_FILTER"):
+        cc_clean_fn({"CC_FILTER": "volume"})
+
+
+def test_predict_override_twin_rejects_bad_keys(tmp_path):
+    import pytest
+
+    from cmrtpu.predict.predictor import predict_override_twin
+    (tmp_path / "f0").mkdir()
+    with pytest.raises(ValueError, match="unknown override key"):
+        predict_override_twin(str(tmp_path), {"cc_filter": "3d"}, "ab")
+    with pytest.raises(ValueError, match="unknown override key"):
+        predict_override_twin(str(tmp_path), {"CC_FILTR": "3d"}, "ab")

@@ -374,3 +374,24 @@ def test_worklist_stem_collision_serves_first_and_warns(fold_dir, tmp_path,
         totals = serve_directory(engine, str(in_dir), str(out_dir))
     assert totals["studies"] == 1
     assert any("collides" in r.message for r in caplog.records)
+
+
+def test_pipelined_chunks_match_single_dispatch(fold_dir, tmp_path):
+    """predict_slices dispatches up to PIPELINE_WINDOW chunks before
+    collecting — a study spanning more chunks than the window (plus a
+    padded tail) must produce exactly what one whole-batch forward does."""
+    engine = ServingEngine(config=CFG,
+                           model_path=os.path.join(fold_dir, "model"))
+    n = engine.batch * (engine.PIPELINE_WINDOW + 2) + 3  # >window + tail pad
+    x = np.random.default_rng(11).normal(
+        size=(n, 32, 32, 1)).astype(np.float32)
+    import jax
+    got = np.asarray(engine.predict_slices(x))
+    assert got.shape[0] == n
+    ref = np.concatenate([
+        np.asarray(jax.device_get(engine._forward(np.concatenate(
+            [x[s:s + engine.batch],
+             np.zeros((max(0, s + engine.batch - n), 32, 32, 1),
+                      np.float32)]))))
+        for s in range(0, n, engine.batch)])[:n]
+    np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -13,7 +13,6 @@ to ANY predict-time knob:
 """
 
 import argparse
-import json
 import os
 import sys
 
@@ -24,18 +23,7 @@ COLS = ("mdists_ant_gtpred", "mdists_inf_gtpred",
         "tpr_inf_point_th15", "ppv_inf_point_th15")
 
 
-def parse_overrides(pairs):
-    out = {}
-    for pair in pairs:
-        key, _, val = pair.partition("=")
-        try:
-            out[key] = json.loads(val)
-        except (json.JSONDecodeError, ValueError):
-            out[key] = val
-    return out
-
-
-def main() -> None:
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser(
         description="A/B a trained CV root against an inference-override twin")
     parser.add_argument("-exp", required=True,
@@ -46,12 +34,15 @@ def main() -> None:
                         help="inference-only config override (repeatable)")
     parser.add_argument("--suffix", default="ab",
                         help="sibling-root suffix (default 'ab')")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
+    from cmrtpu import config as C
     from cmrtpu.eval.evaluate import evaluate_cv
     from cmrtpu.predict.predictor import predict_override_twin
 
-    overrides = parse_overrides(args.overrides)
+    # typed + validated: Python-literal booleans become real booleans
+    # (--set TTA=False must DISABLE the knob) and typo'd keys raise
+    overrides = C.parse_override_pairs(args.overrides)
     df = evaluate_cv(args.exp, args.data)
     t_root = predict_override_twin(args.exp, overrides, args.suffix)
     df_t = evaluate_cv(t_root, args.data)
