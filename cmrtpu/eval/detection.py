@@ -19,6 +19,7 @@ the host evaluation (SURVEY.md hard part #5).
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +107,19 @@ def localisation_metrics(config):
 
     spacing = float(jnp.mean(jnp.asarray(
         C.get(config, "SPACING", [1.2, 1.2]), jnp.float32)[-2:]))
+    # px->mm uses the PREPROCESSED grid's spacing, which is the config
+    # SPACING only when resampling is on; with RESAMPLE=False every study
+    # keeps its native (per-file, unknowable-under-jit) spacing, so the
+    # logged mm scale is nominal — say so once instead of silently
+    # reporting wrong absolute numbers (checkpoint RANKING is unaffected:
+    # the scale is a uniform constant)
+    if not C.get(config, "RESAMPLE", True):
+        logging.warning(
+            "MONITOR_LOCALISATION with RESAMPLE=False: loc_mm uses the "
+            "config SPACING (%.3g mm/px) as a NOMINAL scale — native "
+            "per-study spacing varies, so absolute mm values are "
+            "approximate (ranking/monitoring is still consistent)",
+            spacing)
     strategy = str(C.get(config, "DETECTION_STRATEGY", "com") or "com").lower()
     n_fg = max(1, len(C.get(config, "MASK_VALUES", [1, 2]) or [1, 2]))
 

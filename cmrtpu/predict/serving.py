@@ -255,6 +255,10 @@ LABEL_SUFFIXES = ("_pred.nrrd", "_msk.nrrd", "_seg.nrrd", "_rvip.nrrd")
 DEFAULT_EXCLUDE = LABEL_SUFFIXES + ("_cmr.nrrd",)
 
 
+_warned_collisions: set = set()  # watch mode rebuilds the worklist every
+# poll; a stem collision never changes, so warn once per (loser, winner)
+
+
 def _worklist(in_dir: str, patterns: Sequence[str],
               exclude: Sequence[str] = DEFAULT_EXCLUDE) -> List[str]:
     files: List[str] = []
@@ -271,10 +275,12 @@ def _worklist(in_dir: str, patterns: Sequence[str],
     for f in out:
         stem = _stem(f)
         if stem in seen:
-            logging.warning(
-                "serve worklist: %s collides with %s on study stem '%s' — "
-                "only the first is served; rename one of them to serve both",
-                f, seen[stem], stem)
+            if (f, seen[stem]) not in _warned_collisions:
+                _warned_collisions.add((f, seen[stem]))
+                logging.warning(
+                    "serve worklist: %s collides with %s on study stem '%s'"
+                    " — only the first is served; rename one of them to "
+                    "serve both", f, seen[stem], stem)
             continue
         seen[stem] = f
         unique.append(f)

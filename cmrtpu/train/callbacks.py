@@ -479,8 +479,14 @@ def finetune_with_sgd(trainer, train_data, val_data=None,
     # always "improve" and overwrite the better adam-phase checkpoint
     for cb in cbs:
         if isinstance(cb, ModelCheckpoint):
+            # NaN epochs (a transient divergence) must not seed cb.best:
+            # min()/max() propagate a leading NaN and every later
+            # `current < nan` comparison is False, silently disabling
+            # checkpointing for the whole SGD phase (same filter as the
+            # resume path, fold.py::_resume_fold)
             seen = [h[cb.monitor] for h in trainer.history
-                    if cb.monitor in h]
+                    if cb.monitor in h
+                    and not math.isnan(float(h[cb.monitor]))]
             if seen:
                 cb.best = min(seen) if cb.mode == "min" else max(seen)
             if os.path.exists(os.path.join(cb.model_path, "model.npz")):

@@ -467,6 +467,38 @@ def test_finetune_sgd_keeps_prior_best_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_finetune_sgd_ignores_nan_history_epochs(tmp_path):
+    """A NaN epoch in the adam-phase history must not seed cb.best:
+    min() propagates a leading NaN, `current < nan` is always False, and
+    checkpointing would be silently disabled for the whole SGD phase."""
+    import numpy as np
+    from cmrtpu.train import checkpoint as ckpt
+    from cmrtpu.train.callbacks import finetune_with_sgd
+    from cmrtpu.train.trainer import Trainer
+
+    model_path = str(tmp_path / "model")
+    cfg = dict(CFG, BATCHSIZE=8, EPOCHS=1, EXP_PATH=str(tmp_path),
+               MODEL_PATH=model_path, TENSORBOARD_PATH=str(tmp_path / "tb"),
+               SAVE_MODEL_FUNCTION="loss", SAVE_MODEL_MODE="min")
+    trainer = Trainer(cfg)
+    ckpt.save_weights(model_path, trainer.state.params,
+                      trainer.state.batch_stats)
+    before, _ = ckpt.load_weights(model_path)
+    flat_before = jax.tree_util.tree_leaves(before)
+    # leading NaN (transient divergence) then an easily-beatable best
+    trainer.history = [{"loss": float("nan")}, {"loss": 1e9}]
+
+    x = np.zeros((8, 32, 32, 1), np.float32)
+    y = np.zeros((8, 32, 32, 2), np.float32)
+    finetune_with_sgd(trainer, [(x, y)], initial_epoch=0, epochs=1)
+    after, _ = ckpt.load_weights(model_path)
+    changed = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                  for a, b in zip(jax.tree_util.tree_leaves(after),
+                                  flat_before))
+    assert changed, ("SGD epoch beat the 1e9 best but the checkpoint was "
+                     "not updated — NaN poisoned cb.best")
+
+
 def test_model_checkpoint_sync_saves_multicontroller(monkeypatch, tmp_path):
     """Full-state saves are collective (orbax multihost): under
     process_count>1 the async latest-wins writer could diverge per-process
