@@ -256,7 +256,9 @@ DEFAULT_EXCLUDE = LABEL_SUFFIXES + ("_cmr.nrrd",)
 
 
 _warned_collisions: set = set()  # watch mode rebuilds the worklist every
-# poll; a stem collision never changes, so warn once per (loser, winner)
+# poll; an ONGOING stem collision warns once per (loser, winner) pair, and
+# pairs that disappear from their directory's scan are pruned so a
+# resolved-then-reintroduced collision warns again (bounded memo)
 
 
 def _worklist(in_dir: str, patterns: Sequence[str],
@@ -272,11 +274,13 @@ def _worklist(in_dir: str, patterns: Sequence[str],
     # (sorted) first, warn loudly about the rest.
     seen: Dict[str, str] = {}
     unique: List[str] = []
+    current: set = set()
     for f in out:
         stem = _stem(f)
         if stem in seen:
-            if (f, seen[stem]) not in _warned_collisions:
-                _warned_collisions.add((f, seen[stem]))
+            pair = (f, seen[stem])
+            current.add(pair)
+            if pair not in _warned_collisions:
                 logging.warning(
                     "serve worklist: %s collides with %s on study stem '%s'"
                     " — only the first is served; rename one of them to "
@@ -284,6 +288,13 @@ def _worklist(in_dir: str, patterns: Sequence[str],
             continue
         seen[stem] = f
         unique.append(f)
+    # refresh the memo for THIS directory only: keep ongoing collisions,
+    # drop resolved ones (other directories' scans are left untouched)
+    prefix = os.path.join(in_dir, "")
+    _warned_collisions.difference_update(
+        p for p in tuple(_warned_collisions)
+        if p[0].startswith(prefix) and p not in current)
+    _warned_collisions.update(current)
     return unique
 
 

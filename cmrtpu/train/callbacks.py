@@ -464,6 +464,20 @@ def feed_inputs_4_tensorboard(config: Dict, batch_generator=None,
     return feeds
 
 
+def seed_best_from_history(cb: ModelCheckpoint, history) -> None:
+    """Seed a fresh ModelCheckpoint's ``best`` from prior epoch rows (dicts
+    of monitor -> value), so the first epoch of a continued fit cannot
+    "improve" on ±inf and overwrite a better earlier checkpoint. NaN epochs
+    (transient divergence) are skipped: min()/max() propagate a NaN and
+    every later `current < nan` comparison is False, which would silently
+    disable checkpointing for the whole continued phase. Shared by
+    finetune_with_sgd and the crash-resume path (fold.py::_resume_fold)."""
+    vals = [float(r[cb.monitor]) for r in history if cb.monitor in r]
+    vals = [v for v in vals if not math.isnan(v)]
+    if vals:
+        cb.best = min(vals) if cb.mode == "min" else max(vals)
+
+
 def finetune_with_sgd(trainer, train_data, val_data=None,
                       initial_epoch: int = 0, epochs: Optional[int] = None):
     """Fine-tune an already-trained model with plain SGD: swap the optimizer
@@ -479,16 +493,7 @@ def finetune_with_sgd(trainer, train_data, val_data=None,
     # always "improve" and overwrite the better adam-phase checkpoint
     for cb in cbs:
         if isinstance(cb, ModelCheckpoint):
-            # NaN epochs (a transient divergence) must not seed cb.best:
-            # min()/max() propagate a leading NaN and every later
-            # `current < nan` comparison is False, silently disabling
-            # checkpointing for the whole SGD phase (same filter as the
-            # resume path, fold.py::_resume_fold)
-            seen = [h[cb.monitor] for h in trainer.history
-                    if cb.monitor in h
-                    and not math.isnan(float(h[cb.monitor]))]
-            if seen:
-                cb.best = min(seen) if cb.mode == "min" else max(seen)
+            seed_best_from_history(cb, trainer.history)
             if os.path.exists(os.path.join(cb.model_path, "model.npz")):
                 # the never-improved train-end fallback exists so downstream
                 # consumers have SOME weights; here they already do (the

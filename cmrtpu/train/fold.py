@@ -97,8 +97,6 @@ def _resume_fold(trainer: Trainer, cfg: Dict, train_gen,
     Epochs between the best checkpoint and the crash are retrained;
     plateau/early-stop patience counters restart (the restored optimizer
     state preserves any already-reduced learning rate)."""
-    import math
-
     from cmrtpu.train import callbacks as CB
 
     model_path = C.get(cfg, "MODEL_PATH")
@@ -126,10 +124,7 @@ def _resume_fold(trainer: Trainer, cfg: Dict, train_gen,
             # a checkpoint exists on disk: the "never improved" fallback in
             # on_train_end must not overwrite it with a worse final state
             cb._saved = True
-            vals = [r[cb.monitor] for r in rows
-                    if cb.monitor in r and not math.isnan(r[cb.monitor])]
-            if vals:
-                cb.best = min(vals) if cb.mode == "min" else max(vals)
+            CB.seed_best_from_history(cb, rows)
     logging.info("RESUME: restored step %d from %s -> continuing at epoch %d",
                  restored_step, model_path, initial_epoch)
     return initial_epoch

@@ -376,6 +376,34 @@ def test_worklist_stem_collision_serves_first_and_warns(fold_dir, tmp_path,
     assert any("collides" in r.message for r in caplog.records)
 
 
+def test_worklist_collision_warns_once_then_rewarns_after_resolution(
+        tmp_path, caplog):
+    """Watch mode rebuilds the worklist every poll: an ONGOING collision
+    warns once (not per poll), but a collision that is resolved and later
+    reintroduced must warn again — the memo prunes resolved pairs."""
+    import logging as _logging
+
+    from cmrtpu.predict.serving import _worklist
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "patientA.nrrd").write_bytes(b"x")
+    (in_dir / "patientA.nii").write_bytes(b"x")
+
+    def n_warnings():
+        return sum("collides" in r.message for r in caplog.records)
+
+    with caplog.at_level(_logging.WARNING):
+        for _ in range(3):  # three polls, one ongoing collision
+            _worklist(str(in_dir), ("*.nii", "*.nrrd"))
+        assert n_warnings() == 1
+        (in_dir / "patientA.nrrd").unlink()  # operator resolves it
+        assert _worklist(str(in_dir), ("*.nii", "*.nrrd"))
+        (in_dir / "patientA.nrrd").write_bytes(b"x")  # ...reintroduced
+        _worklist(str(in_dir), ("*.nii", "*.nrrd"))
+        assert n_warnings() == 2
+
+
 def test_pipelined_chunks_match_single_dispatch(fold_dir, tmp_path):
     """predict_slices dispatches up to PIPELINE_WINDOW chunks before
     collecting — a study spanning more chunks than the window (plus a
