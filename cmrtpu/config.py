@@ -155,6 +155,7 @@ _SETTABLE_EXTRA = frozenset({
     "COMPILATION_CACHE_DIR", "CONFIG_PATH", "EXP_PATH", "FOLD_PATH",
     "GRAD_ALLREDUCE_DTYPE", "HEADS", "HEAD_BIAS_PRIOR", "HEAD_MASK_RULES",
     "HISTORY_PATH", "HIST_MATCHING_BINS", "HIST_MATCHING_PROB",
+    "LOGIT_SOFTCAP",
     "MODEL_PATH", "MODEL_VARIANT", "MOMENTUM", "QUANT_INT8", "RESUME",
     "STREAM_DTYPE", "STREAM_ECHO", "TENSORBOARD_PATH",
     "WEIGHT_STANDARDISATION",

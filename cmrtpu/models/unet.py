@@ -453,7 +453,20 @@ class UNet(nn.Module):
     # BatchNorm nets resist that basin structurally, WS nets do not
     # (measured: 224² depth-4 WS run pinned at sigmoid≈1e-7, all-zero preds).
     head_bias_prior: Any = None
+    # tanh soft cap on head logits: logits <- cap * tanh(logits / cap)
+    # (the Gemma-2 stabiliser, arXiv:2408.00118 §2). Bounds the head's
+    # pre-activation to (-cap, cap) so the BCE gradient can never be driven
+    # through a fully saturated sigmoid — the normalization-free (WS)
+    # collapse signature was head logits at ±40k (IMPLEMENTATION_STATUS.md).
+    # Near the origin tanh is identity, so a healthy run is unaffected.
+    logit_softcap: Any = None
     dtype: Any = jnp.bfloat16
+
+    def _cap(self, logits):
+        if self.logit_softcap is None:
+            return logits
+        cap = jnp.float32(float(self.logit_softcap))
+        return cap * jnp.tanh(logits / cap)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -531,6 +544,7 @@ class UNet(nn.Module):
                                  bias_init=b_init,
                                  dtype=jnp.float32, param_dtype=jnp.float32,
                                  name=f"head_{name}")(x.astype(jnp.float32))
+                logits = self._cap(logits)
                 outputs[name] = (jax.nn.softmax(logits, axis=-1)
                                  if head_act == "softmax" else nn.sigmoid(logits))
             return outputs
@@ -538,7 +552,7 @@ class UNet(nn.Module):
                          bias_init=bias_init,
                          dtype=jnp.float32, param_dtype=jnp.float32,
                          name="head")(x.astype(jnp.float32))
-        return nn.sigmoid(logits)
+        return nn.sigmoid(self._cap(logits))
 
 
 def dropout_schedule(config: Dict) -> Tuple[float, ...]:
@@ -599,6 +613,7 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
                      and C.get(config, "MIXED_PRECISION")),
         remat=C.get(config, "REMAT", False),
         head_bias_prior=C.get(config, "HEAD_BIAS_PRIOR", None),
+        logit_softcap=C.get(config, "LOGIT_SOFTCAP", None),
         dtype=dtype,
     )
 

@@ -92,3 +92,69 @@ def test_softmax_heads_ignore_the_prior():
         x, train=False)
     assert np.asarray(out["rvip"]).mean() < 1e-2          # prior applied
     assert abs(np.asarray(out["sep"]).mean() - 1 / 3) < 0.05  # softmax uniform
+
+
+def test_logit_softcap_bounds_head_saturation():
+    # LOGIT_SOFTCAP=c bounds head logits to (-c, c): even a head driven to
+    # huge pre-activations (the WS collapse signature was ±40k) cannot pin
+    # the sigmoid to exactly 0/1, so the BCE gradient stays alive
+    from cmrtpu.models.hybrids import get_model
+    from cmrtpu.models.unet import init_variables
+
+    cfg = C.normalise_config(dict(CFG, LOGIT_SOFTCAP=15.0))
+    model = get_model(cfg)
+    v = init_variables(model, cfg, jax.random.key(0))
+    # force an absurd head: giant kernel + giant bias -> uncapped logits
+    # would be ~1e4 and sigmoid would be exactly 1.0 in float32
+    params = jax.tree_util.tree_map(lambda p: p, v["params"])
+    params["head"]["kernel"] = np.full_like(np.asarray(params["head"]["kernel"]), 1e4)
+    params["head"]["bias"] = np.full_like(np.asarray(params["head"]["bias"]), 1e4)
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    p = np.asarray(model.apply(
+        {"params": params, "batch_stats": v.get("batch_stats", {})},
+        x, train=False), np.float64)
+    cap = 1.0 / (1.0 + np.exp(-15.0))
+    assert p.max() <= cap + 1e-6
+    assert p.max() < 1.0  # not saturated: gradient can still flow
+
+
+def test_logit_softcap_is_identity_near_the_origin():
+    # a healthy run (logits O(1)) must be numerically unaffected
+    from cmrtpu.models.hybrids import get_model
+    from cmrtpu.models.unet import init_variables
+
+    base = C.normalise_config(dict(CFG))
+    capped = C.normalise_config(dict(CFG, LOGIT_SOFTCAP=30.0))
+    x = np.random.default_rng(3).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    outs = []
+    for cfg in (base, capped):
+        model = get_model(cfg)
+        v = init_variables(model, cfg, jax.random.key(0))
+        outs.append(np.asarray(model.apply(
+            {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+            x, train=False), np.float64))
+    # tanh(z/30) deviates from z/30 by z^3/(3*30^2): < 1e-3 in probability
+    # space for the few-unit logits an init-scale head produces
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-3)
+
+
+def test_logit_softcap_applies_to_multi_head_outputs():
+    from cmrtpu.models.hybrids import get_model
+    from cmrtpu.models.unet import init_variables
+
+    cfg = C.normalise_config(dict(
+        CFG, LOGIT_SOFTCAP=10.0,
+        HEADS=[["rvip", 2, "sigmoid"], ["sep", 3, "softmax"]]))
+    model = get_model(cfg)
+    v = init_variables(model, cfg, jax.random.key(0))
+    params = v["params"]
+    for head in ("head_rvip", "head_sep"):
+        params[head]["kernel"] = np.full_like(np.asarray(params[head]["kernel"]), 1e4)
+    x = np.random.default_rng(4).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    out = model.apply({"params": params,
+                       "batch_stats": v.get("batch_stats", {})},
+                      x, train=False)
+    cap = 1.0 / (1.0 + np.exp(-10.0))
+    assert np.asarray(out["rvip"], np.float64).max() <= cap + 1e-6
+    # softmax over logits in (-10, 10): no channel can be exactly 1
+    assert np.asarray(out["sep"], np.float64).max() < 1.0
