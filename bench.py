@@ -5,9 +5,13 @@ framework's real hot path: per step ONE fused XLA program does batch gather
 from the HBM-resident dataset, the full augmentation chain (rot90 /
 shift-scale-rotate / grid-distortion warps), normalisation + target
 synthesis, forward, BCE+Dice loss, backward and the optimizer update
-(cmrtpu/train/device_cache.py). Prints ONE JSON line:
+(cmrtpu/train/device_cache.py). Prints the record as a JSON line
 
     {"metric": ..., "value": N, "unit": "slices/sec", "vs_baseline": N}
+
+immediately after the flagship measurement and again after every variant
+row — the driver reads the tail and the LAST line wins, so an external
+kill at any point still leaves the latest complete ledger on stdout.
 
 Baseline: the driver north star is >5000 slices/sec end-to-end on a v5e-8
 (BASELINE.md), i.e. 625 slices/sec/chip; vs_baseline scales that target to
@@ -46,6 +50,11 @@ def main():
                "variants_slices_per_sec": {}}
 
     def _emit(error=None):
+        """Print the full record as ONE JSON line. Called after the flagship
+        measurement and again after EVERY variant row: the driver reads the
+        tail and the last line wins, so an external SIGKILL at any point
+        still leaves the most recent complete ledger on stdout (round-3
+        lesson: a single end-of-run print lost the whole round to rc=124)."""
         record = {
             "metric": "SAX slices/sec (end-to-end device-cached train: "
                       "gather+augment+mask-channels+fwd+bwd+adam, "
@@ -71,7 +80,7 @@ def main():
 
     threading.Thread(target=_init_watchdog, daemon=True).start()
 
-    deadline_s = float(os.environ.get("CMRTPU_BENCH_DEADLINE_S", "2700"))
+    deadline_s = float(os.environ.get("CMRTPU_BENCH_DEADLINE_S", "1200"))
     done = threading.Event()
 
     def _deadline_watchdog():
@@ -390,22 +399,39 @@ def main():
         return steps * serve_batch / (time.perf_counter() - t0)
 
     baseline = 5000.0 * n_dev / 8.0  # v5e-8 north star scaled to chip count
+    t_start = time.perf_counter()
+    # reserve headroom before the internal deadline: a variant started after
+    # this point risks being half-measured when the watchdog fires
+    soft_budget_s = max(60.0, deadline_s - 180.0)
 
-    # flagship: the published Base experiment (augment, no smoothing)
+    # flagship: the published Base experiment (augment, no smoothing).
+    # Headline ships IMMEDIATELY — every later row only improves the record.
     slices_per_sec = measure({})
     partial["value"] = round(slices_per_sec, 1)
     partial["vs_baseline"] = round(slices_per_sec / baseline, 3)
+    _emit()
 
     def safe(name, fn, *a, **kw):
         """A broken variant measurement must not cost the driver the
-        headline metric — record the error string instead. Results land in
-        the partial ledger as they complete so a mid-run hang still reports
-        everything measured before it."""
+        headline metric — record the error string instead. The full record
+        is re-emitted after every row (last line wins), so an external kill
+        mid-variant still reports everything measured before it. Variants
+        started after the soft budget are skipped with a reason — better an
+        honest skip than a row the deadline watchdog truncates."""
+        elapsed = time.perf_counter() - t_start
+        if elapsed > soft_budget_s:
+            partial["variants_slices_per_sec"][name] = (
+                f"skipped: {elapsed:.0f}s elapsed exceeds the "
+                f"{soft_budget_s:.0f}s variant budget "
+                f"(deadline {deadline_s:.0f}s)")
+            _emit()
+            return
         try:
             result = round(fn(*a, **kw), 1)
         except Exception as e:  # pragma: no cover - hardware-path failures
             result = f"error: {type(e).__name__}: {e}"
         partial["variants_slices_per_sec"][name] = result
+        _emit()
 
     # published variants riding the same fused step: Var.1 (hist-matching,
     # ref: Generators.py:350-358), Var.2/Var.3 (Gaussian sigma=2/4 GT
@@ -417,6 +443,9 @@ def main():
     safe("gaus_sigma4 (Var.3)", measure, {"GAUS": True, "SIGMA": 4},
          steps=st(10))
     safe("cache_sharded", measure_sharded)
+    # serving: jitted inference forward per chip (deployment rate) — high
+    # importance, measured before the long tail of experimental arms
+    safe("serving_forward", measure_serving)
 
     def measure_ws(steps=st(10), warmup=st(3)):
         """slices/sec of the normalization-free WEIGHT_STANDARDISATION
@@ -447,13 +476,11 @@ def main():
         float(np.asarray(jax.device_get(logs["loss"])))
         return steps * batch / (time.perf_counter() - t0)
 
-    # normalization-free arm: scaled-WS convs instead of BatchNorm
-    safe("ws_normfree", measure_ws)
     # BASELINE config 3: 2D+t cine volume batching through a 3D U-Net
     # (t-preserving pooling), slices = volumes x frames
     safe("cine_2dt (config 3)", measure_cine)
-    # serving: jitted inference forward per chip (deployment rate)
-    safe("serving_forward", measure_serving)
+    # normalization-free arm: scaled-WS convs instead of BatchNorm
+    safe("ws_normfree", measure_ws)
     # int8 PTQ serving twin (cmrtpu.cli.export --int8)
     safe("serving_forward_int8", measure_serving_int8)
     # rot90-TTA serving forward (TTA: true — the measured quality lever)
