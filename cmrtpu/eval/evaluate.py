@@ -193,7 +193,14 @@ def evaluate_cv(exp_path: str, data_path: str,
             df_raw.drop_duplicates("patient")[["patient",
                                                "pathology"]].values)
         df_eval["pathology"] = df_eval["patient"].map(pathology_by_patient)
-    except Exception:
+    except Exception as exc:
+        # degraded, not fatal: df_eval still ships, but silently empty
+        # pathology columns hid malformed ACDC trees for a whole round —
+        # name the failure so it is attributable
+        logging.warning(
+            "pathology join against %s/original failed (%s: %s) — the "
+            "'pathology' column will be empty", data_root,
+            type(exc).__name__, exc)
         df_eval["pathology"] = None
     df_eval = df_eval.loc[:, ~df_eval.columns.duplicated()]
 
@@ -408,7 +415,11 @@ def evaluate_cv_save(exp_path: str, data_path: str) -> pd.DataFrame:
         df = df.loc[df["phase"].isin(["ed", "es"])].reset_index(drop=True)
         pathology = dict(zip(df["patient"], df["pathology"]))
         df_eval["pathology"] = df_eval["patient"].map(pathology)
-    except Exception:
+    except Exception as exc:
+        logging.warning(
+            "pathology join against %s/original failed (%s: %s) — the "
+            "'pathology' column will be empty", data_root,
+            type(exc).__name__, exc)
         df_eval["pathology"] = None
     df_eval = df_eval.loc[:, ~df_eval.columns.duplicated()]
     df_eval.to_csv(os.path.join(exp_path, "df_eval.csv"), index=False)

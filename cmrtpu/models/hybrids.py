@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cmrtpu import config as C
-from cmrtpu.models.unet import UNet, build_model, _he_normal
+from cmrtpu.models.unet import UNet, apply_softcap, build_model, _he_normal
 
 
 def _as_2d_config(config: Dict) -> Dict:
@@ -83,6 +83,9 @@ class Stacked2D3D(nn.Module):
     mask_classes: int = 4
     concat_input: bool = False
     freeze_2d: bool = False
+    # same tanh stabiliser as the plain-UNet head (LOGIT_SOFTCAP): the knob
+    # must cover the hybrid's own head too, not only the inner trunks
+    logit_softcap: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -93,7 +96,8 @@ class Stacked2D3D(nn.Module):
         logits = nn.Conv(self.mask_classes, (1, 1, 1), kernel_init=_he_normal(),
                          dtype=jnp.float32, param_dtype=jnp.float32,
                          name="head_3d")(out3d.astype(jnp.float32))
-        return jax.nn.softmax(logits, axis=-1)
+        return jax.nn.softmax(apply_softcap(logits, self.logit_softcap),
+                              axis=-1)
 
 
 class Avg2D3D(nn.Module):
@@ -109,6 +113,9 @@ class Avg2D3D(nn.Module):
     mask_classes: int = 4
     freeze_2d: bool = False
     final_conv: bool = True
+    # same tanh stabiliser as the plain-UNet head (LOGIT_SOFTCAP): covers
+    # all three hybrid heads, not only the inner trunks
+    logit_softcap: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -116,13 +123,15 @@ class Avg2D3D(nn.Module):
         logits2d = nn.Conv(self.mask_classes, (1, 1, 1), kernel_init=_he_normal(),
                            dtype=jnp.float32, param_dtype=jnp.float32,
                            name="head_2d")(out2d.astype(jnp.float32))
-        prob2d = jax.nn.softmax(logits2d, axis=-1)
+        prob2d = jax.nn.softmax(apply_softcap(logits2d, self.logit_softcap),
+                                axis=-1)
 
         out3d = self.unet_3d(x, train=train)
         logits3d = nn.Conv(self.mask_classes, (1, 1, 1), kernel_init=_he_normal(),
                            dtype=jnp.float32, param_dtype=jnp.float32,
                            name="head_3d")(out3d.astype(jnp.float32))
-        prob3d = jax.nn.softmax(logits3d, axis=-1)
+        prob3d = jax.nn.softmax(apply_softcap(logits3d, self.logit_softcap),
+                                axis=-1)
 
         avg = (prob2d + prob3d) * 0.5
         if not self.final_conv:
@@ -130,7 +139,8 @@ class Avg2D3D(nn.Module):
         logits = nn.Conv(self.mask_classes, (1, 1, 1), kernel_init=_he_normal(),
                          dtype=jnp.float32, param_dtype=jnp.float32,
                          name="head_avg")(avg)
-        return jax.nn.softmax(logits, axis=-1)
+        return jax.nn.softmax(apply_softcap(logits, self.logit_softcap),
+                              axis=-1)
 
 
 def _bare_unet(config: Dict, supervision: bool) -> UNet:
@@ -149,6 +159,7 @@ def build_hybrid_model(config: Dict, variant: str = "avg",
     """
     cfg = C.normalise_config(config)
     mask_classes = C.get(cfg, "MASK_CLASSES")
+    softcap = C.get(cfg, "LOGIT_SOFTCAP", None)
     cfg2d = _as_2d_config(cfg)
     unet_2d = _bare_unet(cfg2d, supervision)
     if variant == "wrapper":
@@ -160,11 +171,13 @@ def build_hybrid_model(config: Dict, variant: str = "avg",
         cfg3d["IMG_CHANNELS"] = mask_classes + (1 if variant == "concat" else 0)
         return Stacked2D3D(unet_2d=unet_2d, unet_3d=_bare_unet(cfg3d, supervision),
                            mask_classes=mask_classes,
-                           concat_input=(variant == "concat"))
+                           concat_input=(variant == "concat"),
+                           logit_softcap=softcap)
     if variant in ("avg", "avg_plain"):
         return Avg2D3D(unet_2d=unet_2d, unet_3d=_bare_unet(cfg, supervision),
                        mask_classes=mask_classes,
-                       final_conv=(variant == "avg"))
+                       final_conv=(variant == "avg"),
+                       logit_softcap=softcap)
     raise ValueError(f"unknown hybrid variant: {variant}")
 
 

@@ -39,6 +39,22 @@ def _he_normal():
     return nn.initializers.he_normal()
 
 
+def apply_softcap(logits, softcap):
+    """tanh soft cap on head logits: logits <- cap * tanh(logits / cap).
+
+    Falsy (None/False/0) and non-positive values mean DISABLED: the config
+    convention maps ``--set LOGIT_SOFTCAP=false`` to bool False and a bare
+    0 to 0.0, and dividing by a zero cap would NaN-poison the whole forward
+    pass silently. Shared by the plain-UNet head and the hybrid heads."""
+    if not softcap:
+        return logits
+    cap = float(softcap)
+    if cap <= 0:
+        return logits
+    capf = jnp.float32(cap)
+    return capf * jnp.tanh(logits / capf)
+
+
 class WSConv(nn.Module):
     """Scaled weight-standardized conv (NF-style, Brock et al. 2021,
     arXiv:2101.08692): the kernel is standardized over (spatial, in) per
@@ -82,14 +98,19 @@ class WSConv(nn.Module):
 class QuantConv(nn.Module):
     """Int8 post-training-quantized conv for serving.
 
-    Symmetric per-tensor activation quantization (``act_scale``, calibrated
-    offline — see cmrtpu/predict/quantize.py) and symmetric per-output-channel
-    weight quantization (``w_scale``): the MXU consumes the int8 operands at
-    2x its bf16 peak on v5e-class chips, the conv accumulates in int32, and
-    one fused epilogue rescales ``y * (act_scale * w_scale) + bias`` back to
-    the working dtype. Zero-point-free by design: SAME padding injects zeros
-    in quantized space, and symmetric quantization maps them to exactly 0.0 —
-    the same values nn.Conv pads with."""
+    Symmetric per-INPUT-CHANNEL activation quantization (``act_scale``
+    vector, calibrated offline — see cmrtpu/predict/quantize.py) and
+    symmetric per-output-channel weight quantization (``w_scale``): the MXU
+    consumes the int8 operands at 2x its bf16 peak on v5e-class chips, the
+    conv accumulates in int32, and one fused epilogue rescales
+    ``y * w_scale + bias`` back to the working dtype. The per-channel
+    activation scales are FOLDED into the quantized kernel offline
+    (kernel' = kernel * act_scale along the input-channel axis), so the
+    epilogue needs no activation rescale — per-channel fidelity at the cost
+    of the same one elementwise divide per input as the per-tensor scheme.
+    Zero-point-free by design: SAME padding injects zeros in quantized
+    space, and symmetric quantization maps them to exactly 0.0 — the same
+    values nn.Conv pads with."""
     features: int
     f_size: Tuple[int, ...]
     pad: str = "SAME"
@@ -103,7 +124,7 @@ class QuantConv(nn.Module):
         w_scale = self.param("w_scale", nn.initializers.ones,
                              (self.features,), jnp.float32)
         act_scale = self.param("act_scale", nn.initializers.ones,
-                               (), jnp.float32)
+                               (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale),
@@ -115,7 +136,7 @@ class QuantConv(nn.Module):
         y = jax.lax.conv_general_dilated(
             q, kernel_q, window_strides=(1,) * rank, padding=self.pad,
             dimension_numbers=dn, preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * (act_scale * w_scale) + bias
+        y = y.astype(jnp.float32) * w_scale + bias
         return y.astype(self.dtype)
 
 
@@ -146,9 +167,14 @@ class ConvBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         act = getattr(nn, self.activation)
         if self.quant_mode == "calib":
+            # per-INPUT-CHANNEL max-abs: channel ranges after relu differ by
+            # orders of magnitude, so per-channel activation scales cut the
+            # dominant PTQ error term; they fold into the kernel offline
+            # (cmrtpu/predict/quantize.py) so serving cost is unchanged
             self.sow("quant_calib", "amax",
-                     jnp.max(jnp.abs(x.astype(jnp.float32))),
-                     init_fn=lambda: jnp.float32(0.0),
+                     jnp.max(jnp.abs(x.astype(jnp.float32)),
+                             axis=tuple(range(x.ndim - 1))),
+                     init_fn=lambda: jnp.zeros((x.shape[-1],), jnp.float32),
                      reduce_fn=jnp.maximum)
         if self.quant_mode == "int8":
             conv = QuantConv(self.filters, self.f_size, pad=self.pad,
@@ -463,10 +489,7 @@ class UNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     def _cap(self, logits):
-        if self.logit_softcap is None:
-            return logits
-        cap = jnp.float32(float(self.logit_softcap))
-        return cap * jnp.tanh(logits / cap)
+        return apply_softcap(logits, self.logit_softcap)
 
     @nn.compact
     def __call__(self, x, train: bool = True):

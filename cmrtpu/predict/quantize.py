@@ -8,18 +8,21 @@ serving-only quantized twin is a real deployment lever. This module produces
 that twin OFFLINE from any trained checkpoint, in three steps:
 
   1. **Calibrate** — run the float model over representative batches with
-     ``quant_mode='calib'``: every ConvBlock sows its input's max-abs into
-     the ``quant_calib`` collection (cmrtpu/models/unet.py ConvBlock), and
-     the per-block maxima are reduced across batches host-side.
-  2. **Quantize** — rewrite the parameter tree: each ConvBlock's conv kernel
-     becomes a symmetric per-output-channel int8 ``kernel_q`` + f32
-     ``w_scale``; the calibrated input max-abs becomes the per-tensor
-     ``act_scale``. WS (weight-standardized) kernels are quantized from
-     their EFFECTIVE kernel (standardization + gain applied), so the
-     quantized twin needs no standardization pass at serve time. Everything
-     outside the ConvBlock convs — BatchNorm affines/statistics, up-sampling
-     convs, heads — stays float: they are a tiny fraction of the FLOPs and
-     keeping them f32 protects the 0.5-threshold head semantics.
+     ``quant_mode='calib'``: every ConvBlock sows its input's per-channel
+     max-abs into the ``quant_calib`` collection (cmrtpu/models/unet.py
+     ConvBlock), and the per-block maxima are reduced across batches
+     host-side.
+  2. **Quantize** — rewrite the parameter tree: the calibrated per-INPUT-
+     CHANNEL max-abs becomes the ``act_scale`` vector and is FOLDED into the
+     kernel (kernel' = kernel * act_scale along the input-channel axis)
+     before symmetric per-output-channel weight quantization (int8
+     ``kernel_q`` + f32 ``w_scale``) — per-channel activation fidelity at
+     zero extra serve-time cost. WS (weight-standardized) kernels are
+     quantized from their EFFECTIVE kernel (standardization + gain applied),
+     so the quantized twin needs no standardization pass at serve time.
+     Everything outside the ConvBlock convs — BatchNorm affines/statistics,
+     up-sampling convs, heads — stays float: they are a tiny fraction of the
+     FLOPs and keeping them f32 protects the 0.5-threshold head semantics.
   3. **Build the twin** — ``QUANT_INT8=True`` in the config makes
      ``build_model`` construct the model with ``quant_mode='int8'``
      (QuantConv blocks, cmrtpu/models/unet.py), which consumes the rewritten
@@ -52,12 +55,13 @@ def _with_quant_mode(model, mode: str):
     return model.clone(quant_mode=mode)
 
 
-def calibrate(model, variables, batches: Iterable[np.ndarray]) -> Dict[Tuple[str, ...], float]:
-    """Per-ConvBlock input max-abs over ``batches``.
+def calibrate(model, variables,
+              batches: Iterable[np.ndarray]) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Per-ConvBlock, per-input-channel max-abs over ``batches``.
 
     ``batches`` yields model-ready inputs ([N, *DIM, C] float arrays, i.e.
     the deterministic-preprocessing output — what the serving forward sees).
-    Returns ``{block_scope_tuple: amax}``.
+    Returns ``{block_scope_tuple: amax_vector[C_in]}``.
     """
     import jax
     import jax.numpy as jnp
@@ -66,14 +70,16 @@ def calibrate(model, variables, batches: Iterable[np.ndarray]) -> Dict[Tuple[str
     calib = _with_quant_mode(model, "calib")
     fwd = jax.jit(lambda v, x: calib.apply(v, x, train=False,
                                            mutable=[AMAX_COLLECTION])[1])
-    amax: Dict[Tuple[str, ...], float] = {}
+    amax: Dict[Tuple[str, ...], np.ndarray] = {}
     n = 0
     for x in batches:
         aux = fwd(variables, jnp.asarray(x, jnp.float32))
         flat = traverse_util.flatten_dict(jax.device_get(aux[AMAX_COLLECTION]))
         for key, val in flat.items():
             scope = key[:-1]  # drop the trailing 'amax' leaf name
-            amax[scope] = max(amax.get(scope, 0.0), float(np.asarray(val)))
+            val = np.asarray(val, np.float64)
+            prev = amax.get(scope)
+            amax[scope] = val if prev is None else np.maximum(prev, val)
         n += 1
     if not n:
         raise ValueError("calibration needs at least one batch")
@@ -102,13 +108,16 @@ def _effective_kernel(conv_name: str, subtree: Dict[str, np.ndarray]):
     return kernel, bias
 
 
-def quantize_variables(model, variables, amax: Dict[Tuple[str, ...], float]):
+def quantize_variables(model, variables, amax: Dict[Tuple[str, ...], np.ndarray]):
     """Rewrite the float variable tree into the int8 twin's tree.
 
     Every calibrated ConvBlock scope's ``Conv_0``/``WSConv_0`` subtree is
-    replaced by a ``QuantConv_0`` subtree (int8 kernel_q, per-channel f32
-    w_scale, scalar f32 act_scale, f32 bias); all other entries (BatchNorm,
-    up-sampling convs, heads, batch_stats) pass through unchanged."""
+    replaced by a ``QuantConv_0`` subtree (int8 kernel_q, per-output-channel
+    f32 w_scale, per-input-channel f32 act_scale, f32 bias); all other
+    entries (BatchNorm, up-sampling convs, heads, batch_stats) pass through
+    unchanged. The act_scale vector is folded into the kernel BEFORE weight
+    quantization (kernel' = kernel * act_scale over the input-channel axis),
+    so the serve-time epilogue is just ``y * w_scale + bias``."""
     import jax
     from flax import traverse_util
 
@@ -126,6 +135,10 @@ def quantize_variables(model, variables, amax: Dict[Tuple[str, ...], float]):
         subtree = {k[-1]: v for k, v in flat.items()
                    if k[:-1] == scope + (conv_name,)}
         kernel, bias = _effective_kernel(conv_name, subtree)
+        act_scale = np.maximum(np.asarray(a, np.float64), 1e-12) / 127.0
+        # fold per-input-channel activation scales into the kernel: kernel
+        # axis layout is [*spatial, I, O] so act_scale broadcasts over I
+        kernel = kernel * act_scale[:, None]
         axes = tuple(range(kernel.ndim - 1))
         w_scale = np.maximum(np.abs(kernel).max(axis=axes), 1e-12) / 127.0
         kernel_q = np.clip(np.rint(kernel / w_scale), -127, 127
@@ -133,7 +146,7 @@ def quantize_variables(model, variables, amax: Dict[Tuple[str, ...], float]):
         q = scope + ("QuantConv_0",)
         out[q + ("kernel_q",)] = kernel_q
         out[q + ("w_scale",)] = w_scale.astype(np.float32)
-        out[q + ("act_scale",)] = np.float32(max(a, 1e-12) / 127.0)
+        out[q + ("act_scale",)] = act_scale.astype(np.float32)
         out[q + ("bias",)] = bias.astype(np.float32)
         replaced_prefixes.append(scope + (conv_name,))
     for key, val in flat.items():

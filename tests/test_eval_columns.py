@@ -218,3 +218,24 @@ def test_evaluate_cv_save_empty_sources_raises(full_exp, tmp_path):
     os.remove(gt_files[0])
     with pytest.raises(FileNotFoundError, match="file counts differ"):
         evaluate_cv_save(broken, data)
+
+
+def test_malformed_acdc_tree_warns_not_silent(full_exp, caplog):
+    """A malformed original ACDC tree (Info.cfg without ED/ES keys) must
+    degrade loudly: df_eval still ships with an empty pathology column, but
+    a warning names the failure — round-3 finding: the bare-except fallback
+    produced a silently empty column (cmrtpu/eval/evaluate.py pathology
+    join)."""
+    import logging
+
+    exp_path, data_path = full_exp
+    with open(os.path.join(data_path, "original", "patient001",
+                           "Info.cfg"), "w") as fh:
+        fh.write("Group NOR no colon separators at all\n")
+    with caplog.at_level(logging.WARNING):
+        df = evaluate_cv(exp_path, data_path)
+    assert len(df) == 2  # evaluation itself survives
+    assert df["pathology"].isna().all()
+    assert any("pathology join" in rec.message
+               for rec in caplog.records), (
+        "expected a warning naming the pathology-join failure")

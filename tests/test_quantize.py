@@ -57,10 +57,12 @@ def test_int8_twin_tracks_float_model():
     # up-block x2 = 10 quantized convs
     assert len(kq) == 10
     assert all(v.dtype == np.int8 for v in kq.values())
-    # per-output-channel weight scales, per-tensor activation scale
+    # per-output-channel weight scales, per-INPUT-channel activation scales
+    # (folded into the kernel offline, see cmrtpu/predict/quantize.py)
     assert all(flat[k[:-1] + ("w_scale",)].shape == (v.shape[-1],)
                for k, v in kq.items())
-    assert all(flat[k[:-1] + ("act_scale",)].shape == () for k in kq)
+    assert all(flat[k[:-1] + ("act_scale",)].shape == (v.shape[-2],)
+               for k, v in kq.items())
     # the head conv stays float
     assert flat[("head", "kernel")].dtype == np.float32
 
@@ -177,10 +179,10 @@ def test_calibrate_reduces_max_across_batches():
     small = calibrate(model, variables, [0.1 * x])
     both = calibrate(model, variables, [0.1 * x, x])
     assert set(small) == set(both)
-    # the first block's amax is the raw input's max-abs: scaling the input
-    # up must never DECREASE any calibrated maximum
-    assert all(both[k] >= small[k] - 1e-6 for k in both)
-    assert any(both[k] > small[k] + 1e-6 for k in both)
+    # the first block's amax is the raw input's per-channel max-abs: scaling
+    # the input up must never DECREASE any calibrated maximum
+    assert all(np.all(both[k] >= small[k] - 1e-6) for k in both)
+    assert any(np.any(both[k] > small[k] + 1e-6) for k in both)
     with pytest.raises(ValueError):
         calibrate(model, variables, [])
 

@@ -158,3 +158,59 @@ def test_logit_softcap_applies_to_multi_head_outputs():
     assert np.asarray(out["rvip"], np.float64).max() <= cap + 1e-6
     # softmax over logits in (-10, 10): no channel can be exactly 1
     assert np.asarray(out["sep"], np.float64).max() < 1.0
+
+
+def test_logit_softcap_falsy_means_disabled_not_nan():
+    """ADVICE round-3 (medium): the documented '--set LOGIT_SOFTCAP=false'
+    disable convention maps to bool False / 0.0; dividing logits by a zero
+    cap would NaN-poison the forward silently. Falsy and non-positive caps
+    must behave exactly like the knob being absent."""
+    from cmrtpu.models.hybrids import get_model
+    from cmrtpu.models.unet import init_variables
+
+    x = np.random.default_rng(5).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    base = C.normalise_config(dict(CFG))
+    ref_model = get_model(base)
+    v = init_variables(ref_model, base, jax.random.key(0))
+    want = np.asarray(ref_model.apply(
+        {"params": v["params"], "batch_stats": v.get("batch_stats", {})},
+        x, train=False), np.float64)
+    for disabled in (False, 0, 0.0, -1.0, None):
+        cfg = C.normalise_config(dict(CFG, LOGIT_SOFTCAP=disabled))
+        model = get_model(cfg)
+        vv = init_variables(model, cfg, jax.random.key(0))
+        got = np.asarray(model.apply(
+            {"params": vv["params"], "batch_stats": vv.get("batch_stats", {})},
+            x, train=False), np.float64)
+        assert np.isfinite(got).all(), f"NaN with LOGIT_SOFTCAP={disabled!r}"
+        np.testing.assert_array_equal(got, want)
+
+
+def test_logit_softcap_covers_hybrid_heads():
+    """ADVICE round-3 (low): the hybrid variants' own heads (head_3d /
+    head_2d / head_avg) must honor LOGIT_SOFTCAP too, not only the inner
+    UNet trunks."""
+    from cmrtpu.models.hybrids import get_model
+    from cmrtpu.models.unet import init_variables
+
+    x = np.random.default_rng(6).normal(
+        size=(1, 4, 32, 32, 1)).astype(np.float32)
+    for variant, heads in (("followed", ["head_3d"]),
+                           ("avg", ["head_2d", "head_3d", "head_avg"])):
+        cfg = C.normalise_config(dict(
+            CFG, DIM=[4, 32, 32], F_SIZE=[3, 3, 3], M_POOL=[1, 2, 2],
+            LOGIT_SOFTCAP=10.0, MODEL_VARIANT=variant, MASK_CLASSES=4))
+        model = get_model(cfg)
+        v = init_variables(model, cfg, jax.random.key(0))
+        params = v["params"]
+        for head in heads:
+            params[head]["kernel"] = np.full_like(
+                np.asarray(params[head]["kernel"]), 1e4)
+            params[head]["bias"] = np.asarray(params[head]["bias"])
+        out = np.asarray(model.apply(
+            {"params": params, "batch_stats": v.get("batch_stats", {})},
+            x, train=False), np.float64)
+        # softmax over logits bounded to (-10, 10): with all-equal capped
+        # logits no channel can reach exactly 1.0
+        assert np.isfinite(out).all()
+        assert out.max() < 1.0, f"{variant}: head saturation despite softcap"
