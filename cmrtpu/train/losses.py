@@ -78,11 +78,20 @@ dice_coef_upper = dice_coef_lv
 
 
 def binary_crossentropy(y_true, y_pred) -> jax.Array:
-    """keras.losses.binary_crossentropy parity: elementwise BCE on clipped
-    probabilities, mean over the last (channel) axis."""
-    p = jnp.clip(y_pred.astype(jnp.float32), _KERAS_EPS, 1.0 - _KERAS_EPS)
+    """keras.losses.binary_crossentropy parity: elementwise BCE, mean over
+    the last (channel) axis.
+
+    Exact keras backend semantics (pinned by tests/test_tf_parity.py against
+    tf_keras): probabilities are clipped to [eps, 1-eps] AND eps is added
+    again inside each log — ``-(y log(p+eps) + (1-y) log(1-p+eps))`` — all
+    in float32. The extra eps caps the boundary penalty at ``-log(2e-7)``
+    (~15.4) instead of ``-log(1e-7)`` (~16.1); mid-range values differ from
+    the clip-only form by up to ~1e-3 per element."""
+    p = jnp.clip(y_pred.astype(jnp.float32),
+                 jnp.float32(_KERAS_EPS), jnp.float32(1.0 - _KERAS_EPS))
     yt = y_true.astype(jnp.float32)
-    bce = -(yt * jnp.log(p) + (1.0 - yt) * jnp.log1p(-p))
+    bce = -(yt * jnp.log(p + _KERAS_EPS)
+            + (1.0 - yt) * jnp.log(1.0 - p + _KERAS_EPS))
     return jnp.mean(bce, axis=-1)
 
 
