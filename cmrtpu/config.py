@@ -153,7 +153,9 @@ _ALIASES = {
 _SETTABLE_EXTRA = frozenset({
     "AGC", "AUGMENT_GRID", "CACHE_RESHUFFLE_EPOCHS", "CACHE_SHARDED",
     "COMPILATION_CACHE_DIR", "CONFIG_PATH", "EXP_PATH", "FOLD_PATH",
-    "GRAD_ALLREDUCE_DTYPE", "HEADS", "HEAD_BIAS_PRIOR", "HEAD_MASK_RULES",
+    "FACTORIZED_3D",
+    "GRAD_ALLREDUCE_DTYPE", "GROUP_NORM",
+    "HEADS", "HEAD_BIAS_PRIOR", "HEAD_MASK_RULES",
     "HISTORY_PATH", "HIST_MATCHING_BINS", "HIST_MATCHING_PROB",
     "LOGIT_SOFTCAP",
     "MODEL_PATH", "MODEL_VARIANT", "MOMENTUM", "QUANT_INT8", "RESUME",

@@ -188,4 +188,9 @@ def get_model(config: Dict, supervision: bool = False):
     variant = str(C.get(config, "MODEL_VARIANT", "unet")).lower()
     if variant in ("unet", ""):
         return build_model(config, supervision=supervision)
+    if variant == "unet_2p1d":
+        # (2+1)D factorized 3D U-Net (R(2+1)D, arXiv:1711.11248): each
+        # t x d x d conv becomes spatial 1xdxd + act + temporal tx1x1 —
+        # a TPU-first option for cine/3D configs with no reference analog
+        return build_model(config, supervision=supervision, factorized=True)
     return build_hybrid_model(config, variant=variant, supervision=supervision)

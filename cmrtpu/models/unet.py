@@ -160,6 +160,20 @@ class ConvBlock(nn.Module):
     ws: bool = False
     quant_mode: str = ""
     bn_bf16: bool = False
+    # (2+1)D factorization for rank-3 convs (R(2+1)D, arXiv:1711.11248 §3):
+    # one t x d x d conv becomes a 1 x d x d spatial conv + activation +
+    # a t x 1 x 1 temporal conv. FLOPs drop from t*d^2 to d^2 + t per tap
+    # and the heavy conv becomes 2D-spatial, which XLA tiles much better
+    # onto the MXU for NDHWC volumes. Opt-in via MODEL_VARIANT='unet_2p1d';
+    # ignored for 2D blocks and the ws/int8 conv paths.
+    factorized: bool = False
+    # GROUP_NORM=N replaces BatchNorm with GroupNorm(min(N, filters) groups,
+    # Wu & He 2018, arXiv:1803.08494): batch-independent statistics (no
+    # running averages, identical train/eval function, stable at any
+    # per-chip batch), probed as the stable normalization alternative to the
+    # collapsed WS arm (round-3 verdict #4). Takes precedence over
+    # batch_norm when set; same conv->act->norm ordering switch applies.
+    group_norm: int = 0
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -176,12 +190,23 @@ class ConvBlock(nn.Module):
                              axis=tuple(range(x.ndim - 1))),
                      init_fn=lambda: jnp.zeros((x.shape[-1],), jnp.float32),
                      reduce_fn=jnp.maximum)
+        factorized = (self.factorized and len(self.f_size) == 3
+                      and not self.ws and not self.quant_mode
+                      and self.f_size[0] > 1)
         if self.quant_mode == "int8":
             conv = QuantConv(self.filters, self.f_size, pad=self.pad,
                              dtype=self.dtype)
         elif self.ws:
             conv = WSConv(self.filters, self.f_size, pad=self.pad,
                           dtype=self.dtype)
+        elif factorized:
+            spatial = nn.Conv(self.filters, (1, *self.f_size[1:]),
+                              padding=self.pad, kernel_init=_he_normal(),
+                              dtype=self.dtype, param_dtype=jnp.float32)
+            temporal = nn.Conv(self.filters, (self.f_size[0], 1, 1),
+                               padding=self.pad, kernel_init=_he_normal(),
+                               dtype=self.dtype, param_dtype=jnp.float32)
+            conv = lambda y: temporal(act(spatial(y)))
         else:
             conv = nn.Conv(self.filters, self.f_size, padding=self.pad,
                            kernel_init=_he_normal(), dtype=self.dtype,
@@ -198,7 +223,14 @@ class ConvBlock(nn.Module):
                      "elu": 1.2717}.get(self.activation, 1.0)
             x = act(conv(x)) * gamma
             return x.astype(self.dtype)
-        if not self.batch_norm:
+        if self.group_norm:
+            groups = min(int(self.group_norm), self.filters)
+            while self.filters % groups:  # GroupNorm needs groups | channels
+                groups -= 1
+            bn = lambda y: nn.GroupNorm(num_groups=groups, epsilon=1e-3,
+                                        dtype=jnp.float32,
+                                        name="GroupNorm_0")(y)
+        elif not self.batch_norm:
             bn = lambda y: y
         elif self.bn_bf16:
             # name pinned to nn.BatchNorm's auto-name so the param /
@@ -290,6 +322,8 @@ class DownBlock(nn.Module):
     ws: bool = False
     quant_mode: str = ""
     bn_bf16: bool = False
+    factorized: bool = False
+    group_norm: int = 0
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -298,7 +332,8 @@ class DownBlock(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
-                  bn_bf16=self.bn_bf16,
+                  bn_bf16=self.bn_bf16, factorized=self.factorized,
+                  group_norm=self.group_norm,
                   pad=self.pad, dtype=self.dtype)
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -334,6 +369,8 @@ class UpBlock(nn.Module):
     ws: bool = False
     quant_mode: str = ""
     bn_bf16: bool = False
+    factorized: bool = False
+    group_norm: int = 0
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -354,7 +391,8 @@ class UpBlock(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
-                  bn_bf16=self.bn_bf16,
+                  bn_bf16=self.bn_bf16, factorized=self.factorized,
+                  group_norm=self.group_norm,
                   pad=self.pad, dtype=self.dtype)
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -379,6 +417,8 @@ class ConvEncoder(nn.Module):
     ws: bool = False
     quant_mode: str = ""
     bn_bf16: bool = False
+    factorized: bool = False
+    group_norm: int = 0
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -387,7 +427,8 @@ class ConvEncoder(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
-                  bn_bf16=self.bn_bf16,
+                  bn_bf16=self.bn_bf16, factorized=self.factorized,
+                  group_norm=self.group_norm,
                   pad=self.pad, dtype=self.dtype)
         x = x.astype(self.dtype)
         filters = self.filters
@@ -425,6 +466,8 @@ class ConvDecoder(nn.Module):
     ws: bool = False
     quant_mode: str = ""
     bn_bf16: bool = False
+    factorized: bool = False
+    group_norm: int = 0
     pad: str = "SAME"
     dtype: Any = jnp.bfloat16
 
@@ -433,7 +476,8 @@ class ConvDecoder(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
-                  bn_bf16=self.bn_bf16,
+                  bn_bf16=self.bn_bf16, factorized=self.factorized,
+                  group_norm=self.group_norm,
                   pad=self.pad, dtype=self.dtype)
         x = encoding
         skips = list(skips)
@@ -467,6 +511,8 @@ class UNet(nn.Module):
     ws: bool = False
     quant_mode: str = ""
     bn_bf16: bool = False
+    factorized: bool = False
+    group_norm: int = 0
     use_upsample: bool = True
     pad: str = "SAME"
     supervision: bool = False
@@ -496,7 +542,8 @@ class UNet(nn.Module):
         kw = dict(f_size=self.f_size, activation=self.activation,
                   batch_norm=self.batch_norm, bn_first=self.bn_first,
                   ws=self.ws, quant_mode=self.quant_mode,
-                  bn_bf16=self.bn_bf16,
+                  bn_bf16=self.bn_bf16, factorized=self.factorized,
+                  group_norm=self.group_norm,
                   pad=self.pad, dtype=self.dtype)
         # REMAT: recompute block activations in the backward pass instead of
         # storing them. ``True`` remats every block — at the 2D flagship
@@ -586,7 +633,8 @@ def dropout_schedule(config: Dict) -> Tuple[float, ...]:
     return tuple(round(float(v), 1) for v in lin)
 
 
-def build_model(config: Dict, supervision: bool = False) -> UNet:
+def build_model(config: Dict, supervision: bool = False,
+                factorized: bool = False) -> UNet:
     """Model factory from the flat config (ref: create_unet, src/models/Unets.py:61).
 
     len(DIM) selects 2D vs 3D; M_POOL/F_SIZE are right-sliced to the model
@@ -634,6 +682,11 @@ def build_model(config: Dict, supervision: bool = False) -> UNet:
         heads=heads,
         bn_bf16=bool(C.get(config, "BN_BF16", False)
                      and C.get(config, "MIXED_PRECISION")),
+        # (2+1)D factorized conv blocks for 3D/cine configs — opt-in via
+        # MODEL_VARIANT='unet_2p1d' (get_model) or FACTORIZED_3D=True
+        factorized=bool(factorized or C.get(config, "FACTORIZED_3D", False)),
+        # GROUP_NORM=N: batch-independent GroupNorm instead of BatchNorm
+        group_norm=int(C.get(config, "GROUP_NORM", 0) or 0),
         remat=C.get(config, "REMAT", False),
         head_bias_prior=C.get(config, "HEAD_BIAS_PRIOR", None),
         logit_softcap=C.get(config, "LOGIT_SOFTCAP", None),

@@ -182,6 +182,9 @@ def main():
     parser.add_argument("--batch", type=int, default=0,
                         help="0 = auto: min(128, one fold's train slices)")
     parser.add_argument("--skip-generate", action="store_true")
+    parser.add_argument("--seed", type=int, default=42,
+                        help="training seed (cohort generation stays fixed "
+                             "so seeds are comparable on identical data)")
     # published experiment arms (BASELINE.md Tab.1/2): base, Var.1
     # (hist-matching), Var.2 (GAUS sigma=2, the default here), Var.3 (sigma=4)
     parser.add_argument("--sigma", type=float, default=2,
@@ -252,7 +255,7 @@ def main():
 
     config = {
         "EXPERIMENT": "full_cv", "EXPERIMENTS_ROOT": os.path.join(args.root, "exp/"),
-        "SEED": 42, "EPOCHS": args.epochs, "BATCHSIZE": batch,
+        "SEED": args.seed, "EPOCHS": args.epochs, "BATCHSIZE": batch,
         "FOLDS": args.folds,
         "DIM": [args.dim, args.dim], "SPACING": [1.2, 1.2], "RESAMPLE": True,
         "DEPTH": 4, "FILTERS": 32, "M_POOL": [2, 2], "F_SIZE": [3, 3],
@@ -265,7 +268,15 @@ def main():
         "HIST_MATCHING": args.hist_matching,
         "SCALER": "MinMax", "CC_FILTER": True,
         "EARLY_STOPPING_PATIENCE": args.epochs,
-        "MONITOR_FUNCTION": "val_loss", "SAVE_MODEL_FUNCTION": "val_loss",
+        # checkpoint selection on the ACTUAL target quantity: mean landmark
+        # error in mm with the FN/FP farthest-corner upper bound
+        # (cmrtpu/eval/detection.py localisation_metrics). Round-3 finding:
+        # selecting on val_loss let a spurious-detection-heavy checkpoint
+        # win the sigma=2 300-epoch arm (3.97 mm inferior outlier) — loss
+        # is a proxy, loc_mm is the metric the evaluation suite scores.
+        "MONITOR_LOCALISATION": True,
+        "MONITOR_FUNCTION": "val_loss",
+        "SAVE_MODEL_FUNCTION": "val_loc_mm", "SAVE_MODEL_MODE": "min",
         "CACHE_DTYPE": args.cache_dtype, "CACHE_SHARDED": args.cache_sharded,
         "WEIGHT_STANDARDISATION": args.ws,
         "BATCH_NORMALISATION": not args.ws,

@@ -89,3 +89,40 @@ def test_cine_gaus_heatmap_targets(cine_files):
     assert 0 < y.max() <= 1.0
     binary_fraction = np.isin(y, (0.0, 1.0)).mean()
     assert binary_fraction < 1.0  # smoothed, not binary
+
+
+def test_cine_2p1d_factorized_variant(cine_files):
+    """MODEL_VARIANT='unet_2p1d': every rank-3 ConvBlock conv factorizes
+    into a 1xdxd spatial conv + txlxl temporal conv (R(2+1)D,
+    arXiv:1711.11248) — a TPU-first cine option; trains end-to-end."""
+    from flax import traverse_util
+
+    from cmrtpu.models.hybrids import get_model
+    from cmrtpu.models.unet import init_variables
+    from cmrtpu.pipeline.generator import DataGenerator
+
+    xs, ys, cfg = cine_files
+    cfg = dict(cfg, MODEL_VARIANT="unet_2p1d")
+    import jax
+    model = get_model(cfg)
+    v = init_variables(model, cfg, jax.random.key(0))
+    flat = traverse_util.flatten_dict(v["params"])
+    block_kernels = [(k, a) for k, a in flat.items()
+                     if k[-1] == "kernel"
+                     and any(p.startswith("ConvBlock_") for p in k)]
+    # no full t x d x d kernels may remain inside the conv blocks (the
+    # UpBlock up-convs intentionally stay full 3D — they are a tiny
+    # fraction of the FLOPs)
+    assert block_kernels
+    assert not any(a.shape[0] > 1 and a.shape[1] > 1 and a.shape[2] > 1
+                   for _, a in block_kernels)
+    spatial = [a for _, a in block_kernels
+               if a.shape[0] == 1 and a.shape[1] == 3]
+    temporal = [a for _, a in block_kernels if a.shape[:3] == (3, 1, 1)]
+    assert len(spatial) == len(temporal) > 0
+
+    gen = DataGenerator(xs, ys, config=cfg)
+    trainer = Trainer(cfg)
+    hist = trainer.fit_cached(gen, epochs=10)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
