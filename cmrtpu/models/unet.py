@@ -200,13 +200,23 @@ class ConvBlock(nn.Module):
             conv = WSConv(self.filters, self.f_size, pad=self.pad,
                           dtype=self.dtype)
         elif factorized:
-            spatial = nn.Conv(self.filters, (1, *self.f_size[1:]),
+            # the heavy spatial conv runs as a TRUE 2D conv with t folded
+            # into batch — the exact NHWC shape the 2D flagship step tiles
+            # at full MXU efficiency. A (1,d,d) conv on the 5D NDHWC tensor
+            # instead compiles to layouts that pad 32-channel temps 4x in
+            # the lane dim (measured: compile-time HBM OOM at the cine
+            # flagship size, tools/probe3d.py round 4).
+            spatial = nn.Conv(self.filters, tuple(self.f_size[1:]),
                               padding=self.pad, kernel_init=_he_normal(),
                               dtype=self.dtype, param_dtype=jnp.float32)
             temporal = nn.Conv(self.filters, (self.f_size[0], 1, 1),
                                padding=self.pad, kernel_init=_he_normal(),
                                dtype=self.dtype, param_dtype=jnp.float32)
-            conv = lambda y: temporal(act(spatial(y)))
+
+            def conv(y):
+                b, t_, h, w, c = y.shape
+                ys = act(spatial(y.reshape(b * t_, h, w, c)))
+                return temporal(ys.reshape(b, t_, h, w, self.filters))
         else:
             conv = nn.Conv(self.filters, self.f_size, padding=self.pad,
                            kernel_init=_he_normal(), dtype=self.dtype,

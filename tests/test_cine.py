@@ -112,13 +112,16 @@ def test_cine_2p1d_factorized_variant(cine_files):
                      and any(p.startswith("ConvBlock_") for p in k)]
     # no full t x d x d kernels may remain inside the conv blocks (the
     # UpBlock up-convs intentionally stay full 3D — they are a tiny
-    # fraction of the FLOPs)
+    # fraction of the FLOPs): each splits into a TRUE 2D spatial kernel
+    # (rank 4 — t folds into batch so XLA tiles the flagship NHWC shape)
+    # and a t x 1 x 1 temporal kernel
     assert block_kernels
-    assert not any(a.shape[0] > 1 and a.shape[1] > 1 and a.shape[2] > 1
-                   for _, a in block_kernels)
+    assert not any(a.ndim == 5 and a.shape[0] > 1 and a.shape[1] > 1
+                   and a.shape[2] > 1 for _, a in block_kernels)
     spatial = [a for _, a in block_kernels
-               if a.shape[0] == 1 and a.shape[1] == 3]
-    temporal = [a for _, a in block_kernels if a.shape[:3] == (3, 1, 1)]
+               if a.ndim == 4 and a.shape[:2] == (3, 3)]
+    temporal = [a for _, a in block_kernels
+                if a.ndim == 5 and a.shape[:3] == (3, 1, 1)]
     assert len(spatial) == len(temporal) > 0
 
     gen = DataGenerator(xs, ys, config=cfg)

@@ -109,34 +109,44 @@ def main():
         print(json.dumps(row), flush=True)
 
     def roofline(name, overrides, vols=None):
-        """XLA cost analysis of the fused step for a variant."""
+        """XLA cost analysis of the fused step for a variant. Failures are
+        rows, not aborts — a variant that fails to compile (round-4 lesson:
+        the first 2p1d formulation OOM'd at compile) must not cost the
+        ladder's remaining rows."""
         if args.only and name not in args.only.split(","):
             return
-        n_vols = (vols or args.vols) * n_dev
-        cfg = dict(base_cfg, BATCHSIZE=n_vols, **overrides)
-        trainer = Trainer(cfg, mesh=mesh)
-        dx, dy, n_cache = get_cache(n_vols)
-        step = make_cached_train_step(trainer.model, trainer.optimizer,
-                                      trainer.loss_fn, trainer.metrics,
-                                      cfg, mesh, augment=True)
-        idxs = jax.device_put(
-            rng.integers(0, n_cache, n_vols).astype(np.int32), idx_sharding)
-        lowered = jax.jit(step, donate_argnums=(0,)).lower(
-            trainer.state, dx, dy, idxs, trainer.rng)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = cost.get("flops", 0.0)
-        bytes_ = cost.get("bytes accessed", 0.0)
-        row = {"row": f"roofline:{name}", "tflop_per_step": round(flops / 1e12, 2),
-               "gb_per_step": round(bytes_ / 1e9, 2)}
-        meas = results.get(name, {}).get("step_ms")
-        if meas:
-            step_s = meas / 1000.0
-            row["achieved_tflops"] = round(flops / 1e12 / step_s, 1)
-            row["achieved_gbps"] = round(bytes_ / 1e9 / step_s, 1)
-            row["mxu_util"] = round(flops / 1e12 / step_s / args.peak_tflops, 3)
-            row["hbm_util"] = round(bytes_ / 1e9 / step_s / args.peak_gbps, 3)
+        row = {"row": f"roofline:{name}"}
+        try:
+            n_vols = (vols or args.vols) * n_dev
+            cfg = dict(base_cfg, BATCHSIZE=n_vols, **overrides)
+            trainer = Trainer(cfg, mesh=mesh)
+            dx, dy, n_cache = get_cache(n_vols)
+            step = make_cached_train_step(trainer.model, trainer.optimizer,
+                                          trainer.loss_fn, trainer.metrics,
+                                          cfg, mesh, augment=True)
+            idxs = jax.device_put(
+                rng.integers(0, n_cache, n_vols).astype(np.int32),
+                idx_sharding)
+            lowered = jax.jit(step, donate_argnums=(0,)).lower(
+                trainer.state, dx, dy, idxs, trainer.rng)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops = cost.get("flops", 0.0)
+            bytes_ = cost.get("bytes accessed", 0.0)
+            row["tflop_per_step"] = round(flops / 1e12, 2)
+            row["gb_per_step"] = round(bytes_ / 1e9, 2)
+            meas = results.get(name, {}).get("step_ms")
+            if meas:
+                step_s = meas / 1000.0
+                row["achieved_tflops"] = round(flops / 1e12 / step_s, 1)
+                row["achieved_gbps"] = round(bytes_ / 1e9 / step_s, 1)
+                row["mxu_util"] = round(
+                    flops / 1e12 / step_s / args.peak_tflops, 3)
+                row["hbm_util"] = round(
+                    bytes_ / 1e9 / step_s / args.peak_gbps, 3)
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {str(e)[:200]}"
         print(json.dumps(row), flush=True)
         results[f"roofline:{name}"] = row
 
@@ -151,11 +161,13 @@ def main():
     probe("2p1d", {"MODEL_VARIANT": "unet_2p1d"})
     roofline("2p1d", {"MODEL_VARIANT": "unet_2p1d"})
     probe("2p1d_bn_bf16", {"MODEL_VARIANT": "unet_2p1d", "BN_BF16": True})
+    probe("2p1d_remat1", {"MODEL_VARIANT": "unet_2p1d", "REMAT": 1})
     probe("pool_t", {"M_POOL": [2, 2, 2]})  # t-pooling variant (smaller
     # decoder volumes; changes model family — context row only)
     probe("b8", {}, vols=8)
     probe("b24", {}, vols=24)
     probe("b32", {}, vols=32)
+    probe("2p1d_b8", {"MODEL_VARIANT": "unet_2p1d"}, vols=8)
     probe("2p1d_b24", {"MODEL_VARIANT": "unet_2p1d"}, vols=24)
     probe("2p1d_b32", {"MODEL_VARIANT": "unet_2p1d"}, vols=32)
 
