@@ -79,6 +79,14 @@ def main():
     parser.add_argument("--dim", type=int, default=48)
     parser.add_argument("--epochs", type=int, default=200)
     parser.add_argument("--sigma", type=float, default=2)
+    parser.add_argument("--pool-t", action="store_true",
+                        help="M_POOL=[2,2,2]: pool the t axis too — the "
+                             "measured +34%% throughput arm (tools/"
+                             "probe3d.py); the decoder upsamples t back so "
+                             "output stays per-frame. A/B this flag for "
+                             "quality before adopting.")
+    parser.add_argument("--variant", default="unet",
+                        help="MODEL_VARIANT (e.g. unet_2p1d)")
     args = parser.parse_args()
 
     from cmrtpu.eval.detection import detect
@@ -92,7 +100,9 @@ def main():
     test_x, test_y = xs[-n_test:], ys[-n_test:]
 
     cfg = {"DIM": [args.t_frames, args.dim, args.dim],
-           "F_SIZE": [3, 3, 3], "M_POOL": [1, 2, 2],  # t-preserving pooling
+           "MODEL_VARIANT": args.variant,
+           "F_SIZE": [3, 3, 3],
+           "M_POOL": [2, 2, 2] if args.pool_t else [1, 2, 2],
            "DEPTH": 3, "FILTERS": 8, "BATCHSIZE": min(4, len(train_x)),
            "MASK_VALUES": [1, 2], "MASK_CLASSES": 2, "SEED": 42,
            "OPTIMIZER": "adam", "LEARNING_RATE": 1e-3,
