@@ -247,16 +247,20 @@ def main():
         loop.run_train_epoch()  # run_train_epoch drains all step logs
         return steps * batch * echo / (time.perf_counter() - t0)
 
-    def measure_cine(steps=st(10), warmup=st(3)):
+    def measure_cine(steps=st(10), warmup=st(3), m_pool=(1, 2, 2)):
         """slices/sec of the 2D+t cine config (BASELINE config 3): a 3D
         U-Net over temporal SAX stacks (len(DIM)==3, t-preserving pooling
         M_POOL=[1,2,2]) through the same fused cached step — the
         augmentation draw broadcasts across t (ReplayCompose parity).
-        Reported in SLICES (volumes x frames) for comparability."""
+        Reported in SLICES (volumes x frames) for comparability.
+
+        ``m_pool=[2,2,2]`` is the measured +34% production setting (pool t
+        too, decoder restores it — quality-neutral in the cine demo A/B,
+        tools/probe3d.py + IMPLEMENTATION_STATUS.md round 4)."""
         t_frames = 4 if smoke else 8
         vol_batch = (2 if smoke else 16) * n_dev  # 16 vols/chip = 128 slices
         cfg = {"DIM": [t_frames, hw, hw], "F_SIZE": [3, 3, 3],
-               "M_POOL": [1, 2, 2], "DEPTH": 4, "FILTERS": 32,
+               "M_POOL": list(m_pool), "DEPTH": 4, "FILTERS": 32,
                "MASK_CLASSES": 2, "MASK_VALUES": [1, 2],
                "BATCHSIZE": vol_batch, "MIXED_PRECISION": True,
                "USE_UPSAMPLE": False, "SCALER": "MinMax",
@@ -479,6 +483,8 @@ def main():
     # BASELINE config 3: 2D+t cine volume batching through a 3D U-Net
     # (t-preserving pooling), slices = volumes x frames
     safe("cine_2dt (config 3)", measure_cine)
+    # the +34% production cine setting (pool t too; quality-neutral A/B)
+    safe("cine_2dt_poolt", measure_cine, m_pool=(2, 2, 2))
     # normalization-free arm: scaled-WS convs instead of BatchNorm
     safe("ws_normfree", measure_ws)
     # int8 PTQ serving twin (cmrtpu.cli.export --int8)
