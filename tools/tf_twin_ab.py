@@ -75,9 +75,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # default: JAX pinned to cpu so the A/B never touches the TPU tunnel.
+    # CMRTPU_TWIN_JAX_PLATFORM=tpu runs the JAX side on the real chip —
+    # minutes instead of hours (the CPU JAX side measures ~3 s/step at
+    # 64² b32; quality is platform-independent) — while TF stays on CPU.
+    platform = os.environ.get("CMRTPU_TWIN_JAX_PLATFORM", "cpu").lower()
+    if platform == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from examples.full_cv_demo import generate_cohort
     from cmrtpu.cli.make_dataset import main as make_dataset_main
