@@ -339,3 +339,29 @@ def test_calib_worklist_excludes_label_families(tmp_path):
     got = _worklist(str(tmp_path), DEFAULT_PATTERNS, exclude=LABEL_SUFFIXES)
     assert sorted(os.path.basename(p) for p in got) == [
         "p1_ED_cmr.nrrd", "p1__t0_z0_img.nrrd", "study.nii.gz"]
+
+
+def test_int8_twin_of_group_norm_model():
+    """PTQ composes structurally with GROUP_NORM (the stable-normalization
+    arm): the GroupNorm epilogue stays float, convs quantize as usual.
+
+    Fidelity caveat (measured, documented in OPERATIONS.md): unlike
+    BatchNorm — whose inference statistics are FROZEN, passing conv
+    quantization error through linearly — GroupNorm recomputes statistics
+    from the (quantized) activations, so the error perturbs the
+    normalization itself and compounds (~0.24 max sigmoid deviation on this
+    fixture vs <0.05 for BN). Prefer BN configs for int8 serving, or
+    quality-A/B the GN twin per config."""
+    cfg = dict(CFG, GROUP_NORM=4)
+    trainer, variables, x = _trained(cfg)
+    live = np.asarray(trainer.predict(x))
+    qcfg, qvars = quantize_model(cfg, variables, [x])
+    q = np.asarray(jax.device_get(
+        get_model(qcfg).apply(qvars, x, train=False)))
+    diff = np.abs(q - live)
+    assert np.isfinite(q).all()
+    assert diff.max() < 0.35, f"max sigmoid deviation {diff.max()}"
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(qvars["params"])
+    assert any("GroupNorm_0" in k for k in flat)  # float epilogue kept
+    assert any(k[-1] == "kernel_q" for k in flat)
