@@ -39,6 +39,37 @@ def _he_normal():
     return nn.initializers.he_normal()
 
 
+def effective_pools(spatial: Sequence[int], m_pool: Sequence[int],
+                    depth: int) -> Tuple[Tuple[Tuple[int, ...], ...], bool]:
+    """Per-level pool factors with exhausted axes clamped to 1.
+
+    The reference's Keras graph fails loudly at build time when a pooled
+    axis reaches zero (MaxPooling3D raises); a naive static m_pool under
+    XLA instead produces silent zero-size tensors — e.g. DEPTH=4,
+    M_POOL=[2,2,2] on t=8 pools t as 8->4->2->1->0, making the whole
+    bottleneck dead compute. Clamp each factor to 1 once its axis can no
+    longer be pooled (dim // factor < 1), so deep configs degrade to
+    t-preserving pooling at depth instead of silently computing nothing.
+
+    Returns (pools_per_level, clamped_any).
+    """
+    dims = list(spatial)
+    pools = []
+    clamped = False
+    for _ in range(depth):
+        level = []
+        for i, p in enumerate(m_pool):
+            p = int(p)
+            if p > 1 and dims[i] // p >= 1:
+                level.append(p)
+                dims[i] //= p
+            else:
+                level.append(1)
+                clamped = clamped or p > 1
+        pools.append(tuple(level))
+    return tuple(pools), clamped
+
+
 def apply_softcap(logits, softcap):
     """tanh soft cap on head logits: logits <- cap * tanh(logits / cap).
 
@@ -348,6 +379,15 @@ class DownBlock(nn.Module):
         x = ConvBlock(self.filters, **kw)(x, train)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         skip = ConvBlock(self.filters, **kw)(x, train)
+        bad = [f"axis {i} (size {d}, pool {p})"
+               for i, (d, p) in enumerate(zip(skip.shape[1:-1], self.m_pool))
+               if d // int(p) < 1]
+        if bad:
+            raise ValueError(
+                f"DownBlock m_pool={tuple(self.m_pool)} would pool "
+                f"{', '.join(bad)} of shape {skip.shape} to zero size — the "
+                "level would silently compute nothing. Reduce DEPTH, enlarge "
+                "DIM, or use per-level clamped pools (see effective_pools).")
         pooled = nn.max_pool(skip, self.m_pool, strides=self.m_pool)
         return skip, pooled
 
@@ -441,10 +481,18 @@ class ConvEncoder(nn.Module):
                   group_norm=self.group_norm,
                   pad=self.pad, dtype=self.dtype)
         x = x.astype(self.dtype)
+        pools, clamped = effective_pools(x.shape[1:-1], self.m_pool, self.depth)
+        if clamped:
+            import warnings
+            warnings.warn(
+                f"ConvEncoder: m_pool={tuple(self.m_pool)} exhausts an axis "
+                f"before depth={self.depth} on input {x.shape}; clamped "
+                f"per-level pools to {pools}. Pair with a ConvDecoder whose "
+                "up factors mirror these.", stacklevel=2)
         filters = self.filters
         skips = []
         for level in range(self.depth):
-            skip, x = DownBlock(filters, m_pool=self.m_pool,
+            skip, x = DownBlock(filters, m_pool=pools[level],
                                 drop=self.dropouts[level], **kw)(x, train)
             skips.append(skip)
             filters *= 2
@@ -569,13 +617,26 @@ class UNet(nn.Module):
         RDown = nn.remat(DownBlock, static_argnums=(2,))
         RUp = nn.remat(UpBlock, static_argnums=(3,))
         x = x.astype(self.dtype)
+        # Per-level pools with exhausted axes clamped to 1 (t-preserving at
+        # depth): DEPTH=4 + M_POOL=[2,2,2] on t=8 would otherwise pool t to
+        # zero at the deepest level and the bottleneck would be zero-size
+        # dead compute. Pool factors carry no parameters, so clamping never
+        # changes the variable tree — checkpoints stay interchangeable.
+        pools, clamped = effective_pools(x.shape[1:-1], self.m_pool, self.depth)
+        if clamped:
+            import warnings
+            warnings.warn(
+                f"UNet: M_POOL={tuple(self.m_pool)} exhausts an axis before "
+                f"DEPTH={self.depth} on input {x.shape}; using per-level "
+                f"pools {pools} (exhausted axes preserved at depth).",
+                stacklevel=2)
         filters = self.filters
         skips = []
         for level in range(self.depth):
             Down = RDown if level < n_remat else DownBlock
             # names pinned so the variable tree is identical for every REMAT
             # setting (checkpoints interchange; resume may change the knob)
-            skip, x = Down(filters, m_pool=self.m_pool,
+            skip, x = Down(filters, m_pool=pools[level],
                            drop=self.dropouts[level],
                            name=f"DownBlock_{level}", **kw)(x, train)
             skips.append(skip)
@@ -593,7 +654,9 @@ class UNet(nn.Module):
             pre_last = x
             # decoder iteration i produces level depth-1-i (shallowest last)
             Up = RUp if (self.depth - 1 - i) < n_remat else UpBlock
-            x = Up(filters, up_size=self.m_pool, drop=dropouts.pop(),
+            # decoder mirrors the encoder's (possibly clamped) pool factors
+            x = Up(filters, up_size=pools[self.depth - 1 - i],
+                   drop=dropouts.pop(),
                    use_upsample=self.use_upsample,
                    name=f"UpBlock_{i}", **kw)(x, skips.pop(), train)
 
@@ -603,7 +666,7 @@ class UNet(nn.Module):
             lower = act(nn.Conv(self.filters, tuple([1] * len(self.f_size)),
                                 padding=self.pad, kernel_init=_he_normal(),
                                 dtype=self.dtype, param_dtype=jnp.float32)(pre_last))
-            lower = _upsample_nearest(lower, self.m_pool)
+            lower = _upsample_nearest(lower, pools[0])
             x = lower * x
 
         one = tuple([1] * len(self.f_size))

@@ -169,6 +169,18 @@ def quantize_model(config: Dict, variables,
     if C.get(cfg, "QUANT_INT8", False):
         raise ValueError("config is already the int8 twin (QUANT_INT8=True) "
                          "— quantize the FLOAT fold/checkpoint instead")
+    if (str(C.get(cfg, "MODEL_VARIANT", "") or "").lower() == "unet_2p1d"
+            or C.get(cfg, "FACTORIZED_3D", False)):
+        # ConvBlock disables factorization under any quant_mode, so the calib
+        # model would build one full txdxd Conv_0 while the trained tree holds
+        # a 2D spatial Conv_0 + temporal Conv_1 — a confusing kernel-shape
+        # mismatch deep inside apply. Fail with the real story instead.
+        raise ValueError(
+            "int8 PTQ does not support factorized (2+1)D models "
+            "(MODEL_VARIANT='unet_2p1d' / FACTORIZED_3D=True): the quantized "
+            "twin's ConvBlocks are unfactorized and cannot consume a "
+            "factorized checkpoint. Train the plain 3D variant, or serve "
+            "the factorized model in float.")
     model = get_model(cfg)
     amax = calibrate(model, variables, calib_batches)
     qvars = quantize_variables(model, variables, amax)

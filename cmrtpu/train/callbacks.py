@@ -403,6 +403,32 @@ class WeightsSaver(Callback):
             self._writer.flush()
 
 
+class TimeBudget(Callback):
+    """Stop training when wall-clock exceeds ``budget_s`` seconds.
+
+    No reference analog (the reference trains by epoch count only) — this is
+    the equal-wall-clock lever for architecture head-to-heads (e.g. the cine
+    SliceDistributed2D-vs-3D comparison): give both arms the same seconds and
+    let each take as many epochs as its step rate affords. The clock starts
+    at on_train_begin, so compile time counts — matching what a user pays."""
+
+    def __init__(self, budget_s: float):
+        self.budget_s = float(budget_s)
+        self._t0 = None
+
+    def on_train_begin(self, trainer):
+        import time
+        self._t0 = time.time()
+
+    def on_epoch_end(self, trainer, epoch, logs):
+        import time
+        elapsed = time.time() - self._t0
+        if elapsed >= self.budget_s:
+            logging.info("TimeBudget: %.1fs >= %.1fs after epoch %d — "
+                         "stopping", elapsed, self.budget_s, epoch + 1)
+            trainer.stop_training = True
+
+
 def get_callbacks(config: Dict, sample_batches: Optional[List] = None,
                   use_optimizer_changer: bool = False) -> List[Callback]:
     """Assemble the reference callback set from config

@@ -71,6 +71,15 @@ def load_weights(model_path: str):
             prefix, rest = key.split("/", 1)
             target = params_flat if prefix == "params" else bn_flat
             target[tuple(rest.split("/"))] = blobs[key]
+    # migrate pre-r4 int8 twins: act_scale was per-tensor (scalar) before it
+    # became per-input-channel; broadcast it to the sibling kernel's
+    # input-channel count so old exported twins keep loading
+    for key, val in list(params_flat.items()):
+        if key[-1] == "act_scale" and np.size(val) == 1:
+            kernel = params_flat.get(key[:-1] + ("kernel_q",))
+            if kernel is not None:
+                params_flat[key] = np.full((kernel.shape[-2],),
+                                           float(np.ravel(val)[0]), np.float32)
     params = traverse_util.unflatten_dict(params_flat)
     batch_stats = traverse_util.unflatten_dict(bn_flat) if bn_flat else {}
     return params, batch_stats

@@ -86,7 +86,15 @@ def binary_crossentropy(y_true, y_pred) -> jax.Array:
     again inside each log — ``-(y log(p+eps) + (1-y) log(1-p+eps))`` — all
     in float32. The extra eps caps the boundary penalty at ``-log(2e-7)``
     (~15.4) instead of ``-log(1e-7)`` (~16.1); mid-range values differ from
-    the clip-only form by up to ~1e-3 per element."""
+    the clip-only form by up to ~1e-3 per element.
+
+    Caveat (advisor r4): this pins the EAGER clip-path. In graph mode Keras
+    silently rewrites BCE of a direct Sigmoid output into exact
+    ``sigmoid_cross_entropy_with_logits`` — the reference's compiled fit()
+    can take that branch, so "exact keras parity" is context-dependent, with
+    differences up to ~1e-3/element near saturation. The TF-twin head-to-head
+    (tools/tf_twin_ab.py, frameworks agree to 0.02 mm) bounds the practical
+    impact; no logits-path variant is implemented."""
     p = jnp.clip(y_pred.astype(jnp.float32),
                  jnp.float32(_KERAS_EPS), jnp.float32(1.0 - _KERAS_EPS))
     yt = y_true.astype(jnp.float32)

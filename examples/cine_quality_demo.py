@@ -86,7 +86,22 @@ def main():
                              "output stays per-frame. A/B this flag for "
                              "quality before adopting.")
     parser.add_argument("--variant", default="unet",
-                        help="MODEL_VARIANT (e.g. unet_2p1d)")
+                        help="MODEL_VARIANT (e.g. unet_2p1d, or 'wrapper' "
+                             "for the SliceDistributed2D hybrid that rides "
+                             "the 2D step)")
+    parser.add_argument("--depth", type=int, default=3,
+                        help="U-Net DEPTH — use 4 to match the bench/"
+                             "flagship configuration (the advisor's r4 "
+                             "finding: quality A/Bs must run at the depth "
+                             "being advertised)")
+    parser.add_argument("--filters", type=int, default=8)
+    parser.add_argument("--budget-s", type=float, default=0,
+                        help="equal-wall-clock mode: train until this many "
+                             "seconds elapse (epochs becomes an upper "
+                             "bound) — the fair way to A/B architectures "
+                             "with different step rates")
+    parser.add_argument("--group-norm", type=int, default=0,
+                        help="GROUP_NORM groups (0 = BatchNorm)")
     args = parser.parse_args()
 
     from cmrtpu.eval.detection import detect
@@ -103,7 +118,9 @@ def main():
            "MODEL_VARIANT": args.variant,
            "F_SIZE": [3, 3, 3],
            "M_POOL": [2, 2, 2] if args.pool_t else [1, 2, 2],
-           "DEPTH": 3, "FILTERS": 8, "BATCHSIZE": min(4, len(train_x)),
+           "DEPTH": args.depth, "FILTERS": args.filters,
+           "GROUP_NORM": args.group_norm,
+           "BATCHSIZE": min(4, len(train_x)),
            "MASK_VALUES": [1, 2], "MASK_CLASSES": 2, "SEED": 42,
            "OPTIMIZER": "adam", "LEARNING_RATE": 1e-3,
            "LOSS_FUNCTION": "BceDiceLoss", "SCALER": "MinMax",
@@ -113,10 +130,22 @@ def main():
            "GAUS": args.sigma > 0, "SIGMA": args.sigma}
 
     trainer = Trainer(cfg)
+    callbacks = []
+    epochs = args.epochs
+    if args.budget_s > 0:
+        from cmrtpu.train.callbacks import TimeBudget
+        callbacks.append(TimeBudget(args.budget_s))
+        epochs = max(args.epochs, 1_000_000)  # budget decides, not epochs
+    import time
+    t0 = time.time()
     hist = trainer.fit_cached(DataGenerator(train_x, train_y, config=cfg),
-                              epochs=args.epochs)
+                              epochs=epochs, callbacks=callbacks)
+    wall = time.time() - t0
+    n_epochs = len(hist)
+    frames = len(train_x) * args.t_frames * n_epochs
     print(f"train loss {hist[0]['loss']:.4f} -> {hist[-1]['loss']:.4f} "
-          f"({args.epochs} epochs)")
+          f"({n_epochs} epochs, {wall:.1f}s wall, "
+          f"{frames / max(wall, 1e-9):.1f} frames/s incl. compile)")
 
     # held-out stacks through the deterministic stage only (no augmentation,
     # binary masks so GT positions come from the same geometry the model saw)

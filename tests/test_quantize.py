@@ -365,3 +365,39 @@ def test_int8_twin_of_group_norm_model():
     flat = traverse_util.flatten_dict(qvars["params"])
     assert any("GroupNorm_0" in k for k in flat)  # float epilogue kept
     assert any(k[-1] == "kernel_q" for k in flat)
+
+
+def test_factorized_model_ptq_raises_clearly():
+    """int8 PTQ of a (2+1)D factorized checkpoint is unsupported: the calib
+    model would build unfactorized convs and die on a confusing kernel-shape
+    mismatch (advisor r4-medium). quantize_model must refuse up front."""
+    for extra in ({"MODEL_VARIANT": "unet_2p1d"}, {"FACTORIZED_3D": True}):
+        cfg = dict(CFG, DIM=[4, 32, 32], F_SIZE=[3, 3, 3], M_POOL=[1, 2, 2],
+                   **extra)
+        with pytest.raises(ValueError, match="does not support factorized"):
+            quantize_model(cfg, {"params": {}, "batch_stats": {}},
+                           [np.zeros((1, 4, 32, 32, 1), np.float32)])
+
+
+def test_scalar_act_scale_twin_migrates_on_load(tmp_path):
+    """Pre-r4 int8 twins stored a per-tensor (scalar) act_scale; load_weights
+    must broadcast it to the per-input-channel vector the current QuantConv
+    declares (advisor r4-low)."""
+    from flax import traverse_util
+    trainer, variables, x = _trained(CFG, epochs=2)
+    qcfg, qvars = quantize_model(CFG, variables, [x])
+    flat = traverse_util.flatten_dict(qvars["params"])
+    legacy = {k: (np.float32(v.max()) if k[-1] == "act_scale" else v)
+              for k, v in flat.items()}
+    ckpt.save_weights(str(tmp_path), traverse_util.unflatten_dict(legacy),
+                      qvars["batch_stats"])
+    params, _ = ckpt.load_weights(str(tmp_path))
+    out = traverse_util.flatten_dict(params)
+    for k, v in out.items():
+        if k[-1] == "act_scale":
+            assert v.shape == (out[k[:-1] + ("kernel_q",)].shape[-2],)
+    # and the migrated tree actually applies
+    y = get_model(qcfg).apply({"params": params,
+                               "batch_stats": qvars["batch_stats"]},
+                              x, train=False)
+    assert np.isfinite(np.asarray(y)).all()
