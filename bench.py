@@ -47,7 +47,13 @@ def main():
     # conn-read thread blocked in tcp_recvmsg) — a hang inside one variant
     # must not cost the driver the rows already measured
     partial = {"value": 0.0, "vs_baseline": 0.0,
-               "variants_slices_per_sec": {}}
+               "variants_slices_per_sec": {},
+               # host-streaming rows swing +-50% run-to-run on the tunneled
+               # link (round-4 finding): they are measured median-of-3 with
+               # the spread recorded here, plus a raw link-bandwidth row so
+               # tunnel variance is attributable to the link, not the code
+               "streaming_minmax_slices_per_sec": {},
+               "host_link_MBps": None}
 
     def _emit(error=None):
         """Print the full record as ONE JSON line. Called after the flagship
@@ -63,6 +69,9 @@ def main():
             "unit": "slices/sec",
             "vs_baseline": partial["vs_baseline"],
             "variants_slices_per_sec": partial["variants_slices_per_sec"],
+            "streaming_minmax_slices_per_sec":
+                partial["streaming_minmax_slices_per_sec"],
+            "host_link_MBps": partial["host_link_MBps"],
         }
         if error:
             record["error"] = error
@@ -242,12 +251,20 @@ def main():
         # establishment) — measured ~120 vs ~320 slices/s steady state
         loop.train_gen = _PackedGen(steps)
         loop.run_train_epoch()
-        loop.train_gen = _PackedGen(steps)
-        t0 = time.perf_counter()
-        loop.run_train_epoch()  # run_train_epoch drains all step logs
-        return steps * batch * echo / (time.perf_counter() - t0)
+        # median-of-3: single-shot streaming rows swung 176-353 slices/s on
+        # identical code in round 4 (tunneled-link noise) — one epoch is not
+        # a measurement on this path
+        rates = []
+        for _ in range(3):
+            loop.train_gen = _PackedGen(steps)
+            t0 = time.perf_counter()
+            loop.run_train_epoch()  # run_train_epoch drains all step logs
+            rates.append(steps * batch * echo / (time.perf_counter() - t0))
+        return (float(np.median(rates)),
+                (round(min(rates), 1), round(max(rates), 1)))
 
-    def measure_cine(steps=st(10), warmup=st(3), m_pool=(1, 2, 2)):
+    def measure_cine(steps=st(10), warmup=st(3), m_pool=(1, 2, 2),
+                     extra=None):
         """slices/sec of the 2D+t cine config (BASELINE config 3): a 3D
         U-Net over temporal SAX stacks (len(DIM)==3, t-preserving pooling
         M_POOL=[1,2,2]) through the same fused cached step — the
@@ -267,6 +284,7 @@ def main():
                "AUGMENT": True, "AUGMENT_PROB": 0.8, "RANDOMROTATE": True,
                "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True,
                "LEARNING_RATE": 1e-4, "SEED": 0}
+        cfg.update(extra or {})
         cine_trainer = Trainer(cfg, mesh=mesh)
         n_vols = max(2 * vol_batch, 64)
         xv = rng.normal(size=(n_vols, t_frames, hw, hw)).astype(np.float32)
@@ -431,7 +449,11 @@ def main():
             _emit()
             return
         try:
-            result = round(fn(*a, **kw), 1)
+            result = fn(*a, **kw)
+            if isinstance(result, tuple):  # (median, (min, max)) spread rows
+                result, spread = result
+                partial["streaming_minmax_slices_per_sec"][name] = list(spread)
+            result = round(result, 1)
         except Exception as e:  # pragma: no cover - hardware-path failures
             result = f"error: {type(e).__name__}: {e}"
         partial["variants_slices_per_sec"][name] = result
@@ -451,48 +473,35 @@ def main():
     # importance, measured before the long tail of experimental arms
     safe("serving_forward", measure_serving)
 
-    def measure_ws(steps=st(10), warmup=st(3)):
-        """slices/sec of the normalization-free WEIGHT_STANDARDISATION
-        variant (scaled-WS convs, cmrtpu/models/unet.py WSConv): drops
-        BatchNorm's second pass over every conv output — the probe measured
-        BN at ~16% of the fused step. THROUGHPUT row only: WS is
-        experimental and collapses at flagship scale (see
-        IMPLEMENTATION_STATUS.md); BN remains the quality default."""
-        cfg = dict(trainer.config, WEIGHT_STANDARDISATION=True,
-                   BATCH_NORMALISATION=False)
-        ws_trainer = Trainer(cfg, mesh=mesh)
-        step = make_cached_train_step(ws_trainer.model, ws_trainer.optimizer,
-                                      ws_trainer.loss_fn, ws_trainer.metrics,
-                                      cfg, mesh, augment=True)
-        state = jax.device_put(jax.device_get(ws_trainer.state))
-
-        def one(state):
-            idxs = jax.device_put(
-                rng.integers(0, n_cache, batch).astype(np.int32), idx_sharding)
-            return step(state, data_x, data_y, idxs, ws_trainer.rng)
-
-        for _ in range(warmup):
-            state, logs = one(state)
-        float(np.asarray(jax.device_get(logs["loss"])))
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, logs = one(state)
-        float(np.asarray(jax.device_get(logs["loss"])))
-        return steps * batch / (time.perf_counter() - t0)
-
     # BASELINE config 3: 2D+t cine volume batching through a 3D U-Net
     # (t-preserving pooling), slices = volumes x frames
     safe("cine_2dt (config 3)", measure_cine)
-    # the +34% production cine setting (pool t too; quality-neutral A/B)
+    # the pool-t setting (now with per-level clamping: t=8 at DEPTH=4 pools
+    # 8->4->2->1->1, the deepest level t-preserving — the r4 number included
+    # a silently zero-size bottleneck, see models/unet.py effective_pools)
     safe("cine_2dt_poolt", measure_cine, m_pool=(2, 2, 2))
-    # normalization-free arm: scaled-WS convs instead of BatchNorm
-    safe("ws_normfree", measure_ws)
+    # SliceDistributed2D hybrid (MODEL_VARIANT='wrapper'): folds t into the
+    # batch and rides the 2D step — the architecture alternative for cine
+    # (ref: create_3d_wrapper_for_2d_unet, src/models/Unets.py:347-404)
+    safe("cine_hybrid_wrapper", measure_cine,
+         extra={"MODEL_VARIANT": "wrapper"})
+    # (the ws_normfree row was dropped in round 5: WEIGHT_STANDARDISATION is
+    # a CLOSED dead-end — collapses at flagship scale — and now requires an
+    # explicit WS_I_UNDERSTAND ack; tracking its throughput in the ledger
+    # implied a live production option)
     # int8 PTQ serving twin (cmrtpu.cli.export --int8)
     safe("serving_forward_int8", measure_serving_int8)
     # rot90-TTA serving forward (TTA: true — the measured quality lever)
     safe("serving_forward_tta", measure_serving_tta)
     # BASELINE config 5: 4-member vmapped CV-ensemble serving
     safe("serving_ensemble4", measure_serving_ensemble)
+    # raw link probe first: attributes any streaming-row movement
+    try:
+        partial["host_link_MBps"] = round(
+            measure_host_link(8 if smoke else 64), 1)
+    except Exception as e:  # pragma: no cover
+        partial["host_link_MBps"] = f"error: {type(e).__name__}: {e}"
+    _emit()
     safe("host_streaming_packed", measure_streaming)
     # STREAM_DTYPE='uint8': quantized images halve the link bytes again
     safe("host_streaming_uint8", measure_streaming, steps=st(10),

@@ -103,6 +103,12 @@ DEFAULTS: Dict[str, Any] = {
                                  # cannot) — predictor.cc_clean_fn
     "TTA": False,                # rot90-orbit test-time augmentation at
                                  # inference (cmrtpu/predict/tta.py)
+    "TTA_MODE": "probs",         # 'probs' = average sigmoid maps over the
+                                 # orbit (can blur sub-pixel-offset peaks —
+                                 # measured to DEGRADE converged runs);
+                                 # 'coords' = average landmark COORDINATES
+                                 # (per-member CoM, inverse-rotated, mean) —
+                                 # peak blur impossible by construction
     "EMA": False,                # exponential-moving-average shadow of the
                                  # params (True -> decay 0.999, or a float);
                                  # eval/checkpoints/predict use the shadow
@@ -154,7 +160,7 @@ _SETTABLE_EXTRA = frozenset({
     "AGC", "AUGMENT_GRID", "CACHE_RESHUFFLE_EPOCHS", "CACHE_SHARDED",
     "COMPILATION_CACHE_DIR", "CONFIG_PATH", "EXP_PATH", "FOLD_PATH",
     "FACTORIZED_3D",
-    "GRAD_ALLREDUCE_DTYPE", "GROUP_NORM",
+    "GRAD_ALLREDUCE_DTYPE", "GROUP_NORM", "WS_I_UNDERSTAND",
     "HEADS", "HEAD_BIAS_PRIOR", "HEAD_MASK_RULES",
     "HISTORY_PATH", "HIST_MATCHING_BINS", "HIST_MATCHING_PROB",
     "LOGIT_SOFTCAP",

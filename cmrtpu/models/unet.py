@@ -726,15 +726,24 @@ def build_model(config: Dict, supervision: bool = False,
     quant_mode = "int8" if C.get(config, "QUANT_INT8", False) else ""
     batch_norm = C.get(config, "BATCH_NORMALISATION")
     if ws:
+        # CLOSED as a measured dead-end (IMPLEMENTATION_STATUS.md): +16%
+        # fused-step rate but collapses to all-zero predictions at flagship
+        # scale by ~epoch 5; the full rescue matrix (AGC, head-prior, lr,
+        # dropout, LOGIT_SOFTCAP) failed. A knob whose documented behavior
+        # is "collapses in production" must not be one typo away from a
+        # silent quality disaster — it requires an explicit acknowledgment.
+        if not C.get(config, "WS_I_UNDERSTAND", False):
+            raise ValueError(
+                "WEIGHT_STANDARDISATION is a CLOSED experimental dead-end: "
+                "it trains at small scale but collapsed to all-zero "
+                "predictions on every flagship-scale RVIP config tested "
+                "(see IMPLEMENTATION_STATUS.md). Set WS_I_UNDERSTAND=true "
+                "to build it anyway (small-scale probes only); use "
+                "GROUP_NORM=16 for a stable BatchNorm alternative.")
         import logging
         logging.warning(
-            "WEIGHT_STANDARDISATION is an EXPERIMENTAL throughput arm "
-            "(+16%% fused-step rate)%s. It trains at small scale but "
-            "collapsed to all-zero predictions on flagship-scale RVIP "
-            "configs in testing (nothing bounds coherent activation growth "
-            "without BatchNorm; AGC / head-prior / lr / dropout rescues "
-            "all failed — see IMPLEMENTATION_STATUS.md). Keep "
-            "BATCH_NORMALISATION for production quality.",
+            "WEIGHT_STANDARDISATION (acknowledged via WS_I_UNDERSTAND): "
+            "EXPERIMENTAL, collapses at flagship scale%s.",
             "; BATCH_NORMALISATION is ignored for the conv blocks"
             if batch_norm else "")
     return UNet(

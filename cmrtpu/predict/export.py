@@ -130,11 +130,11 @@ def export_model(config: Dict, model_path: str, out_dir: str,
         return model.apply(variables, x, train=False)
 
     if C.get(cfg, "TTA", False):
-        # bake the rot90-orbit TTA average into the artifact so a deployed
-        # serving process inherits the fold's TTA decision with no knob
-        from cmrtpu.predict.tta import tta_rot90_forward
-        forward = tta_rot90_forward(
-            lambda v, x: model.apply(v, x, train=False), dim)
+        # bake the rot90-orbit TTA (probs OR coords mode) into the artifact
+        # so a deployed serving process inherits the fold's TTA decision
+        from cmrtpu.predict.tta import tta_forward_from_config
+        forward = tta_forward_from_config(
+            lambda v, x: model.apply(v, x, train=False), cfg)
 
     variables = {"params": params, "batch_stats": batch_stats}
     args = (jax.tree_util.tree_map(

@@ -83,10 +83,10 @@ class Predictor:
         apply_fn = lambda v, x: self.model.apply(v, x, train=False)
         if C.get(self.config, "TTA", False):
             # rot90-orbit test-time augmentation (cmrtpu/predict/tta.py):
-            # averages probabilities over the in-distribution rotation set
-            from cmrtpu.predict.tta import tta_rot90_forward
-            apply_fn = tta_rot90_forward(apply_fn,
-                                         tuple(C.get(self.config, "DIM")))
+            # TTA_MODE='probs' averages probabilities over the orbit,
+            # 'coords' averages landmark coordinates (blur-proof)
+            from cmrtpu.predict.tta import tta_forward_from_config
+            apply_fn = tta_forward_from_config(apply_fn, self.config)
         variables = {"params": self.params, "batch_stats": self.batch_stats}
         self._forward = jax.jit(lambda x: apply_fn(variables, x))
 

@@ -47,6 +47,103 @@ def predict_tta_twin(exp_root: str) -> str:
     return predict_override_twin(exp_root, {"TTA": True}, "tta")
 
 
+def _com_coords(prob: jax.Array):
+    """Per-channel thresholded centre of mass over the in-plane axes.
+
+    ``prob`` is [..., H, W, C]; returns (coords [..., C, 2] in (y, x) pixel
+    units, valid [..., C] = any pixel crossed 0.5) — the same binary-CoM
+    definition the evaluation suite scores (ref: get_mean_rvip_2d,
+    src/models/evaluate_cv.py:418)."""
+    b = (prob > 0.5).astype(jnp.float32)
+    h, w = prob.shape[-3], prob.shape[-2]
+    iy = jnp.arange(h, dtype=jnp.float32)[:, None, None]
+    ix = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+    cnt = jnp.sum(b, axis=(-3, -2))
+    sy = jnp.sum(b * iy, axis=(-3, -2))
+    sx = jnp.sum(b * ix, axis=(-3, -2))
+    safe = jnp.maximum(cnt, 1.0)
+    return jnp.stack([sy / safe, sx / safe], axis=-1), cnt > 0
+
+
+def tta_rot90_coords_forward(apply_fn: Callable, dim: Sequence[int]
+                             ) -> Callable:
+    """Coordinate-space TTA (``TTA_MODE: 'coords'``): average landmark
+    COORDINATES over the rot90 orbit instead of probability maps.
+
+    Probability-space orbit averaging can blur heatmap peaks — members whose
+    peaks sit a sub-pixel rotation offset apart average into a flatter, wider
+    blob, which measurably DEGRADES a converged run (RESULTS.md: 0.497 ->
+    0.742 mm) while still rescuing undertrained ones. Averaging in
+    coordinate space makes peak blur impossible by construction: each orbit
+    member's per-channel thresholded CoM is extracted in its own frame,
+    inverse-rotated analytically back to the identity frame, and the valid
+    members' coordinates are averaged.
+
+    Detection rule: a landmark counts as detected when a MAJORITY of orbit
+    members detect it (>= ceil(K/2) of K members; the single-forward path's
+    rule is the 0.5 threshold). The returned array keeps the probability-map
+    contract the downstream threshold->CC->undo pipeline expects: a 3x3
+    stamp of 1.0 at the averaged coordinate per detected channel (the same
+    blob geometry the GT masks use) — a synthetic certainty map encoding
+    coordinates, not calibrated probabilities.
+
+    Square in-plane dims use the full 4-member orbit; non-square fall back
+    to the 180-degree pair (same rule as ``tta_rot90_forward``). Dict
+    (multi-head) outputs are not supported — coordinate averaging is a
+    landmark-head semantic."""
+    ks = rot90_orbit(dim)
+    majority = (len(ks) + 1) // 2
+
+    def forward(variables, x):
+        h, w = x.shape[-3], x.shape[-2]
+        coords_k, valid_k = [], []
+        for k in ks:
+            o = apply_fn(variables, jnp.rot90(x, k, axes=(-3, -2)))
+            if not isinstance(o, jnp.ndarray) and not hasattr(o, "shape"):
+                raise TypeError(
+                    "TTA_MODE='coords' supports single-array (landmark-head) "
+                    "outputs only; multi-head models need TTA_MODE='probs'")
+            coords, valid = _com_coords(
+                jnp.rot90(o, -k, axes=(-3, -2)))
+            coords_k.append(coords)
+            valid_k.append(valid)
+        coords = jnp.stack(coords_k)                      # [K, ..., C, 2]
+        valid = jnp.stack(valid_k).astype(jnp.float32)    # [K, ..., C]
+        n_valid = jnp.sum(valid, axis=0)                  # [..., C]
+        mean = (jnp.sum(coords * valid[..., None], axis=0)
+                / jnp.maximum(n_valid, 1.0)[..., None])   # [..., C, 2]
+        detected = n_valid >= majority                    # [..., C]
+
+        my = jnp.round(mean[..., 0])[..., None, None, :]  # [..., 1, 1, C]
+        mx = jnp.round(mean[..., 1])[..., None, None, :]
+        yy = jnp.arange(h, dtype=jnp.float32)[:, None, None]
+        xx = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+        blob = (jnp.abs(yy - my) <= 1) & (jnp.abs(xx - mx) <= 1)
+        out = jnp.where(blob & detected[..., None, None, :], 1.0, 0.0)
+        return out.astype(jnp.float32)
+
+    return forward
+
+
+def tta_forward_from_config(apply_fn: Callable, config) -> Callable:
+    """The ONE dispatch for every TTA consumer (Predictor, export_model,
+    EnsemblePredictor): honors TTA + TTA_MODE so the three serving surfaces
+    cannot drift."""
+    from cmrtpu import config as C
+
+    dim = tuple(C.get(config, "DIM"))
+    mode = str(C.get(config, "TTA_MODE", "probs") or "probs").lower()
+    if mode in ("probs", "prob", ""):
+        return tta_rot90_forward(apply_fn, dim)
+    if mode in ("coords", "coord"):
+        if C.get(config, "HEADS", ()) or ():
+            raise ValueError(
+                "TTA_MODE='coords' is a landmark-head semantic and does not "
+                "support multi-head (HEADS) models — use TTA_MODE='probs'")
+        return tta_rot90_coords_forward(apply_fn, dim)
+    raise ValueError(f"TTA_MODE={mode!r}: expected 'probs' or 'coords'")
+
+
 def tta_rot90_forward(apply_fn: Callable, dim: Sequence[int]) -> Callable:
     """Wrap ``apply_fn(variables, x) -> outputs`` with a rot90-orbit
     average.

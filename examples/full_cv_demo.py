@@ -279,6 +279,7 @@ def main():
         "SAVE_MODEL_FUNCTION": "val_loc_mm", "SAVE_MODEL_MODE": "min",
         "CACHE_DTYPE": args.cache_dtype, "CACHE_SHARDED": args.cache_sharded,
         "WEIGHT_STANDARDISATION": args.ws,
+        "WS_I_UNDERSTAND": args.ws,  # the explicit --ws flag is the ack
         "BATCH_NORMALISATION": not args.ws,
         "AGC": args.agc,
         "HEAD_BIAS_PRIOR": args.head_prior,

@@ -111,6 +111,7 @@ def main() -> None:
         "GAUS": True, "SIGMA": 2,  # Var.2 heatmap targets: fast convergence
         "CACHE_DTYPE": args.cache_dtype,
         "WEIGHT_STANDARDISATION": args.ws,
+        "WS_I_UNDERSTAND": args.ws,  # the explicit --ws flag is the ack
         "BATCH_NORMALISATION": not args.ws,
         "EMA": args.ema,
     }

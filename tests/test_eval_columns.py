@@ -239,3 +239,27 @@ def test_malformed_acdc_tree_warns_not_silent(full_exp, caplog):
     assert any("pathology join" in rec.message
                for rec in caplog.records), (
         "expected a warning naming the pathology-join failure")
+
+
+def test_malformed_acdc_tree_warns_not_silence(full_exp, caplog):
+    """Round-3/4 ask: a malformed original tree must produce a LOGGED
+    warning, not a silently-empty pathology column (the silent version hid
+    broken ACDC trees for a whole round)."""
+    import logging as _logging
+    import shutil
+
+    exp_path, data_path = full_exp
+    # corrupt the ACDC metadata: Info.cfg becomes binary garbage and the
+    # frames vanish, so the pathology join cannot succeed
+    pdir = os.path.join(data_path, "original", "patient001")
+    with open(os.path.join(pdir, "Info.cfg"), "wb") as fh:
+        fh.write(b"\x00\xff\x13garbage: [unclosed\n\x07")
+    for f in glob.glob(os.path.join(pdir, "*.nii.gz")):
+        os.remove(f)
+    with caplog.at_level(_logging.WARNING):
+        df = evaluate_cv(exp_path, data_path)
+    assert any("pathology join" in r.message and "failed" in r.message
+               for r in caplog.records), (
+        "expected a 'pathology join ... failed' warning, got: "
+        + "; ".join(r.message for r in caplog.records))
+    assert df["pathology"].isna().all()

@@ -134,7 +134,7 @@ def test_weight_standardisation_variant():
     for dim in ([32, 32], [4, 32, 32]):
         cfg = dict(SMALL_CFG, DIM=dim, F_SIZE=[3] * len(dim),
                    M_POOL=([1, 2, 2] if len(dim) == 3 else [2, 2]),
-                   WEIGHT_STANDARDISATION=True)
+                   WEIGHT_STANDARDISATION=True, WS_I_UNDERSTAND=True)
         model = build_model(cfg)
         out, variables = _apply(model, cfg)
         assert out.shape == (2, *dim, 2)
@@ -167,6 +167,7 @@ def test_weight_standardisation_trains():
     from cmrtpu.train.trainer import Trainer
 
     cfg = dict(SMALL_CFG, DIM=[24, 24], WEIGHT_STANDARDISATION=True,
+               WS_I_UNDERSTAND=True,
                MASK_VALUES=[1, 2], BATCHSIZE=8, LEARNING_RATE=1e-3,
                SEED=0, AUGMENT=False, SCALER="MinMax", GAUS=True, SIGMA=1)
 

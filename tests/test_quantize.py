@@ -70,7 +70,8 @@ def test_int8_twin_tracks_float_model():
 def test_int8_twin_ws_model():
     """WS kernels quantize from their EFFECTIVE (standardized+gained) kernel;
     the twin then needs no standardization pass at serve time."""
-    cfg = dict(CFG, WEIGHT_STANDARDISATION=True, BATCH_NORMALISATION=False)
+    cfg = dict(CFG, WEIGHT_STANDARDISATION=True, WS_I_UNDERSTAND=True,
+               BATCH_NORMALISATION=False)
     trainer, variables, x = _trained(cfg)
     live = np.asarray(trainer.predict(x))
     qcfg, qvars = quantize_model(cfg, variables, [x])

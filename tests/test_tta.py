@@ -145,3 +145,103 @@ def test_ensemble_honors_tta_key(tmp_path):
         np.rot90(x, k, axes=(1, 2)).copy()), -k, axes=(1, 2))
         for k in range(4)], axis=0)
     np.testing.assert_allclose(tta.predict(x), manual, atol=1e-5)
+
+
+# -- coordinate-space TTA (TTA_MODE='coords') --------------------------------
+
+def _stamp(h, w, yx, c, channels=2, value=1.0):
+    m = np.zeros((1, h, w, channels), np.float32)
+    y, x = yx
+    m[0, y - 1:y + 2, x - 1:x + 2, c] = value
+    return m
+
+
+def test_coords_identity_blob_round_trips():
+    from cmrtpu.predict.tta import tta_rot90_coords_forward
+
+    x = jnp.asarray(_stamp(32, 32, (10, 20), 0))
+    fwd = tta_rot90_coords_forward(lambda v, xx: xx, (32, 32))
+    out = np.asarray(fwd({}, x))
+    # ch0: 3x3 stamp of 1.0 back at (10, 20); ch1: nothing detected
+    assert out[0, 10, 20, 0] == 1.0
+    assert out[..., 0].sum() == 9.0
+    assert (np.argwhere(out[0, :, :, 0] > 0).mean(axis=0) == [10, 20]).all()
+    assert out[..., 1].sum() == 0.0
+
+
+def test_coords_mode_survives_peak_blur():
+    """The regression that motivates the mode: orbit members whose single-
+    pixel peaks sit one pixel apart average to sub-threshold mush in
+    probability space (landmark LOST), while coordinate averaging recovers
+    the consensus location exactly."""
+    from cmrtpu.predict.tta import (tta_rot90_coords_forward,
+                                    tta_rot90_forward)
+
+    peaks = {0: (16, 16), 1: (16, 17), 2: (17, 17), 3: (17, 16)}
+    calls = []
+
+    def apply_fn(v, xr):
+        k = len(calls)
+        calls.append(k)
+        ident = np.zeros((1, 32, 32, 1), np.float32)
+        y, x = peaks[k]
+        ident[0, y, x, 0] = 0.9
+        # return in the member's ROTATED frame; the wrapper rotates it back
+        return jnp.asarray(np.rot90(ident, k, axes=(1, 2)).copy())
+
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    blurred = np.asarray(tta_rot90_forward(apply_fn, (32, 32))({}, x))
+    assert blurred.max() < 0.5  # probability averaging loses the landmark
+
+    calls.clear()
+    out = np.asarray(tta_rot90_coords_forward(apply_fn, (32, 32))({}, x))
+    assert out.max() == 1.0     # coordinate averaging cannot blur
+    com = np.argwhere(out[0, :, :, 0] > 0).mean(axis=0)
+    np.testing.assert_allclose(com, [16.5, 16.5], atol=0.6)
+
+
+def test_coords_majority_rule():
+    # a landmark detected by only 1 of 4 members is NOT detected
+    from cmrtpu.predict.tta import tta_rot90_coords_forward
+
+    calls = []
+
+    def apply_fn(v, xr):
+        k = len(calls)
+        calls.append(k)
+        ident = np.zeros((1, 32, 32, 1), np.float32)
+        if k == 0:
+            ident[0, 8, 8, 0] = 0.9
+        return jnp.asarray(np.rot90(ident, k, axes=(1, 2)).copy())
+
+    out = np.asarray(tta_rot90_coords_forward(apply_fn, (32, 32))(
+        {}, jnp.zeros((1, 32, 32, 1), jnp.float32)))
+    assert out.sum() == 0.0
+
+
+def test_predictor_coords_mode_end_to_end(tmp_path):
+    from cmrtpu.predict.predictor import Predictor
+    from cmrtpu.train.checkpoint import save_weights
+    from cmrtpu.train.trainer import Trainer
+
+    trainer = Trainer(CFG)
+    save_weights(str(tmp_path), trainer.state.params,
+                 trainer.state.batch_stats)
+    x = np.random.default_rng(7).normal(size=(2, 32, 32, 1)).astype(np.float32)
+    pred = Predictor(dict(CFG, TTA=True, TTA_MODE="coords"),
+                     model_path=str(tmp_path))
+    out = pred.predict(x)
+    assert out.shape == (2, 32, 32, 2)
+    assert set(np.unique(out)).issubset({0.0, 1.0})  # stamps, not probs
+
+
+def test_coords_mode_rejects_multihead():
+    import pytest
+
+    from cmrtpu.predict.tta import tta_forward_from_config
+
+    with pytest.raises(ValueError, match="multi-head"):
+        tta_forward_from_config(
+            lambda v, x: {"a": x},
+            dict(CFG, TTA=True, TTA_MODE="coords",
+                 HEADS=[["rvip", 2, "sigmoid"], ["seg", 4, "softmax"]]))

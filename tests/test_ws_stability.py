@@ -63,7 +63,8 @@ def test_head_prior_sets_initial_prediction_rate():
 def test_ws_with_both_stabilisers_trains_a_step():
     from cmrtpu.train.trainer import Trainer
 
-    cfg = dict(CFG, WEIGHT_STANDARDISATION=True, BATCH_NORMALISATION=False,
+    cfg = dict(CFG, WEIGHT_STANDARDISATION=True, WS_I_UNDERSTAND=True,
+               BATCH_NORMALISATION=False,
                AGC=0.08, HEAD_BIAS_PRIOR=0.001)
     trainer = Trainer(cfg)
     x = np.random.default_rng(1).normal(size=(4, 32, 32, 1)).astype(np.float32)

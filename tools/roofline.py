@@ -47,7 +47,7 @@ def main():
               "AUGMENT": True, "AUGMENT_PROB": 0.8, "RANDOMROTATE": True,
               "SHIFTSCALEROTATE": True, "GRIDDISTORTION": True,
               "LEARNING_RATE": 1e-4, "SEED": 0,
-              "WEIGHT_STANDARDISATION": args.ws,
+              "WEIGHT_STANDARDISATION": args.ws, "WS_I_UNDERSTAND": args.ws,
               "BATCH_NORMALISATION": not args.ws}
     mesh = create_mesh()
     trainer = Trainer(config, mesh=mesh)

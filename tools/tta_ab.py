@@ -23,9 +23,15 @@ def main() -> None:
     parser.add_argument("-exp", required=True,
                         help="trained experiment root (exp/<EXP>/<ts>)")
     parser.add_argument("-data", required=True, help="dataset root")
+    parser.add_argument("--mode", default="probs", choices=["probs", "coords"],
+                        help="probs = orbit-average the sigmoid maps (can "
+                             "blur peaks); coords = orbit-average landmark "
+                             "COORDINATES (blur-proof; cmrtpu/predict/tta.py)")
     args = parser.parse_args()
     predict_ab.main(["-exp", args.exp, "-data", args.data,
-                     "--set", "TTA=true", "--suffix", "tta"])
+                     "--set", "TTA=true",
+                     "--set", f"TTA_MODE={args.mode}",
+                     "--suffix", f"tta_{args.mode}"])
 
 
 if __name__ == "__main__":
