@@ -31,7 +31,11 @@ def test_dryrun_inline_on_virtual_mesh(capsys):
     assert "dryrun_multichip(4): ok" in capsys.readouterr().out
 
 
-def test_dryrun_self_provisions_when_devices_scarce(capsys):
-    # 16 > the 8 forced devices -> must re-exec with a 16-device virtual mesh
+def test_dryrun_self_provisions_when_devices_scarce(capsys, monkeypatch):
+    # 16 > the 8 forced devices -> must re-exec with a 16-device virtual
+    # mesh. Smoke stage set: this test pins the SUBPROCESS MECHANISM; the
+    # full 16-stage body already runs in the inline test above (and for the
+    # driver), and running it twice cost the suite ~4 min.
+    monkeypatch.setenv("CMRTPU_DRYRUN_SMOKE", "1")
     G.dryrun_multichip(16)
     assert "dryrun_multichip(16): ok" in capsys.readouterr().out

@@ -164,6 +164,24 @@ def main():
     probe("2p1d_remat1", {"MODEL_VARIANT": "unet_2p1d", "REMAT": 1})
     probe("pool_t", {"M_POOL": [2, 2, 2]})  # t-pooling variant (smaller
     # decoder volumes; changes model family — context row only)
+    # --- layout ladder (round-5 verdict #5): the cine roofline showed 22%
+    # MXU / 52% HBM with NDHWC lane padding inflating traffic ~4x at 32
+    # channels (TPU lane dim = 128). Rows that FILL the lane dim:
+    # wider-shallower trunks (FILTERS=64/128 with depth rebalanced so
+    # capacity stays comparable) and the full z-fold — the
+    # SliceDistributed2D wrapper, whose convs are all 2D with t folded into
+    # batch (the layout the MXU actually wants). Model-changing rows:
+    # quality must be re-qualified before adopting any of them.
+    probe("f64_d3", {"FILTERS": 64, "DEPTH": 3})
+    roofline("f64_d3", {"FILTERS": 64, "DEPTH": 3})
+    probe("f64_d4", {"FILTERS": 64, "DEPTH": 4})
+    probe("f128_d2", {"FILTERS": 128, "DEPTH": 2})
+    roofline("f128_d2", {"FILTERS": 128, "DEPTH": 2})
+    probe("fsize_133", {"F_SIZE": [1, 3, 3]})  # 2D receptive field in the
+    # 3D layout: isolates how much of the cost is the temporal kernel taps
+    probe("wrapper", {"MODEL_VARIANT": "wrapper"})
+    roofline("wrapper", {"MODEL_VARIANT": "wrapper"})
+    probe("wrapper_b32", {"MODEL_VARIANT": "wrapper"}, vols=32)
     probe("b8", {}, vols=8)
     probe("b24", {}, vols=24)
     probe("b32", {}, vols=32)
