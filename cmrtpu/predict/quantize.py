@@ -282,59 +282,70 @@ def gn_recalibrate(model, variables, qcfg, qvars,
                 out[key[:-2]] = val[0]
         return out
 
-    fwd_f = jax.jit(lambda v, x: model.apply(
-        v, x, train=False, capture_intermediates=gn_filter)[1])
-    f_ref = [_gn_outputs(jax.device_get(fwd_f(variables, jnp.asarray(x))))
-             for x in batches]
-    fwd_q = jax.jit(lambda v, x: qmodel.apply(
-        v, x, train=False, capture_intermediates=gn_filter)[1])
-
-    def _forward_order(scope):
-        pos = []
-        for part in scope:
-            kind, _, idx = part.rpartition("_")
-            idx = int(idx) if idx.isdigit() else 0
-            pos.append(({"DownBlock": 0, "ConvBlock": 1,
-                         "UpBlock": 2}.get(kind, 3), idx))
-        return pos
-
-    corrected = traverse_util.flatten_dict(qvars["params"])
-    corrected = {k: np.asarray(v) for k, v in corrected.items()}
+    flat0 = traverse_util.flatten_dict(qvars["params"])
     bn = qvars.get("batch_stats", {}) or {}
-    gn_scopes = sorted({k[:-2] for k in corrected
-                        if k[-2] == "GroupNorm_0" and k[-1] == "scale"},
-                       key=_forward_order)
-    for scope in gn_scopes:
+    gn_scopes = sorted(k[:-2] for k in flat0
+                       if k[-2] == "GroupNorm_0" and k[-1] == "scale")
+
+    # ONE jitted program per batch computes BOTH forwards and reduces every
+    # GroupNorm's per-channel moments ON DEVICE — only tiny [C]-vectors
+    # cross the host link (the naive per-scope capture shipped every GN
+    # activation tensor through the tunneled link: ~hundreds of GB at
+    # flagship size). The strictly-sequential upstream-first fit is
+    # approximated by ``passes`` rounds of fit-all-scopes-at-once: round
+    # r+1 refits every scope against upstream already corrected in round r.
+    @jax.jit
+    def moment_stats(qv, x):
+        _, aux_f = model.apply(variables, x, train=False,
+                               capture_intermediates=gn_filter)
+        _, aux_q = qmodel.apply(qv, x, train=False,
+                                capture_intermediates=gn_filter)
+        f_outs = _gn_outputs(aux_f)
+        q_outs = _gn_outputs(aux_q)
+        stats = {}
+        for scope in gn_scopes:
+            y_f = f_outs[scope].astype(jnp.float32)
+            y_q = q_outs[scope].astype(jnp.float32)
+            s = qv["params"]
+            for part in scope + ("GroupNorm_0",):
+                s = s[part]
+            # recover the normalized activations exactly from the affine
+            n_q = (y_q - s["bias"]) / s["scale"]
+            axes = tuple(range(n_q.ndim - 1))
+            stats[scope] = (n_q.sum(axes), y_f.sum(axes),
+                            (n_q * y_f).sum(axes), (n_q * n_q).sum(axes),
+                            jnp.float32(np.prod(
+                                [y_f.shape[i] for i in axes])))
+        return stats
+
+    corrected = {k: np.asarray(v) for k, v in flat0.items()}
+    passes = 2
+    for _ in range(passes):
         qv = {"params": traverse_util.unflatten_dict(corrected),
               "batch_stats": bn}
-        s = np.asarray(corrected[scope + ("GroupNorm_0", "scale")],
-                       np.float64)
-        b = np.asarray(corrected[scope + ("GroupNorm_0", "bias")], np.float64)
-        # accumulate per-channel first/second moments over all batches
-        sn = sny = sy = snn = cnt = 0.0
-        for x, f_outs in zip(batches, f_ref):
-            q_outs = _gn_outputs(jax.device_get(fwd_q(qv, jnp.asarray(x))))
-            if scope not in f_outs or scope not in q_outs:
-                raise KeyError(f"gn_recalibrate: no captured GroupNorm "
-                               f"output for {'/'.join(scope)}")
-            y_f = np.asarray(f_outs[scope], np.float64)
-            # recover the normalized activations exactly from the affine
-            n_q = (np.asarray(q_outs[scope], np.float64) - b) / s
-            axes = tuple(range(n_q.ndim - 1))
-            cnt += float(np.prod([n_q.shape[i] for i in axes]))
-            sn = sn + n_q.sum(axis=axes)
-            sy = sy + y_f.sum(axis=axes)
-            sny = sny + (n_q * y_f).sum(axis=axes)
-            snn = snn + (n_q * n_q).sum(axis=axes)
-        var = snn / cnt - (sn / cnt) ** 2
-        cov = sny / cnt - (sn / cnt) * (sy / cnt)
-        # degenerate channels (normalized activations ~ constant on the
-        # calibration set) keep their trained affine
-        ok = var > 1e-8
-        alpha = np.where(ok, cov / np.where(ok, var, 1.0), s)
-        beta = np.where(ok, sy / cnt - alpha * (sn / cnt), b)
-        corrected[scope + ("GroupNorm_0", "scale")] = alpha.astype(np.float32)
-        corrected[scope + ("GroupNorm_0", "bias")] = beta.astype(np.float32)
+        acc = {scope: [0.0, 0.0, 0.0, 0.0, 0.0] for scope in gn_scopes}
+        for x in batches:
+            stats = jax.device_get(moment_stats(qv, jnp.asarray(x)))
+            for scope, vals in stats.items():
+                for i, v in enumerate(vals):
+                    acc[scope][i] = acc[scope][i] + np.asarray(v, np.float64)
+        for scope in gn_scopes:
+            sn, sy, sny, snn, cnt = acc[scope]
+            var = snn / cnt - (sn / cnt) ** 2
+            cov = sny / cnt - (sn / cnt) * (sy / cnt)
+            s = np.asarray(corrected[scope + ("GroupNorm_0", "scale")],
+                           np.float64)
+            b = np.asarray(corrected[scope + ("GroupNorm_0", "bias")],
+                           np.float64)
+            # degenerate channels (normalized activations ~ constant on the
+            # calibration set) keep their current affine
+            ok = var > 1e-8
+            alpha = np.where(ok, cov / np.where(ok, var, 1.0), s)
+            beta = np.where(ok, sy / cnt - alpha * (sn / cnt), b)
+            corrected[scope + ("GroupNorm_0", "scale")] = \
+                alpha.astype(np.float32)
+            corrected[scope + ("GroupNorm_0", "bias")] = \
+                beta.astype(np.float32)
     return {"params": traverse_util.unflatten_dict(corrected),
             "batch_stats": bn}
 
