@@ -156,36 +156,38 @@ def _stamp(h, w, yx, c, channels=2, value=1.0):
     return m
 
 
-def test_coords_identity_blob_round_trips():
+def test_coords_identity_anchored_is_passthrough():
+    """A healthy identity member (detects + majority confirms) must pass
+    its RAW probability map through untouched — the structural guarantee
+    that coords-TTA cannot degrade a converged run."""
     from cmrtpu.predict.tta import tta_rot90_coords_forward
 
-    x = jnp.asarray(_stamp(32, 32, (10, 20), 0))
+    x = jnp.asarray(_stamp(32, 32, (10, 20), 0, value=0.83))
     fwd = tta_rot90_coords_forward(lambda v, xx: xx, (32, 32))
     out = np.asarray(fwd({}, x))
-    # ch0: 3x3 stamp of 1.0 back at (10, 20); ch1: nothing detected
-    assert out[0, 10, 20, 0] == 1.0
-    assert out[..., 0].sum() == 9.0
-    assert (np.argwhere(out[0, :, :, 0] > 0).mean(axis=0) == [10, 20]).all()
+    # ch0 anchored: bit-identical to the single-forward map (0.83 values)
+    np.testing.assert_array_equal(out[..., 0], np.asarray(x)[..., 0])
+    # ch1: nothing detected anywhere
     assert out[..., 1].sum() == 0.0
 
 
-def test_coords_mode_survives_peak_blur():
-    """The regression that motivates the mode: orbit members whose single-
-    pixel peaks sit one pixel apart average to sub-threshold mush in
-    probability space (landmark LOST), while coordinate averaging recovers
-    the consensus location exactly."""
+def test_coords_mode_rescues_what_prob_averaging_blurs():
+    """The rescue path: the identity member MISSES (sub-threshold peak)
+    while the rotated members detect — probability averaging loses the
+    landmark entirely, coordinate mode stamps the valid members' mean."""
     from cmrtpu.predict.tta import (tta_rot90_coords_forward,
                                     tta_rot90_forward)
 
-    peaks = {0: (16, 16), 1: (16, 17), 2: (17, 17), 3: (17, 16)}
+    peaks = {1: (16, 17), 2: (17, 17), 3: (17, 16)}
     calls = []
 
     def apply_fn(v, xr):
         k = len(calls)
         calls.append(k)
         ident = np.zeros((1, 32, 32, 1), np.float32)
-        y, x = peaks[k]
-        ident[0, y, x, 0] = 0.9
+        if k in peaks:  # identity (k=0) stays sub-threshold: a miss
+            y, x = peaks[k]
+            ident[0, y, x, 0] = 0.9
         # return in the member's ROTATED frame; the wrapper rotates it back
         return jnp.asarray(np.rot90(ident, k, axes=(1, 2)).copy())
 
@@ -195,9 +197,10 @@ def test_coords_mode_survives_peak_blur():
 
     calls.clear()
     out = np.asarray(tta_rot90_coords_forward(apply_fn, (32, 32))({}, x))
-    assert out.max() == 1.0     # coordinate averaging cannot blur
+    assert out.max() == 1.0     # rescued with a full-certainty stamp
     com = np.argwhere(out[0, :, :, 0] > 0).mean(axis=0)
-    np.testing.assert_allclose(com, [16.5, 16.5], atol=0.6)
+    # mean of (16,17),(17,17),(17,16) = (16.67, 16.67), rounded stamp
+    np.testing.assert_allclose(com, [16.67, 16.67], atol=0.8)
 
 
 def test_coords_majority_rule():
@@ -232,7 +235,10 @@ def test_predictor_coords_mode_end_to_end(tmp_path):
                      model_path=str(tmp_path))
     out = pred.predict(x)
     assert out.shape == (2, 32, 32, 2)
-    assert set(np.unique(out)).issubset({0.0, 1.0})  # stamps, not probs
+    # anchored channels carry raw probabilities, rescued ones 1.0 stamps,
+    # suppressed ones zeros — always a valid probability map
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
 
 
 def test_coords_mode_rejects_multihead():
