@@ -343,16 +343,20 @@ def test_calib_worklist_excludes_label_families(tmp_path):
 
 
 def test_int8_twin_of_group_norm_model():
-    """PTQ composes structurally with GROUP_NORM (the stable-normalization
-    arm): the GroupNorm epilogue stays float, convs quantize as usual.
+    """PTQ composes with GROUP_NORM: the GroupNorm epilogue stays float,
+    convs quantize as usual, and quantize_model auto-runs the GroupNorm
+    affine recalibration (gn_recalibrate — per-channel least-squares refit
+    against the float model on the calibration set).
 
-    Fidelity caveat (measured, documented in OPERATIONS.md): unlike
-    BatchNorm — whose inference statistics are FROZEN, passing conv
-    quantization error through linearly — GroupNorm recomputes statistics
-    from the (quantized) activations, so the error perturbs the
-    normalization itself and compounds (~0.24 max sigmoid deviation on this
-    fixture vs <0.05 for BN). Prefer BN configs for int8 serving, or
-    quality-A/B the GN twin per config."""
+    Why GN needs it: unlike BatchNorm — whose inference statistics are
+    FROZEN, passing conv quantization error through linearly — GroupNorm
+    recomputes statistics from the (quantized) activations, so the error
+    perturbs the normalization itself and compounds through depth. The
+    sigmoid-space gate here is looser than BN's (<0.35 vs <0.05 on this
+    tiny random fixture), but the deployment-level verdict is measured at
+    the mm level on the converged 300-epoch GN CV: float 0.323/0.400 vs
+    int8 0.328/0.397 mm, TPR/PPV 1.0 — quality-neutral (tools/int8_ab.py,
+    RESULTS.md round 5)."""
     cfg = dict(CFG, GROUP_NORM=4)
     trainer, variables, x = _trained(cfg)
     live = np.asarray(trainer.predict(x))
