@@ -473,6 +473,54 @@ def main():
     # importance, measured before the long tail of experimental arms
     safe("serving_forward", measure_serving)
 
+    def measure_gn(steps=st(10), warmup=st(3)):
+        """slices/sec of the GROUP_NORM=16 arm — the measured best quality
+        lever (halves landmark error vs the BN matched control at equal
+        cost; seed-robust at 300 epochs, RESULTS.md round 5) and the
+        full_cv_demo default since round 5. Needs its own Trainer:
+        GroupNorm changes the MODEL, so a config override through the
+        shared `measure` closure would silently keep BatchNorm."""
+        cfg = dict(trainer.config, GROUP_NORM=16)
+        gn_trainer = Trainer(cfg, mesh=mesh)
+        step = make_cached_train_step(gn_trainer.model, gn_trainer.optimizer,
+                                      gn_trainer.loss_fn, gn_trainer.metrics,
+                                      cfg, mesh, augment=True)
+        state = jax.device_put(jax.device_get(gn_trainer.state))
+
+        def one(state):
+            idxs = jax.device_put(
+                rng.integers(0, n_cache, batch).astype(np.int32), idx_sharding)
+            return step(state, data_x, data_y, idxs, gn_trainer.rng)
+
+        for _ in range(warmup):
+            state, logs = one(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, logs = one(state)
+        float(np.asarray(jax.device_get(logs["loss"])))
+        return steps * batch / (time.perf_counter() - t0)
+
+    def measure_host_link(size_mb=64, reps=5):
+        """Raw host->device bandwidth (MB/s): median timed device_put of a
+        fixed buffer. Pure link probe, no compute — when the streaming rows
+        move but this row moves with them, the cause is tunnel weather, not
+        a code regression."""
+        buf = np.empty((size_mb * 1024 * 1024 // 4,), np.float32)
+        buf[:] = 1.0
+        sharding = NamedSharding(mesh, P())
+        jax.device_get(jax.device_put(buf[:1024], sharding))  # warm path
+        rates = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            arr = jax.device_put(buf, sharding)
+            arr.block_until_ready()
+            float(jax.device_get(arr[0]))  # tunnel-reliable sync
+            rates.append(size_mb / (time.perf_counter() - t0))
+        return float(np.median(rates))
+
+    # GROUP_NORM=16: the round-4/5 quality winner, regression-tracked
+    safe("group_norm16", measure_gn)
     # BASELINE config 3: 2D+t cine volume batching through a 3D U-Net
     # (t-preserving pooling), slices = volumes x frames
     safe("cine_2dt (config 3)", measure_cine)
