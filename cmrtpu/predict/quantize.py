@@ -177,7 +177,14 @@ def bias_correct(model, variables, qcfg, qvars,
     float reference AFTER upstream blocks were corrected, so downstream
     corrections see the corrected upstream activations.
 
-    Returns the corrected ``qvars`` (new tree; input untouched)."""
+    Returns the corrected ``qvars`` (new tree; input untouched).
+
+    NOTE: opt-in and host-transfer-heavy — it device_gets every quantized
+    conv's raw output per (scope, batch) pair, which is fine on CPU or a
+    local accelerator but expensive over a slow tunneled link at flagship
+    sizes. Measured to barely move GN twins (their error is variance-
+    driven); ``gn_recalibrate`` (on-device reductions, auto for GN configs)
+    is the production-fidelity path."""
     import jax
     import jax.numpy as jnp
     from flax import traverse_util
