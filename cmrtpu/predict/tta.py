@@ -35,16 +35,20 @@ def rot90_orbit(dim: Sequence[int]) -> tuple:
     return (0, 1, 2, 3) if dim[-1] == dim[-2] else (0, 2)
 
 
-def predict_tta_twin(exp_root: str) -> str:
+def predict_tta_twin(exp_root: str, mode: str = "probs") -> str:
     """Re-run inference for every fold of a trained experiment root with
-    ``TTA: true`` into a sibling ``<exp_root>_tta`` root (same checkpoints —
-    TTA is inference-only). Returns the twin root, ready for evaluate_cv.
+    ``TTA: true`` into a sibling ``<exp_root>_tta_<mode>`` root (same
+    checkpoints — TTA is inference-only). Returns the twin root, ready for
+    evaluate_cv. ``mode`` picks the combiner: 'probs' (reference-style
+    orbit averaging, rescue-only) or 'coords' (identity-anchored, cannot
+    degrade a converged run — see tta_rot90_coords_forward).
 
     The sibling-root layout keeps evaluate_cv's one-fold-family-per-root
     contract (same pattern as the int8 twins, quantize.py quantize_fold)."""
     from cmrtpu.predict.predictor import predict_override_twin
 
-    return predict_override_twin(exp_root, {"TTA": True}, "tta")
+    return predict_override_twin(exp_root, {"TTA": True, "TTA_MODE": mode},
+                                 f"tta_{mode}")
 
 
 def _com_coords(prob: jax.Array):

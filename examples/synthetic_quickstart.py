@@ -88,6 +88,11 @@ def main() -> None:
                              "same checkpoint with rot90-orbit test-time "
                              "augmentation (TTA: true) into a sibling root "
                              "and print the quality A/B")
+    parser.add_argument("--tta-mode", default="coords",
+                        choices=["coords", "probs"],
+                        help="TTA combiner: 'coords' (identity-anchored, "
+                             "cannot degrade a converged run) or 'probs' "
+                             "(reference-style orbit averaging)")
     parser.add_argument("--int8", action="store_true",
                         help="after the float eval, quantize the trained "
                              "fold to its int8 serving twin "
@@ -136,7 +141,7 @@ def main() -> None:
     if args.tta:
         from cmrtpu.predict.tta import predict_tta_twin
 
-        t_root = predict_tta_twin(exp_path)
+        t_root = predict_tta_twin(exp_path, mode=args.tta_mode)
         df_t = evaluate_cv(t_root, args.root)
         print("\n=== single-forward vs rot90-TTA (mm / rate) ===")
         for c in cols:
