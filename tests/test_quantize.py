@@ -406,3 +406,20 @@ def test_scalar_act_scale_twin_migrates_on_load(tmp_path):
                                "batch_stats": qvars["batch_stats"]},
                               x, train=False)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_int8_twin_composes_with_coords_tta(tmp_path):
+    """Serving composition: the int8 twin + identity-anchored coords TTA
+    through the real Predictor (deployment stacks compose knobs)."""
+    from cmrtpu.predict.predictor import Predictor
+    from cmrtpu.train.checkpoint import save_weights
+
+    trainer, variables, x = _trained(CFG, epochs=2)
+    qcfg, qvars = quantize_model(CFG, variables, [x])
+    save_weights(str(tmp_path), qvars["params"], qvars["batch_stats"])
+    pred = Predictor(dict(qcfg, TTA=True, TTA_MODE="coords"),
+                     model_path=str(tmp_path))
+    out = pred.predict(x)
+    assert out.shape == (8, 32, 32, 2)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
